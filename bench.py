@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the north-rule headline number — turns/sec rollup throughput
+into 1m/1h/1d tiers over the synthetic transcript table — reported in the
+extra "rollup" key. Scaling-efficiency evidence (local[8] vs local[32]) is
+produced by scripts/scaling_bench.py, recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rove_spark.operators.rollup import build_tiers  # noqa: E402
+from rove_spark.plans import driver_queries  # noqa: E402
+from rove_spark.session import get_spark  # noqa: E402
+from rove_spark.sources.synthetic import synthetic_transcripts  # noqa: E402
+
+# sandbox-scale stand-in for the 10^12-turn design table
+BENCH_N_CONV = int(os.environ.get("ROVE_BENCH_N_CONV", "4000"))
+BENCH_AVG_TURNS = int(os.environ.get("ROVE_BENCH_AVG_TURNS", "400"))
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_rollup(spark) -> dict:
+    """Turns/sec into all three tiers (checks included), synthetic table."""
+    from rove_spark.operators import checks
+    from pyspark.sql import functions as F
+
+    df = synthetic_transcripts(spark, n_conv=BENCH_N_CONV, avg_turns=BENCH_AVG_TURNS)
+    df = df.withColumn("text_len", F.length("text").cast("float"))
+    n_turns = df.count()  # warm cache of generated input is NOT kept; plan re-runs below
+    t0 = time.time()
+    flagged = checks.step_check(df, "text_len", max_=500.0)
+    flagged = checks.spike_check(flagged, "text_len", max_=400.0)
+    flagged = checks.range_check(flagged, "text_len", min_=0.0, max_=5000.0)
+    tiers = build_tiers(flagged, checks=["step_check", "spike_check", "range_check"])
+    for t in tiers.values():
+        _run(t)
+    elapsed = time.time() - t0
+    return {
+        "n_turns": n_turns,
+        "elapsed_sec": round(elapsed, 3),
+        "turns_per_sec": round(n_turns / elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("rove_bench", master=f"local[{cpus}]")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    times: dict[str, float] = {}
+    for name, fn in driver_queries.queries().items():
+        t0 = time.time()
+        _run(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    rollup = bench_rollup(spark)
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "sf_query_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "rollup": rollup,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

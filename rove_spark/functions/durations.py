@@ -1,0 +1,67 @@
+"""ISO-8601 duration parsing → calendar-aware grid periods.
+
+Reference behavior: hand-rolled ISO-8601 duration parser used for the time
+grid period, calendar-aware so month-length steps work
+(``/root/reference/met_connectors/src/frost/duration.rs:57-69``; also
+``src/data_switch.rs:96-106``). We parse the same grammar into a
+``Duration(months, seconds)`` pair; fixed-length components fold into
+seconds, calendar components (Y/M) into months — mirroring
+``chronoutil::RelativeDuration`` semantics without the crate.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_ISO_RE = re.compile(
+    r"^P(?:(?P<years>\d+)Y)?(?:(?P<months>\d+)M)?(?:(?P<weeks>\d+)W)?"
+    r"(?:(?P<days>\d+)D)?"
+    r"(?:T(?:(?P<hours>\d+)H)?(?:(?P<minutes>\d+)M)?(?:(?P<seconds>\d+)S)?)?$"
+)
+
+
+@dataclass(frozen=True)
+class Duration:
+    """Calendar-aware duration: whole months + fixed seconds."""
+
+    months: int = 0
+    seconds: int = 0
+
+    @property
+    def is_calendar(self) -> bool:
+        return self.months != 0
+
+    def interval_sql(self) -> str:
+        """Spark SQL INTERVAL literal usable inside ``sequence()``."""
+        if self.months and self.seconds:
+            raise ValueError("mixed month+second grid periods are not supported")
+        if self.months:
+            return f"INTERVAL {self.months} MONTH"
+        return f"INTERVAL {self.seconds} SECOND"
+
+    def __str__(self) -> str:  # pragma: no cover - debug aid
+        return f"Duration(months={self.months}, seconds={self.seconds})"
+
+
+def parse_iso8601(s: str) -> Duration:
+    """Parse e.g. ``PT1H`` → Duration(0, 3600); ``P1M`` → Duration(1, 0).
+
+    Grammar and error behavior mirror the reference parser
+    (``frost/duration.rs:57-69``): empty/garbage input is an error.
+    """
+    m = _ISO_RE.match(s.strip())
+    if not m or s.strip() in ("P", "PT"):
+        raise ValueError(f"invalid ISO-8601 duration: {s!r}")
+    parts = {k: int(v) for k, v in m.groupdict().items() if v is not None}
+    if not parts:
+        raise ValueError(f"invalid ISO-8601 duration: {s!r}")
+    months = parts.get("years", 0) * 12 + parts.get("months", 0)
+    seconds = (
+        parts.get("weeks", 0) * 7 * 86400
+        + parts.get("days", 0) * 86400
+        + parts.get("hours", 0) * 3600
+        + parts.get("minutes", 0) * 60
+        + parts.get("seconds", 0)
+    )
+    return Duration(months=months, seconds=seconds)

@@ -1,0 +1,117 @@
+"""Grid alignment + gap-fill — the signature data-prep operator.
+
+Reference semantics (``/root/reference/met_connectors/src/frost/fetch.rs:
+86-148``): every series is placed on a regular time grid
+``start + k*period``; missing grid slots become explicit ``None`` cells;
+off-grid timestamps are a hard "Misalignment" error (``fetch.rs:104-107,
+115-119, 133-137``); leading/trailing context slots are padded.
+
+Spark-first re-expression: per series, build a grid *spine* with
+``sequence(grid_floor(min_ts), max_ts, period)`` + ``explode``, then
+left-join observations on exact grid timestamps. Slots with no observation
+get NULL signal columns (the ``None`` gap analog). Off-grid rows are routed
+to an ``on_grid = false`` marker instead of erroring (documented divergence:
+a 100 TB batch job must quarantine, not abort; rove's per-request error
+becomes a per-row INVALID flag downstream).
+
+Scale notes:
+- the min/max aggregation and the spine join both hash-partition on
+  ``series_id`` — one shuffle each, no driver-side work, no UDFs;
+- grid explosion is bounded per series; monster conversations are handled
+  upstream by day-chunking the group key (see rollup/salting);
+- for calendar (month) periods ``sequence`` takes an INTERVAL MONTH step —
+  same code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rove_spark.functions.durations import Duration
+
+
+def grid_fill(
+    df: DataFrame,
+    period: Duration,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    keep_cols: list[str] | None = None,
+    num_leading: int = 0,
+    num_trailing: int = 0,
+) -> DataFrame:
+    """Align each series onto its regular grid and materialize gaps.
+
+    Returns one row per (series, grid slot) with:
+    - all ``keep_cols`` from the matching observation (NULL on gaps),
+    - ``is_gap`` boolean,
+    - ``slot_idx`` long (k in start + k*period).
+
+    ``num_leading``/``num_trailing`` extend the grid before min_ts / after
+    max_ts with context slots (reference pads leading/trailing ``None``s,
+    ``fetch.rs:102-122,140-144``).
+    """
+    if period.is_calendar and period.seconds:
+        raise ValueError("mixed month+second periods unsupported")
+    keep_cols = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c not in (series_col, ts_col)
+    ]
+
+    interval = F.expr(period.interval_sql())
+    obs = df.select(
+        series_col,
+        ts_col,
+        *keep_cols,
+        F.lit(True).alias("_observed"),
+    )
+
+    bounds = obs.groupBy(series_col).agg(
+        F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
+    )
+    if num_leading:
+        bounds = bounds.withColumn("_min_ts", F.col("_min_ts") - interval * num_leading)
+    if num_trailing:
+        bounds = bounds.withColumn("_max_ts", F.col("_max_ts") + interval * num_trailing)
+
+    spine = bounds.select(
+        series_col,
+        F.posexplode(F.sequence("_min_ts", "_max_ts", interval)).alias("slot_idx", ts_col),
+    )
+
+    out = spine.join(obs, on=[series_col, ts_col], how="left")
+    out = out.withColumn("is_gap", F.col("_observed").isNull()).drop("_observed")
+    return out
+
+
+def snap_to_grid(
+    df: DataFrame,
+    period: Duration,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pre-pass for possibly-misaligned sources: mark each row ``on_grid``
+    and add ``grid_ts`` = the slot floor. Rows off-grid keep their data but
+    are flaggable as INVALID downstream (divergence from the reference's
+    hard Misalignment error, ``fetch.rs:133-137`` — documented in SPEC.md).
+    """
+    if period.is_calendar:
+        grid_ts = F.date_trunc("month", F.col(ts_col))
+    else:
+        sec = period.seconds
+        epoch = F.unix_timestamp(F.col(ts_col))
+        grid_ts = F.timestamp_seconds((epoch - F.pmod(epoch, F.lit(sec))))
+    return df.withColumn("grid_ts", grid_ts).withColumn(
+        "on_grid", F.col(ts_col) == F.col("grid_ts")
+    )
+
+
+def fill_forward(
+    df: DataFrame,
+    value_col: str,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward over gaps (engine extra; rove keeps
+    gaps as None — this is for rollup consumers that want dense series)."""
+    w = Window.partitionBy(series_col).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col or f"{value_col}_ff", F.last(value_col, ignorenulls=True).over(w))

@@ -1,0 +1,164 @@
+"""Continuous aggregates: 1m/1h/1d cascading rollup tiers + retention.
+
+north_rule mandate (no rove counterpart — rove streams flags and keeps
+nothing, ``/root/reference/src/server.rs:104-123``): roll turn-level stats
+(turn counts, text lengths, tool-call rates, QC flag densities per role)
+into 1m → 1h → 1d retention tiers, where each coarser tier is re-aggregated
+from the next finer one (sums of sums; min/max compose; rates recomputed
+from sums at read time).
+
+Exactness design: every additive stat is kept in the *integer* domain
+(text lengths are ints, flag counts are ints), so cascading is exactly
+associative — ``1m→1h→1d`` is bit-identical to direct-from-raw, which the
+tests assert and the DuckDB oracle cross-checks. Rates (tool-call rate,
+flag density) are derived columns computed from the integer sums at query
+time, never stored, so no float drift can accumulate across tiers.
+
+Scale notes: a tier build is one hash-aggregate — Catalyst gives map-side
+partial aggregation for free, so the shuffle carries only
+(series, bucket, role) partials, not raw turns. Hot conversations are
+bounded per bucket (a conv has ≤ bucket/period turns per bucket), so the
+agg itself cannot skew; skew handling matters only for grouped-UDF stages
+(see salt.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rove_spark.model import Flag, flag_col
+
+TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+# finer → next coarser
+CASCADE_ORDER = ["1m", "1h", "1d"]
+
+
+def _base_aggs(text_len_col: str, tool_col: str) -> list:
+    return [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col(text_len_col).cast("long")).alias("text_len_sum"),
+        F.min(F.col(text_len_col).cast("long")).alias("text_len_min"),
+        F.max(F.col(text_len_col).cast("long")).alias("text_len_max"),
+        F.sum(F.col(tool_col).isNotNull().cast("long")).alias("n_tool_calls"),
+    ]
+
+
+def _flag_aggs(checks: Sequence[str]) -> list:
+    out = []
+    for c in checks:
+        fc = F.col(flag_col(c))
+        out.append(F.sum((fc == int(Flag.FAIL)).cast("long")).alias(f"n_fail_{c}"))
+        out.append(
+            F.sum(fc.isin(int(Flag.FAIL), int(Flag.WARN), int(Flag.INVALID)).cast("long")).alias(
+                f"n_flagged_{c}"
+            )
+        )
+    return out
+
+
+def rollup_from_raw(
+    df: DataFrame,
+    tier: str = "1m",
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    role_col: str | None = "role",
+    text_len_source: str = "text",
+    tool_col: str = "tool",
+    checks: Sequence[str] = (),
+) -> DataFrame:
+    """Raw turns (+ flag columns) → one tier. ``text_len_source`` may be the
+    ``text`` column itself (length taken here, int domain) or a precomputed
+    integer length column."""
+    trunc = TIERS[tier]
+    dtypes = dict(df.dtypes)
+    tl = "_tl"
+    if dtypes.get(text_len_source) == "string":
+        df = df.withColumn(tl, F.length(text_len_source).cast("long"))
+    else:
+        df = df.withColumn(tl, F.col(text_len_source).cast("long"))
+    keys = [F.col(series_col), F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts")]
+    if role_col:
+        keys.append(F.col(role_col))
+    out = df.groupBy(*keys).agg(*_base_aggs(tl, tool_col), *_flag_aggs(checks))
+    return out
+
+
+def rollup_cascade(
+    tier_df: DataFrame,
+    to_tier: str,
+    series_col: str = "conv_id",
+    role_col: str | None = "role",
+) -> DataFrame:
+    """Finer tier → coarser tier. Sums of sums / min of mins / max of maxes;
+    every stat column composes without touching raw data."""
+    trunc = TIERS[to_tier]
+    keys = [F.col(series_col), F.date_trunc(trunc, F.col("bucket_ts")).alias("bucket_ts")]
+    if role_col:
+        keys.append(F.col(role_col))
+    aggs = []
+    for name, _dtype in tier_df.dtypes:
+        if name in (series_col, "bucket_ts", role_col):
+            continue
+        if name.endswith("_min"):
+            aggs.append(F.min(name).alias(name))
+        elif name.endswith("_max"):
+            aggs.append(F.max(name).alias(name))
+        else:  # counts and sums are additive
+            aggs.append(F.sum(name).alias(name))
+    return tier_df.groupBy(*keys).agg(*aggs)
+
+
+def build_tiers(
+    df: DataFrame,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    role_col: str | None = "role",
+    checks: Sequence[str] = (),
+    text_len_source: str = "text",
+    tool_col: str = "tool",
+) -> dict[str, DataFrame]:
+    """Raw → {1m, 1h, 1d}, each coarser tier cascaded from the finer one.
+
+    The 1m tier is the only scan of raw data; persist it if all three tiers
+    are materialized in one job (SURVEY §4 scan-sharing analog of rove's
+    fetch-once-per-request cache, ``pipeline.rs:147-155``).
+    """
+    t1m = rollup_from_raw(
+        df,
+        "1m",
+        series_col=series_col,
+        ts_col=ts_col,
+        role_col=role_col,
+        checks=checks,
+        text_len_source=text_len_source,
+        tool_col=tool_col,
+    )
+    t1h = rollup_cascade(t1m, "1h", series_col=series_col, role_col=role_col)
+    t1d = rollup_cascade(t1h, "1d", series_col=series_col, role_col=role_col)
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
+def with_rates(tier_df: DataFrame, checks: Sequence[str] = ()) -> DataFrame:
+    """Derived read-time rate columns from the stored integer sums."""
+    out = tier_df.withColumn(
+        "tool_call_rate", F.col("n_tool_calls") / F.col("n_turns")
+    ).withColumn("text_len_avg", F.col("text_len_sum") / F.col("n_turns"))
+    for c in checks:
+        out = out.withColumn(f"fail_density_{c}", F.col(f"n_fail_{c}") / F.col("n_turns"))
+    return out
+
+
+def retention_expire(table, older_than_day: str, day_col: str = "day") -> int:
+    """Retention policy: drop whole partitions older than a cutoff
+    (partition-level delete — no data rewrite). ``table`` is a
+    PartitionedTable partitioned by ``day_col``."""
+    dirs = []
+    if table.path.exists():
+        for p in sorted(table.path.glob(f"{day_col}=*")):
+            val = p.name.split("=", 1)[1]
+            if val < older_than_day:
+                dirs.append(p.name)
+    return table.drop_partitions(dirs, lineage={"retention_cutoff": older_than_day})

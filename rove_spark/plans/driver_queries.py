@@ -1,0 +1,412 @@
+"""Driver-contract queries: every implemented operator exercised over the
+driver's testdata tables, each with a DuckDB oracle-SQL twin.
+
+The `events` table (event_id, ts, user_id, event_type, value, props) plays
+the role of the observation stream: series = user_id, value = value —
+the same (series, ts, Option<f32>) model the reference QCs
+(`/root/reference/src/data_switch.rs:138-163`), at double precision since
+the driver's table is double (SPEC.md §Invariants).
+
+Determinism rules for oracle hash-matching:
+- window order is always (ts, event_id) — a total order;
+- additive float stats go through an exact integer domain (cents);
+- min/max/comparisons on doubles are order-independent → safe;
+- derived doubles use identical operand trees on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rove_spark.functions.durations import parse_iso8601
+from rove_spark.operators import checks
+from rove_spark.operators.gridfill import grid_fill
+from rove_spark.sources.tables import read_table
+
+PT1H = parse_iso8601("PT1H")
+
+# thresholds shared by spark + oracle sides
+STEP_MAX, STEP_HIGH = 80.0, 20.0
+SPIKE_MAX, SPIKE_HIGH = 60.0, 20.0
+RANGE_MIN, RANGE_MAX = 5.0, 150.0
+FLAT_MAX = 2
+SPECIAL_VALUES = [9.64, 106.03, 40.34]
+MODEL_THRESHOLD = 40.0
+
+_EV_ORDER = ("ts", "event_id")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    _utc(spark)
+    return read_table(spark, sf, "events")
+
+
+# ---------------------------------------------------------------- checks --
+
+
+def q_step_check(spark, sf):
+    ev = _events(spark, sf)
+    out = checks.step_check(
+        ev, "value", max_=STEP_MAX, high=STEP_HIGH, series_col="user_id", order_cols=_EV_ORDER
+    )
+    return out.select("event_id", F.col("flag_step_check").cast("int").alias("flag_step"))
+
+
+SQL_STEP = f"""
+SELECT event_id,
+       CAST(CASE WHEN pts IS NULL THEN 3
+                 WHEN value IS NULL OR pv IS NULL THEN 5
+                 WHEN abs(value - pv) >= {STEP_MAX} THEN 1
+                 WHEN abs(value - pv) >= {STEP_HIGH} THEN 2
+                 ELSE 0 END AS INT) AS flag_step
+FROM (SELECT event_id, value,
+             lag(value) OVER w AS pv,
+             lag(ts) OVER w AS pts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+"""
+
+
+def q_spike_check(spark, sf):
+    ev = _events(spark, sf)
+    out = checks.spike_check(
+        ev, "value", max_=SPIKE_MAX, high=SPIKE_HIGH, series_col="user_id", order_cols=_EV_ORDER
+    )
+    return out.select("event_id", F.col("flag_spike_check").cast("int").alias("flag_spike"))
+
+
+SQL_SPIKE = f"""
+SELECT event_id,
+       CAST(CASE WHEN pts IS NULL OR nts IS NULL THEN 3
+                 WHEN value IS NULL OR pv IS NULL OR nv IS NULL THEN 5
+                 WHEN (value-pv)*(value-nv) > 0
+                      AND least(abs(value-pv), abs(value-nv)) >= {SPIKE_MAX} THEN 1
+                 WHEN (value-pv)*(value-nv) > 0
+                      AND least(abs(value-pv), abs(value-nv)) >= {SPIKE_HIGH} THEN 2
+                 ELSE 0 END AS INT) AS flag_spike
+FROM (SELECT event_id, value,
+             lag(value) OVER w AS pv, lead(value) OVER w AS nv,
+             lag(ts) OVER w AS pts, lead(ts) OVER w AS nts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+"""
+
+
+def q_flatline_check(spark, sf):
+    ev = _events(spark, sf).withColumn("qv", F.floor(F.col("value") / 40.0))
+    out = checks.flatline_check(
+        ev, "qv", max_=FLAT_MAX, series_col="user_id", order_cols=_EV_ORDER
+    )
+    return out.select("event_id", F.col("flag_flatline_check").cast("int").alias("flag_flatline"))
+
+
+SQL_FLATLINE = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts, floor(value / 40.0) AS qv FROM events
+), lagged AS (
+  SELECT event_id, user_id, ts, qv,
+         CASE WHEN qv IS DISTINCT FROM lag(qv) OVER w THEN 1 ELSE 0 END AS changed,
+         row_number() OVER w AS rn
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT event_id, user_id, ts, qv, rn,
+         CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+  FROM lagged
+), r AS (
+  SELECT event_id, qv, rn,
+         row_number() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id) AS run_len
+  FROM g
+)
+SELECT event_id,
+       CAST(CASE WHEN qv IS NULL THEN 5
+                 WHEN run_len >= {FLAT_MAX + 1} THEN 1
+                 WHEN rn <= {FLAT_MAX} THEN 3
+                 ELSE 0 END AS INT) AS flag_flatline
+FROM r
+"""
+
+
+def q_range_check(spark, sf):
+    ev = _events(spark, sf)
+    out = checks.range_check(ev, "value", min_=RANGE_MIN, max_=RANGE_MAX)
+    return out.select("event_id", F.col("flag_range_check").cast("int").alias("flag_range"))
+
+
+SQL_RANGE = f"""
+SELECT event_id,
+       CAST(CASE WHEN value IS NULL THEN 5
+                 WHEN value < {RANGE_MIN} OR value > {RANGE_MAX} THEN 1
+                 ELSE 0 END AS INT) AS flag_range
+FROM events
+"""
+
+
+def q_special_value_check(spark, sf):
+    ev = _events(spark, sf)
+    out = checks.special_value_check(ev, "value", special_values=SPECIAL_VALUES)
+    return out.select(
+        "event_id", F.col("flag_special_value_check").cast("int").alias("flag_special")
+    )
+
+
+SQL_SPECIAL = f"""
+SELECT event_id,
+       CAST(CASE WHEN value IS NULL THEN 5
+                 WHEN value IN ({", ".join(str(v) for v in SPECIAL_VALUES)}) THEN 1
+                 ELSE 0 END AS INT) AS flag_special
+FROM events
+"""
+
+
+def q_range_check_dynamic(spark, sf):
+    ev = _events(spark, sf)
+    stats = ev.groupBy("event_type").agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bounds = stats.select(
+        "event_type",
+        (F.col("mn") + 0.1 * (F.col("mx") - F.col("mn"))).alias("lo"),
+        (F.col("mx") - 0.1 * (F.col("mx") - F.col("mn"))).alias("hi"),
+    )
+    out = checks.range_check_dynamic(ev, "value", bounds, on=["event_type"])
+    return out.select(
+        "event_id", F.col("flag_range_check_dynamic").cast("int").alias("flag_range_dyn")
+    )
+
+
+SQL_RANGE_DYNAMIC = """
+WITH b AS (
+  SELECT event_type,
+         min(value) + 0.1 * (max(value) - min(value)) AS lo,
+         max(value) - 0.1 * (max(value) - min(value)) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_id,
+       CAST(CASE WHEN lo IS NULL OR hi IS NULL THEN 3
+                 WHEN value IS NULL THEN 5
+                 WHEN value < lo OR value > hi THEN 1
+                 ELSE 0 END AS INT) AS flag_range_dyn
+FROM events LEFT JOIN b USING (event_type)
+"""
+
+
+def q_model_consistency(spark, sf):
+    ev = _events(spark, sf)
+    model = ev.groupBy("user_id").agg(
+        ((F.min("value") + F.max("value")) / 2.0).alias("model_value")
+    )
+    out = checks.model_consistency_check(
+        ev, "value", model, on=["user_id"], threshold=MODEL_THRESHOLD, broadcast_model=True
+    )
+    return out.select(
+        "event_id", F.col("flag_model_consistency_check").cast("int").alias("flag_model")
+    )
+
+
+SQL_MODEL = f"""
+WITH m AS (
+  SELECT user_id, (min(value) + max(value)) / 2.0 AS mv FROM events GROUP BY user_id
+)
+SELECT event_id,
+       CAST(CASE WHEN mv IS NULL THEN 3
+                 WHEN value IS NULL THEN 5
+                 WHEN abs(value - mv) > {MODEL_THRESHOLD} THEN 1
+                 ELSE 0 END AS INT) AS flag_model
+FROM events LEFT JOIN m USING (user_id)
+"""
+
+
+# ------------------------------------------------------- shaping / joins --
+
+
+def q_gapfill(spark, sf):
+    """Hourly grid per user: slot/gap accounting after grid alignment."""
+    ev = _events(spark, sf)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    g = grid_fill(hourly, PT1H, series_col="user_id", keep_cols=["n_events"])
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum(F.col("is_gap").cast("long")).alias("n_gap_slots"),
+        F.sum((~F.col("is_gap")).cast("long")).alias("n_obs_slots"),
+    )
+
+
+SQL_GAPFILL = """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS hts FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(hts) AS mn, max(hts) AS mx FROM h GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hts FROM b
+)
+SELECT s.user_id,
+       CAST(count(*) AS BIGINT) AS n_slots,
+       CAST(sum(CASE WHEN h.hts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_slots,
+       CAST(sum(CASE WHEN h.hts IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_obs_slots
+FROM spine s LEFT JOIN h ON s.user_id = h.user_id AND s.hts = h.hts
+GROUP BY s.user_id
+"""
+
+
+def q_asof_join(spark, sf):
+    """As-of metadata join (reference: location valid at time t,
+    ``met_connectors/src/frost/util.rs:30-60``): latest signup at-or-before
+    each event, per user."""
+    ev = _events(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w).alias(
+            "last_signup_ts"
+        ),
+    )
+
+
+SQL_ASOF = """
+SELECT event_id,
+       max(CASE WHEN event_type = 'signup' THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- rollup --
+
+
+def _rollup_1m(ev: DataFrame) -> DataFrame:
+    return ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_sum_cents"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+
+
+def _cascade(tier: DataFrame, unit: str) -> DataFrame:
+    return tier.groupBy("user_id", F.date_trunc(unit, "bucket_ts").alias("bucket_ts")).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("value_sum_cents").alias("value_sum_cents"),
+        F.min("value_min").alias("value_min"),
+        F.max("value_max").alias("value_max"),
+    )
+
+
+def q_rollup_1m(spark, sf):
+    return _rollup_1m(_events(spark, sf))
+
+
+def q_rollup_1h(spark, sf):
+    """1h tier CASCADED from 1m; oracle aggregates directly from raw —
+    passing proves cascade exactness."""
+    return _cascade(_rollup_1m(_events(spark, sf)), "hour")
+
+
+def q_rollup_1d(spark, sf):
+    """1d tier cascaded 1m→1h→1d; oracle is direct-from-raw."""
+    return _cascade(_cascade(_rollup_1m(_events(spark, sf)), "hour"), "day")
+
+
+def _sql_rollup(unit: str) -> str:
+    return f"""
+SELECT user_id, CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_sum_cents,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- documents --
+
+
+def q_dedup_exact(spark, sf):
+    _utc(spark)
+    docs = read_table(spark, sf, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_stats(spark, sf):
+    _utc(spark)
+    docs = read_table(spark, sf, "documents")
+    n_spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_chars"),
+        (n_spaces + 1).cast("long").alias("n_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS text_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+# ------------------------------------------------------------- registry --
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "step_check": q_step_check,
+        "spike_check": q_spike_check,
+        "flatline_check": q_flatline_check,
+        "range_check": q_range_check,
+        "special_value_check": q_special_value_check,
+        "range_check_dynamic": q_range_check_dynamic,
+        "model_consistency_check": q_model_consistency,
+        "gapfill": q_gapfill,
+        "asof_join": q_asof_join,
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d": q_rollup_1d,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "step_check": SQL_STEP,
+        "spike_check": SQL_SPIKE,
+        "flatline_check": SQL_FLATLINE,
+        "range_check": SQL_RANGE,
+        "special_value_check": SQL_SPECIAL,
+        "range_check_dynamic": SQL_RANGE_DYNAMIC,
+        "model_consistency_check": SQL_MODEL,
+        "gapfill": SQL_GAPFILL,
+        "asof_join": SQL_ASOF,
+        "rollup_1m": _sql_rollup("minute"),
+        "rollup_1h": _sql_rollup("hour"),
+        "rollup_1d": _sql_rollup("day"),
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "token_stats": SQL_TOKEN_STATS,
+    }

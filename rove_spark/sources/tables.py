@@ -1,0 +1,133 @@
+"""Table IO: testdata readers + a partitioned-table layer ("Iceberg shim").
+
+The design target is Iceberg (``spark.table`` / ``writeTo().overwritePartitions()``
+with hidden partitioning on ``days(ts)`` + ``bucket(conv_id)``). This sandbox
+has no Iceberg runtime jar, so ``PartitionedTable`` provides the same
+contract over plain parquet:
+
+- partition-column directory layout (Spark dynamic partition overwrite gives
+  idempotent per-partition replace — the primitive checkpoint/resume needs);
+- a JSON manifest recording snapshot lineage (write params, code version,
+  row counts) per commit, standing in for Iceberg snapshot metadata.
+
+On a real cluster, swap ``PartitionedTable`` for ``df.writeTo(table)`` — the
+engine only uses the narrow interface below. Reference analog: rove has no
+persistent sink at all (results stream over gRPC, ``src/server.rs:104-123``);
+persistent tiered storage is a north_rule addition.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+class PartitionedTable:
+    """A partitioned parquet table with snapshot manifest + idempotent
+    per-partition overwrite. Narrow stand-in for an Iceberg table."""
+
+    def __init__(self, path: str | Path, partition_by: list[str]):
+        self.path = Path(path)
+        self.partition_by = list(partition_by)
+        self.manifest_path = self.path / "_rove_manifest.json"
+
+    # -- manifest ---------------------------------------------------------
+    def _load_manifest(self) -> dict:
+        if self.manifest_path.exists():
+            return json.loads(self.manifest_path.read_text())
+        return {"table": str(self.path), "partition_by": self.partition_by, "snapshots": []}
+
+    def _commit_manifest(self, entry: dict) -> None:
+        m = self._load_manifest()
+        m["snapshots"].append(entry)
+        self.manifest_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(m, indent=1, default=str))
+        tmp.replace(self.manifest_path)
+
+    @property
+    def snapshots(self) -> list[dict]:
+        return self._load_manifest()["snapshots"]
+
+    # -- IO ---------------------------------------------------------------
+    def exists(self) -> bool:
+        return self.path.exists() and any(self.path.glob("**/*.parquet"))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(str(self.path))
+
+    def overwrite_partitions(self, df: DataFrame, lineage: dict | None = None) -> str:
+        """Replace exactly the partitions present in ``df`` (dynamic
+        overwrite — Iceberg ``overwritePartitions`` semantics). Returns the
+        snapshot id."""
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*self.partition_by)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(self.path))
+        )
+        snap = uuid.uuid4().hex[:12]
+        self._commit_manifest(
+            {
+                "snapshot_id": snap,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "operation": "overwrite_partitions",
+                "lineage": lineage or {},
+            }
+        )
+        return snap
+
+    def append(self, df: DataFrame, lineage: dict | None = None) -> str:
+        df.write.mode("append").partitionBy(*self.partition_by).parquet(str(self.path))
+        snap = uuid.uuid4().hex[:12]
+        self._commit_manifest({"snapshot_id": snap, "operation": "append", "lineage": lineage or {}})
+        return snap
+
+    def drop_partitions(self, predicate_dirs: list[str], lineage: dict | None = None) -> int:
+        """Retention expiry: drop whole partition directories (cheap
+        metadata-style delete, the parquet analog of Iceberg partition-level
+        delete). ``predicate_dirs`` are partition dir names like
+        ``day=2024-01-01``."""
+        import shutil
+
+        dropped = 0
+        for d in predicate_dirs:
+            target = self.path / d
+            if target.exists():
+                shutil.rmtree(target)
+                dropped += 1
+        if dropped:
+            self._commit_manifest(
+                {
+                    "snapshot_id": uuid.uuid4().hex[:12],
+                    "operation": "drop_partitions",
+                    "dropped": predicate_dirs,
+                    "lineage": lineage or {},
+                }
+            )
+        return dropped

@@ -1,0 +1,95 @@
+"""Grid alignment + gap-fill goldens — mirrors the reference's alignment
+tests (``/root/reference/met_connectors/src/frost/fetch.rs:231-361``):
+exact slot contents, gap materialization, leading/trailing padding, and
+off-grid handling (our divergence: flag, don't error)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from rove_spark.functions.durations import parse_iso8601
+from rove_spark.operators.gridfill import fill_forward, grid_fill, snap_to_grid
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+PT1M = parse_iso8601("PT1M")
+
+
+def _obs(spark, slots, series="s1"):
+    rows = [(series, T0 + dt.timedelta(minutes=k), float(10 + k)) for k in slots]
+    return spark.createDataFrame(rows, "conv_id string, ts timestamp, value float")
+
+
+def test_gapfill_golden(spark):
+    # observations at minutes 0,1,3,6 → gaps at 2,4,5
+    df = _obs(spark, [0, 1, 3, 6])
+    out = grid_fill(df, PT1M).orderBy("ts").collect()
+    assert [r.slot_idx for r in out] == [0, 1, 2, 3, 4, 5, 6]
+    assert [r.is_gap for r in out] == [False, False, True, False, True, True, False]
+    assert [r.value for r in out] == [10.0, 11.0, None, 13.0, None, None, 16.0]
+    assert out[0].ts == T0 and out[6].ts == T0 + dt.timedelta(minutes=6)
+
+
+def test_leading_trailing_padding(spark):
+    # reference pads context slots before/after the QC window
+    # (fetch.rs:102-122,140-144)
+    df = _obs(spark, [2, 3])
+    out = grid_fill(df, PT1M, num_leading=2, num_trailing=1).orderBy("ts").collect()
+    assert len(out) == 5
+    assert out[0].ts == T0 and out[0].is_gap
+    assert out[1].is_gap
+    assert not out[2].is_gap and not out[3].is_gap
+    assert out[4].is_gap  # trailing pad
+
+
+def test_multi_series_independent_grids(spark):
+    a = _obs(spark, [0, 2], series="a")
+    b = _obs(spark, [5, 6], series="b")
+    out = grid_fill(a.unionByName(b), PT1M)
+    got = {(r.conv_id, r.slot_idx): r.is_gap for r in out.collect()}
+    assert got == {
+        ("a", 0): False,
+        ("a", 1): True,
+        ("a", 2): False,
+        ("b", 0): False,
+        ("b", 1): False,
+    }
+
+
+def test_snap_to_grid_flags_misalignment(spark):
+    rows = [
+        ("s1", T0, 1.0),
+        ("s1", T0 + dt.timedelta(seconds=90), 2.0),  # off-grid for PT1M
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value float")
+    out = snap_to_grid(df, PT1M).orderBy("ts").collect()
+    assert out[0].on_grid and out[0].grid_ts == T0
+    assert not out[1].on_grid
+    assert out[1].grid_ts == T0 + dt.timedelta(minutes=1)
+
+
+def test_hourly_grid(spark):
+    rows = [
+        ("s1", T0, 1.0),
+        ("s1", T0 + dt.timedelta(hours=3), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value float")
+    out = grid_fill(df, parse_iso8601("PT1H")).orderBy("ts").collect()
+    assert len(out) == 4
+    assert [r.is_gap for r in out] == [False, True, True, False]
+
+
+def test_fill_forward(spark):
+    df = _obs(spark, [0, 1, 3, 6])
+    gridded = grid_fill(df, PT1M)
+    out = fill_forward(gridded, "value").orderBy("ts").collect()
+    assert [r.value_ff for r in out] == [10.0, 11.0, 11.0, 13.0, 13.0, 13.0, 16.0]
+
+
+def test_gridfill_plan_has_no_udfs(spark):
+    """The whole prep stage must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython nodes in the physical plan."""
+    df = _obs(spark, [0, 1, 3])
+    plan = grid_fill(df, PT1M)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -1,0 +1,76 @@
+"""Rollup tier tests: cascade exactness (1m→1h→1d ≡ direct-from-raw),
+rate derivation, and retention expiry. north_rule: "matching the
+reference's rolled-up points at each retention tier" — exactness is the
+contract, achieved by keeping additive stats in the integer domain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rove_spark.operators.rollup import (
+    build_tiers,
+    retention_expire,
+    rollup_from_raw,
+    with_rates,
+)
+from rove_spark.sources.synthetic import synthetic_transcripts
+from rove_spark.sources.tables import PartitionedTable
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_cascade_equals_direct(spark):
+    df = synthetic_transcripts(spark, n_conv=30, avg_turns=60, period_s=60)
+    tiers = build_tiers(df)
+    direct_1h = rollup_from_raw(df, "1h")
+    direct_1d = rollup_from_raw(df, "1d")
+    assert _canon(tiers["1h"]) == _canon(direct_1h)
+    assert _canon(tiers["1d"]) == _canon(direct_1d)
+
+
+def test_tier_totals_consistent(spark):
+    df = synthetic_transcripts(spark, n_conv=20, avg_turns=40)
+    tiers = build_tiers(df)
+    n_raw = df.count()
+    for name, t in tiers.items():
+        assert t.agg(F.sum("n_turns")).first()[0] == n_raw, name
+
+
+def test_rates_derived(spark):
+    df = synthetic_transcripts(spark, n_conv=10, avg_turns=30)
+    t = with_rates(build_tiers(df)["1d"])
+    row = t.first()
+    assert 0.0 <= row.tool_call_rate <= 1.0
+    assert row.text_len_avg > 0
+
+
+def test_flag_densities_rolled_up(spark):
+    from rove_spark.operators import checks
+
+    df = synthetic_transcripts(spark, n_conv=10, avg_turns=40)
+    df = df.withColumn("text_len", F.length("text").cast("float"))
+    df = checks.step_check(df, "text_len", max_=500.0, series_col="conv_id", order_cols=["ts"])
+    tiers = build_tiers(df, checks=["step_check"])
+    total_fail = tiers["1d"].agg(F.sum("n_fail_step_check")).first()[0]
+    direct_fail = df.filter(F.col("flag_step_check") == 1).count()
+    assert total_fail == direct_fail
+    assert total_fail > 0  # synthetic anomalies must trip the check
+
+
+def test_retention_expiry(tmp_path, spark):
+    df = synthetic_transcripts(spark, n_conv=10, avg_turns=50)
+    t1d = build_tiers(df)["1d"].withColumn("day", F.date_format("bucket_ts", "yyyy-MM-dd"))
+    table = PartitionedTable(tmp_path / "tier_1d", ["day"])
+    table.overwrite_partitions(t1d)
+    days = sorted(r.day for r in t1d.select("day").distinct().collect())
+    assert len(days) >= 2
+    cutoff = days[1]
+    dropped = retention_expire(table, older_than_day=cutoff, day_col="day")
+    assert dropped >= 1
+    remaining = table.read(spark).select("day").distinct().collect()
+    assert all(str(r.day) >= cutoff for r in remaining)
+    # manifest recorded the expiry
+    assert any(s["operation"] == "drop_partitions" for s in table.snapshots)
