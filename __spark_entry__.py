@@ -16,6 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from rove_spark.session import _export_pythonpath  # noqa: E402
+
+# executor Python workers must import rove_spark even when the driver's
+# session was created elsewhere (grouped-UDF closures reference the package)
+_export_pythonpath()
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from rove_spark.functions.durations import parse_iso8601  # noqa: E402

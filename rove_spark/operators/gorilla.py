@@ -1,0 +1,324 @@
+"""Gorilla chunk compression: delta-of-delta timestamps + XOR float values.
+
+north_rule mandate (no rove counterpart — the reference keeps series as
+plain ``Vec<Option<f32>>`` in memory, ``/root/reference/src/data_switch.rs:
+141-145``). Implements the Facebook Gorilla paper's encodings
+(Pelkonen et al., VLDB 2015, §4.1/4.2 — public algorithm):
+
+- timestamps: header t0 (64b) + first delta (32b), then delta-of-delta D in
+  variable-length classes: ``0`` (D=0), ``10``+7b (−63..64), ``110``+9b
+  (−255..256), ``1110``+12b (−2047..2048), ``1111``+32b;
+- float32 values: XOR with the previous value; ``0`` (xor=0), ``10`` +
+  meaningful bits when they fit the previous leading/length window,
+  ``11`` + 5b leading + 6b length + meaningful bits;
+- gaps (NULL slots) are carried in a separate presence bitmap so
+  ``Option<f32>`` round-trips exactly (values stream encodes only the
+  present points).
+
+Dtype is float32 end-to-end (reference f32 semantics); NaN round-trips
+bit-exactly since XOR works on raw bits.
+
+Execution shape: the heavy per-element math (deltas, XORs, leading/
+trailing-zero counts, class selection) is vectorized numpy; only the final
+bit-packing is a tight Python loop (inherently sequential). Chunks are
+bounded (one (series, day) group by default) and encode inside
+``applyInPandas``, so the loop cost parallelizes across executors and
+never touches the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_TS_CLASSES = (
+    (-63, 64, 0b10, 2, 7),
+    (-255, 256, 0b110, 3, 9),
+    (-2047, 2048, 0b1110, 4, 12),
+)
+
+
+class _BitWriter:
+    __slots__ = ("acc", "nbits", "chunks")
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.chunks: list[bytes] = []
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        if self.nbits >= 4096:
+            spill = self.nbits % 8
+            take = self.nbits - spill
+            self.chunks.append((self.acc >> spill).to_bytes(take // 8, "big"))
+            self.acc &= (1 << spill) - 1
+            self.nbits = spill
+
+    def getvalue(self) -> bytes:
+        pad = (-self.nbits) % 8
+        acc, nbits = self.acc << pad, self.nbits + pad
+        return b"".join(self.chunks) + acc.to_bytes(nbits // 8, "big")
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = int.from_bytes(data, "big")
+        self.pos = len(data) * 8
+
+    def read(self, nbits: int) -> int:
+        self.pos -= nbits
+        return (self.data >> self.pos) & ((1 << nbits) - 1)
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """int64 seconds → delta-of-delta bitstream."""
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    out = _BitWriter()
+    out.write(n, 32)
+    if n == 0:
+        return out.getvalue()
+    out.write(int(ts[0]) & 0xFFFFFFFFFFFFFFFF, 64)
+    if n == 1:
+        return out.getvalue()
+    deltas = np.diff(ts)
+    # 64-bit first delta + 64-bit fallback class: the codec is total over
+    # int64 (the paper's 32-bit fallback assumes bounded wall-clock deltas;
+    # a batch engine must not crash on pathological input)
+    out.write(int(deltas[0]) & 0xFFFFFFFFFFFFFFFF, 64)
+    dod = np.diff(deltas)
+    for d in dod.tolist():
+        if d == 0:
+            out.write(0, 1)
+            continue
+        for lo, hi, prefix, plen, vbits in _TS_CLASSES:
+            if lo <= d <= hi:
+                out.write(prefix, plen)
+                out.write(d - lo, vbits)  # bias to unsigned
+                break
+        else:
+            out.write(0b1111, 4)
+            out.write(d & 0xFFFFFFFFFFFFFFFF, 64)
+    return out.getvalue()
+
+
+def decode_timestamps(blob: bytes) -> np.ndarray:
+    r = _BitReader(blob)
+    n = r.read(32)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    t0 = r.read(64)
+    out[0] = t0 - (1 << 64) if t0 >= (1 << 63) else t0
+    if n == 1:
+        return out
+    d = r.read(64)
+    delta = d - (1 << 64) if d >= (1 << 63) else d
+    out[1] = out[0] + delta
+    for i in range(2, n):
+        if r.read(1) == 0:
+            pass
+        else:
+            cls = 1
+            while cls < 4 and r.read(1) == 1:
+                cls += 1
+            if cls < 4:
+                lo, _hi, _p, _pl, vbits = _TS_CLASSES[cls - 1]
+                delta += r.read(vbits) + lo
+            else:
+                raw = r.read(64)
+                delta += raw - (1 << 64) if raw >= (1 << 63) else raw
+        out[i] = out[i - 1] + delta
+    return out
+
+
+def encode_values(values: np.ndarray) -> bytes:
+    """float32 array → XOR bitstream (Gorilla §4.2, 32-bit variant:
+    5-bit leading-zero count, 6-bit meaningful length)."""
+    v = np.ascontiguousarray(np.asarray(values, dtype=np.float32)).view(np.uint32)
+    n = len(v)
+    out = _BitWriter()
+    out.write(n, 32)
+    if n == 0:
+        return out.getvalue()
+    out.write(int(v[0]), 32)
+    if n == 1:
+        return out.getvalue()
+    xors = v[1:] ^ v[:-1]
+    # vectorized leading/trailing zero counts for 32-bit words
+    nz = xors != 0
+    lead = np.where(nz, 31 - np.floor(np.log2(np.maximum(xors, 1)).astype(np.int64)), 32)
+    low = (xors & (~xors + np.uint32(1))).astype(np.uint64)  # lowest set bit
+    trail = np.where(nz, np.round(np.log2(np.maximum(low, 1))).astype(np.int64), 32)
+    prev_lead, prev_mlen = -1, -1
+    for i in range(len(xors)):
+        x = int(xors[i])
+        if x == 0:
+            out.write(0, 1)
+            continue
+        lz, tz = int(lead[i]), int(trail[i])
+        if lz > 31:
+            lz = 31  # 5-bit field
+        mlen = 32 - lz - tz
+        if prev_lead >= 0 and lz >= prev_lead and (32 - prev_lead - prev_mlen) <= tz:
+            out.write(0b10, 2)
+            out.write(x >> (32 - prev_lead - prev_mlen), prev_mlen)
+        else:
+            out.write(0b11, 2)
+            out.write(lz, 5)
+            out.write(mlen - 1, 6)  # mlen in 1..32 → 0..31
+            out.write(x >> tz, mlen)
+            prev_lead, prev_mlen = lz, mlen
+    return out.getvalue()
+
+
+def decode_values(blob: bytes) -> np.ndarray:
+    r = _BitReader(blob)
+    n = r.read(32)
+    out = np.empty(n, dtype=np.uint32)
+    if n == 0:
+        return out.view(np.float32)
+    cur = r.read(32)
+    out[0] = cur
+    lead, mlen = 0, 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = cur
+            continue
+        if r.read(1) == 0:  # reuse window
+            bits = r.read(mlen)
+            cur ^= bits << (32 - lead - mlen)
+        else:
+            lead = r.read(5)
+            mlen = r.read(6) + 1
+            bits = r.read(mlen)
+            cur ^= bits << (32 - lead - mlen)
+        out[i] = cur
+    return out.view(np.float32)
+
+
+def encode_chunk_masked(ts_seconds: np.ndarray, values: np.ndarray, present: np.ndarray) -> dict:
+    """Encode a chunk: all slot timestamps, presence bitmap, and the XOR
+    stream over *present* values only."""
+    ts_blob = encode_timestamps(ts_seconds)
+    present = np.asarray(present, dtype=bool)
+    val_blob = encode_values(np.asarray(values, dtype=np.float32)[present])
+    presence = np.packbits(present).tobytes()
+    raw = np.asarray(ts_seconds, dtype=np.int64).tobytes() + np.asarray(
+        values, dtype=np.float32
+    )[present].tobytes()
+    return {
+        "n_points": int(len(ts_seconds)),
+        "n_present": int(present.sum()),
+        "ts_codec": ts_blob,
+        "val_codec": val_blob,
+        "presence": presence,
+        "checksum": zlib.crc32(raw) & 0xFFFFFFFF,
+    }
+
+
+def decode_chunk_masked(chunk: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (ts_seconds int64[n], values float32[n] with NaN at gaps,
+    present bool[n])."""
+    ts = decode_timestamps(chunk["ts_codec"])
+    n = chunk["n_points"]
+    present = np.unpackbits(np.frombuffer(chunk["presence"], dtype=np.uint8))[:n].astype(bool)
+    vals_present = decode_values(chunk["val_codec"])
+    values = np.full(n, np.nan, dtype=np.float32)
+    values[present] = vals_present
+    return ts, values, present
+
+
+# ---------------------------------------------------------------- Spark --
+
+CHUNK_SCHEMA = (
+    "series_id string, chunk_start timestamp, n_points int, n_present int, "
+    "ts_codec binary, val_codec binary, presence binary, checksum long"
+)
+
+
+def compress_series(
+    df,
+    value_col: str,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    chunk: str = "day",
+):
+    """DataFrame (series, ts, value[, …]) → Gorilla chunk table, one row
+    per (series, chunk_start). Grouping by (series, calendar chunk) bounds
+    group size — a monster conversation becomes many day-chunks, which is
+    also the hot-key salting story for this stage (SURVEY §4)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("_epoch")
+        ts = pdf["_epoch"].to_numpy(np.int64)
+        raw = pdf[value_col].to_numpy(dtype=np.float32, na_value=np.nan)
+        present = pdf[value_col].notna().to_numpy()
+        c = encode_chunk_masked(ts, raw, present)
+        return pd.DataFrame(
+            [
+                {
+                    "series_id": pdf["_series"].iloc[0],
+                    "chunk_start": pdf["_chunk"].iloc[0],
+                    **{k: c[k] for k in ("n_points", "n_present")},
+                    "ts_codec": c["ts_codec"],
+                    "val_codec": c["val_codec"],
+                    "presence": c["presence"],
+                    "checksum": c["checksum"],
+                }
+            ]
+        )
+
+    prepped = df.select(
+        F.col(series_col).cast("string").alias("_series"),
+        F.date_trunc(chunk, F.col(ts_col)).alias("_chunk"),
+        F.unix_timestamp(F.col(ts_col)).alias("_epoch"),
+        F.col(value_col).cast("float").alias(value_col),
+    )
+    return prepped.groupBy("_series", "_chunk").applyInPandas(enc, CHUNK_SCHEMA)
+
+
+def decompress_series(chunks_df, value_col: str = "value"):
+    """Chunk table → long (series_id, ts, value, is_gap) rows; verifies the
+    CRC of every chunk (corruption surfaces as an exception, not silence)."""
+    import pandas as pd
+
+    def dec(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                chunk = {
+                    "n_points": row.n_points,
+                    "ts_codec": row.ts_codec,
+                    "val_codec": row.val_codec,
+                    "presence": row.presence,
+                }
+                ts, values, present = decode_chunk_masked(chunk)
+                raw = ts.tobytes() + values[present].tobytes()
+                if (zlib.crc32(raw) & 0xFFFFFFFF) != row.checksum:
+                    raise ValueError(f"checksum mismatch for {row.series_id}@{row.chunk_start}")
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "series_id": row.series_id,
+                            "ts": pd.to_datetime(ts, unit="s"),
+                            value_col: pd.Series(values).where(present, None),
+                            "is_gap": ~present,
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["series_id", "ts", value_col, "is_gap"]
+            )
+
+    return chunks_df.mapInPandas(
+        dec, f"series_id string, ts timestamp, {value_col} float, is_gap boolean"
+    )

@@ -15,12 +15,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _export_pythonpath() -> str:
+    """Make the package importable in executor Python workers regardless of
+    the driver's cwd (grouped-UDF closures reference this package by name).
+    On a real cluster this is ``spark-submit --py-files rove_spark.zip``;
+    for local/driver-embedded use, PYTHONPATH reaches the forked workers."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+    return pkg_root
+
+
 def get_spark(
     app_name: str = "rove_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _export_pythonpath()
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     if shuffle_partitions is None:
         # heuristic: 2x cores for local mode; a real cluster would size by data
@@ -38,6 +53,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
