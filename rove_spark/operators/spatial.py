@@ -1,0 +1,343 @@
+"""Cross-series (spatial) consistency checks: buddy_check and SCT.
+
+Reference semantics: run once per time slice across all series
+(``/root/reference/src/harness.rs:96-98,137-139``), neighbor queries via a
+per-request R*-tree (``src/data_switch.rs:180``), kernels in olympian
+(titanlib ports — Lussana et al. 2010 SCT; public algorithms). Call-site
+parameter surfaces: buddy ``harness.rs:102-114``, sct ``harness.rs:143-161``
+with scalar→vector broadcast at ``harness.rs:155-159``. Formulas per
+SPEC.md (olympian internals are out of tree; SPEC owns them).
+
+Spark-first execution shape (the scale story):
+- rows = (series, ts, value, lat, lon, elev);
+- group by (ts, spatial bucket): ``applyInPandas`` with vectorized numpy
+  inside each group — the R*-tree is replaced by bounded-size buckets, so
+  neighbor search is a small dense distance matrix, not a global index;
+- cross-bucket neighbors are handled by a **halo join**: each row is also
+  emitted into its 8 neighboring cells marked ``is_halo`` — halo rows
+  contribute to buddy statistics but are never flagged in that group, so
+  every obs is flagged exactly once with full neighbor context. This is
+  the standard distributed spatial-join pattern and removes the boundary
+  artifact a naive per-cell group would have;
+- divergence from the reference: gaps (NULL values) flag DATA_MISSING
+  instead of panicking (``harness.rs:100,141``).
+
+Transcript domain: conversations get deterministic synthetic coordinates
+(``with_synthetic_coords``) — the "neighborhood" abstraction of SURVEY §1.4
+— so buddy-style cross-conversation consistency runs on the same machinery.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rove_spark.model import Flag
+
+EARTH_RADIUS_M = 6_371_000.0
+
+
+# ------------------------------------------------------------- kernels --
+
+
+def _haversine_matrix(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """All-pairs great-circle distance (meters); vectorized numpy."""
+    rlat, rlon = np.radians(lat)[:, None], np.radians(lon)[:, None]
+    dlat = rlat - rlat.T
+    dlon = rlon - rlon.T
+    a = np.sin(dlat / 2) ** 2 + np.cos(rlat) * np.cos(rlat.T) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def buddy_check_kernel(
+    values: np.ndarray,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    elev: np.ndarray,
+    radius: float,
+    num_min: int,
+    threshold: float,
+    max_elev_diff: float = -1.0,
+    elev_gradient: float = 0.0,
+    min_std: float = 1.0,
+    num_iterations: int = 1,
+    check_mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """One time slice. Returns int8 flags per SPEC.md §buddy_check.
+
+    ``check_mask`` False rows (halo rows) contribute to statistics but
+    keep flag PASS (they are flagged in their home bucket).
+    """
+    n = len(values)
+    flags = np.full(n, int(Flag.PASS), dtype=np.int8)
+    present = ~np.isnan(values)
+    flags[~present] = int(Flag.DATA_MISSING)
+    if n == 0:
+        return flags
+    dist = _haversine_matrix(lat, lon)
+    in_radius = (dist <= radius) & ~np.eye(n, dtype=bool)
+    if max_elev_diff >= 0:
+        in_radius &= np.abs(elev[:, None] - elev[None, :]) <= max_elev_diff
+    check = np.ones(n, dtype=bool) if check_mask is None else np.asarray(check_mask, bool)
+
+    excluded = np.zeros(n, dtype=bool)  # FAILed values leave the buddy pool
+    for _ in range(max(1, num_iterations)):
+        usable = present & ~excluded
+        buddy = in_radius & usable[None, :]
+        # elevation-adjusted buddy values per target row
+        if max_elev_diff >= 0 and elev_gradient != 0.0:
+            adj = values[None, :] + elev_gradient * (elev[:, None] - elev[None, :])
+        else:
+            adj = np.broadcast_to(values[None, :], (n, n))
+        vals = np.where(buddy, adj, np.nan)
+        cnt = buddy.sum(axis=1)
+        with np.errstate(invalid="ignore"):
+            mean = np.where(
+                cnt > 0, np.nansum(np.nan_to_num(vals), axis=1) / np.maximum(cnt, 1), np.nan
+            )
+            var = (
+                np.nansum(np.nan_to_num((vals - mean[:, None]) ** 2 * buddy), axis=1)
+                / np.maximum(cnt, 1)
+            )
+        std = np.maximum(np.sqrt(var), min_std)
+        z = np.abs(values - mean) / std
+        newly_failed = present & check & (cnt >= num_min) & (z > threshold) & ~excluded
+        isolated = present & check & (cnt < num_min)
+        flags[isolated] = int(Flag.ISOLATED)
+        flags[newly_failed] = int(Flag.FAIL)
+        if not newly_failed.any():
+            break
+        excluded |= newly_failed
+    return flags
+
+
+def sct_kernel(
+    values: np.ndarray,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    elev: np.ndarray,
+    num_min: int = 5,
+    num_max: int = 100,
+    inner_radius: float = 50_000.0,
+    outer_radius: float = 150_000.0,
+    num_iterations: int = 5,
+    min_horizontal_scale: float = 10_000.0,
+    vertical_scale: float = 200.0,
+    pos: float = 4.0,
+    neg: float = 4.0,
+    eps2: float = 0.5,
+    check_mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """Spatial Consistency Test (leave-one-out optimal interpolation),
+    SPEC.md §sct. Defaults mirror the reference call site
+    (``/root/reference/src/lib.rs:241-256``).
+
+    Per station: neighbors = up to ``num_max`` nearest within
+    ``outer_radius``; < ``num_min`` within ``inner_radius`` → ISOLATED.
+    Gaussian covariance S over (horizontal, vertical) distance; innovation
+    d = v − mean(neighbor values); cross-validation residual from
+    W = S(S+eps2·I)⁻¹: cv_i = (d_i − a_i)/(1 − W_ii); normalized by the
+    neighborhood residual scale; outside (−neg, pos) → FAIL.
+    """
+    n = len(values)
+    flags = np.full(n, int(Flag.PASS), dtype=np.int8)
+    present = ~np.isnan(values)
+    flags[~present] = int(Flag.DATA_MISSING)
+    if n == 0:
+        return flags
+    dist = _haversine_matrix(lat, lon)
+    check = np.ones(n, dtype=bool) if check_mask is None else np.asarray(check_mask, bool)
+    excluded = np.zeros(n, dtype=bool)
+
+    for _ in range(max(1, num_iterations)):
+        newly_failed_any = False
+        for i in range(n):
+            if not (present[i] and check[i]) or excluded[i] or flags[i] == int(Flag.FAIL):
+                continue
+            usable = present & ~excluded
+            usable_i = usable.copy()
+            usable_i[i] = True  # self participates in its own neighborhood
+            within_inner = usable & (dist[i] <= inner_radius)
+            if within_inner.sum() < num_min:  # includes self
+                flags[i] = int(Flag.ISOLATED)
+                continue
+            nbr = np.where(usable_i & (dist[i] <= outer_radius))[0]
+            if len(nbr) > num_max:
+                nbr = nbr[np.argsort(dist[i][nbr])[:num_max]]
+            idx = nbr
+            k = len(idx)
+            d_h = dist[np.ix_(idx, idx)]
+            d_v = elev[idx][:, None] - elev[idx][None, :]
+            S = np.exp(
+                -0.5 * (d_h / min_horizontal_scale) ** 2
+                - 0.5 * (d_v / vertical_scale) ** 2
+            )
+            v = values[idx].astype(np.float64)
+            bg = v.mean()
+            innov = v - bg
+            try:
+                A = np.linalg.solve(S + eps2 * np.eye(k), innov)
+            except np.linalg.LinAlgError:
+                continue
+            W_diag = 1.0 - eps2 * np.diag(np.linalg.inv(S + eps2 * np.eye(k)))
+            analysis = S @ A
+            pos_i = int(np.where(idx == i)[0][0])
+            denom = max(1e-9, 1.0 - W_diag[pos_i])
+            cv = (innov[pos_i] - analysis[pos_i]) / denom
+            sigma2 = max(1e-9, float(innov @ A) / k)
+            z = cv / math.sqrt(sigma2 * (1.0 + eps2))
+            if z > pos or z < -neg:
+                flags[i] = int(Flag.FAIL)
+                excluded[i] = True
+                newly_failed_any = True
+        if not newly_failed_any:
+            break
+    return flags
+
+
+# ---------------------------------------------------------- spark layer --
+
+
+def with_synthetic_coords(
+    df: DataFrame, series_col: str = "conv_id", seed: int = 7, box_deg: float = 3.0
+) -> DataFrame:
+    """Deterministic per-series pseudo-coordinates (≈330×330 km box around
+    60N 10E, elevation 0–500 m) — the transcript-domain neighborhood."""
+    lat = 58.0 + (F.pmod(F.xxhash64(F.lit(seed), F.col(series_col)), 100000) / 100000.0) * box_deg
+    lon = 8.0 + (
+        F.pmod(F.xxhash64(F.lit(seed + 1), F.col(series_col)), 100000) / 100000.0
+    ) * box_deg
+    elev = (F.pmod(F.xxhash64(F.lit(seed + 2), F.col(series_col)), 500)).cast("double")
+    return df.withColumns({"lat": lat, "lon": lon, "elev": elev})
+
+
+def _grouped_spatial(
+    df: DataFrame,
+    kernel,
+    kernel_kwargs: dict,
+    flag_name: str,
+    value_col: str,
+    series_col: str,
+    ts_col: str,
+    cell_deg: float | None,
+    halo_deg: float,
+) -> DataFrame:
+    """Shared driver for spatial checks: optional cell bucketing + halo
+    duplication, grouped pandas UDF, one flag row per (series, ts)."""
+    import pandas as pd
+
+    base = df.select(
+        F.col(series_col).cast("string").alias("series_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col("lat").cast("double"),
+        F.col("lon").cast("double"),
+        F.coalesce(F.col("elev"), F.lit(0.0)).cast("double").alias("elev"),
+    )
+
+    if cell_deg is None:
+        grouped = base.withColumn("cell", F.lit(0)).withColumn("is_halo", F.lit(False))
+        group_keys = ["ts"]
+    else:
+        # home cell + 8 neighbors (halo rows give full context at borders;
+        # halo width must cover the check radius)
+        cell_x = F.floor(F.col("lon") / cell_deg).cast("int")
+        cell_y = F.floor(F.col("lat") / cell_deg).cast("int")
+        offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        off_df = df.sparkSession.createDataFrame(offsets, "dx int, dy int")
+        grouped = (
+            base.withColumn("cx", cell_x)
+            .withColumn("cy", cell_y)
+            .crossJoin(F.broadcast(off_df))
+            .withColumn("cell", F.concat_ws(":", F.col("cx") + F.col("dx"), F.col("cy") + F.col("dy")))
+            .withColumn("is_halo", (F.col("dx") != 0) | (F.col("dy") != 0))
+            .drop("cx", "cy", "dx", "dy")
+        )
+        _ = halo_deg
+        group_keys = ["ts", "cell"]
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("series_id").reset_index(drop=True)
+        flags = kernel(
+            pdf["value"].to_numpy(np.float64),
+            pdf["lat"].to_numpy(np.float64),
+            pdf["lon"].to_numpy(np.float64),
+            pdf["elev"].to_numpy(np.float64),
+            check_mask=~pdf["is_halo"].to_numpy(bool),
+            **kernel_kwargs,
+        )
+        keep = ~pdf["is_halo"].to_numpy(bool)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"][keep],
+                "ts": pdf["ts"][keep],
+                flag_name: flags[keep].astype("int8"),
+            }
+        )
+
+    return grouped.groupBy(*group_keys).applyInPandas(
+        run, f"series_id string, ts timestamp, {flag_name} tinyint"
+    )
+
+
+def buddy_check(
+    df: DataFrame,
+    value_col: str,
+    radius: float,
+    num_min: int,
+    threshold: float,
+    max_elev_diff: float = -1.0,
+    elev_gradient: float = 0.0,
+    min_std: float = 1.0,
+    num_iterations: int = 1,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """Neighborhood-consistency check (titanlib-style; call-site surface at
+    ``harness.rs:102-114``). Returns (series_id, ts, flag_buddy_check)."""
+    return _grouped_spatial(
+        df,
+        buddy_check_kernel,
+        dict(
+            radius=radius,
+            num_min=num_min,
+            threshold=threshold,
+            max_elev_diff=max_elev_diff,
+            elev_gradient=elev_gradient,
+            min_std=min_std,
+            num_iterations=num_iterations,
+        ),
+        "flag_buddy_check",
+        value_col,
+        series_col,
+        ts_col,
+        cell_deg,
+        halo_deg=radius / 111_000.0,
+    )
+
+
+def sct(
+    df: DataFrame,
+    value_col: str,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    cell_deg: float | None = None,
+    **params,
+) -> DataFrame:
+    """Spatial Consistency Test (call-site surface ``harness.rs:143-161``,
+    defaults ``lib.rs:241-256``). Returns (series_id, ts, flag_sct)."""
+    return _grouped_spatial(
+        df,
+        sct_kernel,
+        params,
+        "flag_sct",
+        value_col,
+        series_col,
+        ts_col,
+        cell_deg,
+        halo_deg=params.get("outer_radius", 150_000.0) / 111_000.0,
+    )

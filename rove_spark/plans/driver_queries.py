@@ -371,6 +371,88 @@ FROM documents
 """
 
 
+# ---------------------------------------------- non-SQL-expressible ops --
+# (no oracle entry → driver records a rows-only check; correctness is
+# pinned by golden kernel fixtures in tests/test_spatial.py /
+# tests/test_gorilla.py instead)
+
+
+def q_buddy_check(spark, sf):
+    """Cross-series buddy check per hourly slice, synthetic coords per
+    user (the transcript-domain neighborhood, SURVEY §1.4)."""
+    from rove_spark.operators.spatial import buddy_check, with_synthetic_coords
+
+    ev = _events(spark, sf)
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.avg("value").alias("hv")
+    )
+    located = with_synthetic_coords(hourly, series_col="user_id")
+    out = buddy_check(
+        located, "hv", radius=200_000.0, num_min=2, threshold=2.0,
+        series_col="user_id",
+    )
+    return out.select(
+        F.col("series_id").alias("user_id"),
+        "ts",
+        F.col("flag_buddy_check").cast("int").alias("flag_buddy"),
+    )
+
+
+def q_sct(spark, sf):
+    from rove_spark.operators.spatial import sct, with_synthetic_coords
+
+    ev = _events(spark, sf)
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("ts")).agg(
+        F.avg("value").alias("dv")
+    )
+    located = with_synthetic_coords(daily, series_col="user_id")
+    out = sct(located, "dv", series_col="user_id", num_min=3, pos=3.0, neg=3.0)
+    return out.select(
+        F.col("series_id").alias("user_id"),
+        "ts",
+        F.col("flag_sct").cast("int").alias("flag_sct"),
+    )
+
+
+def q_gorilla_roundtrip(spark, sf):
+    """Gorilla encode→decode over per-user hourly series; returns per-user
+    point accounting (exact round-trip is asserted by the codec tests;
+    here the driver sees the full compress/decompress plan execute)."""
+    from rove_spark.operators.gorilla import compress_series, decompress_series
+    from rove_spark.operators.gridfill import grid_fill
+
+    ev = _events(spark, sf)
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.avg("value").alias("hv")
+    )
+    g = grid_fill(hourly, PT1H, series_col="user_id", keep_cols=["hv"])
+    chunks = compress_series(g, "hv", series_col="user_id", chunk="day")
+    back = decompress_series(chunks, value_col="hv")
+    return back.groupBy(F.col("series_id").cast("bigint").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum((~F.col("is_gap")).cast("long")).alias("n_present"),
+    )
+
+
+# oracle: the decompressed chunk table must reproduce exactly the hourly
+# grid spine DuckDB computes from raw events — an end-to-end cross-check
+# of gridfill→encode→decode through independent engines.
+SQL_GORILLA = """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS hts FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(hts) AS mn, max(hts) AS mx FROM h GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hts FROM b
+)
+SELECT s.user_id,
+       CAST(count(*) AS BIGINT) AS n_slots,
+       CAST(sum(CASE WHEN h.hts IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_present
+FROM spine s LEFT JOIN h ON s.user_id = h.user_id AND s.hts = h.hts
+GROUP BY s.user_id
+"""
+
+
 # ------------------------------------------------------------- registry --
 
 
@@ -390,6 +472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d": q_rollup_1d,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "buddy_check": q_buddy_check,
+        "sct": q_sct,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
     }
 
 
@@ -409,4 +494,5 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d": _sql_rollup("day"),
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
+        "gorilla_roundtrip": SQL_GORILLA,
     }

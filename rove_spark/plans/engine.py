@@ -1,0 +1,272 @@
+"""Engine orchestration: pipeline config → lazy DataFrame composition →
+checkpointed tier writes.
+
+Replaces the reference's scheduler/harness pair (``/root/reference/src/
+scheduler.rs:44-74`` sequential step executor + ``src/harness.rs:26``
+dispatch): steps compose **lazily** onto one DataFrame — Catalyst sees the
+whole pipeline as a single plan, shares the one shuffle that all
+window-checks need, and every step reads the same immutable input (flags
+never feed back between checks, matching ``scheduler.rs:52-55``).
+
+``run_pipeline`` is the ``validate_direct`` analog (``scheduler.rs:
+103-141``): look up the pipeline, compose the stages, return flags.
+``run_job`` adds what rove never had: checkpointed, resumable tier
+materialization (see checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from pathlib import Path
+from time import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rove_spark.config import Pipeline, PipelineStep, load_pipelines
+from rove_spark.model import Flag, flag_col
+from rove_spark.operators import checks as C
+from rove_spark.operators import spatial as SP
+from rove_spark.operators.rollup import build_tiers
+from rove_spark.plans.checkpoint import CheckpointManifest, params_hash
+from rove_spark.sources.tables import PartitionedTable
+
+
+class Engine:
+    """Composes configured pipelines over series DataFrames.
+
+    ``aux_sources`` maps names referenced by range_check_dynamic /
+    model_consistency_check configs (``pipeline.rs:76-79,124-129``) to
+    DataFrames (bounds: join keys + lo/hi; model: join keys + model_value).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pipelines: dict[str, Pipeline] | None = None,
+        pipeline_dir: str | Path | None = None,
+        aux_sources: dict[str, DataFrame] | None = None,
+    ):
+        self.spark = spark
+        self.pipelines = dict(pipelines or {})
+        if pipeline_dir:
+            self.pipelines.update(load_pipelines(pipeline_dir))
+        self.aux = dict(aux_sources or {})
+
+    # -- step dispatch (harness.rs:26 analog) ----------------------------
+    def _apply_step(
+        self,
+        df: DataFrame,
+        step: PipelineStep,
+        value_col: str,
+        series_col: str,
+        order_cols: Sequence[str],
+    ) -> DataFrame:
+        p = step.params
+        out = flag_col(step.name)
+        common = dict(series_col=series_col, order_cols=order_cols, out_col=out)
+        if step.check == "step_check":
+            return C.step_check(
+                df, value_col, max_=p["max"], high=p.get("high", C.DEFAULT_HIGH), **common
+            )
+        if step.check == "spike_check":
+            return C.spike_check(
+                df, value_col, max_=p["max"], high=p.get("high", C.DEFAULT_HIGH), **common
+            )
+        if step.check == "flatline_check":
+            return C.flatline_check(df, value_col, max_=int(p["max"]), **common)
+        if step.check == "range_check":
+            return C.range_check(df, value_col, min_=p["min"], max_=p["max"], out_col=out)
+        if step.check == "special_value_check":
+            return C.special_value_check(
+                df, value_col, special_values=p["special_values"], out_col=out
+            )
+        if step.check == "range_check_dynamic":
+            bounds = self.aux[p["source"]]
+            on = p.get("on", ["month"])
+            return C.range_check_dynamic(df, value_col, bounds, on=on, out_col=out)
+        if step.check == "model_consistency_check":
+            model = self.aux[p["model_source"]]
+            on = p.get("on", [series_col, order_cols[0]])
+            return C.model_consistency_check(
+                df, value_col, model, on=on, threshold=p["threshold"], out_col=out
+            )
+        if step.check == "buddy_check":
+            # reference config uses vector params with scalar broadcast
+            # (harness.rs:155-159); we accept scalars directly
+            flags = SP.buddy_check(
+                df,
+                value_col,
+                radius=_scalar(p.get("radii", p.get("radius"))),
+                num_min=int(_scalar(p.get("nums_min", p.get("num_min")))),
+                threshold=p["threshold"],
+                max_elev_diff=p.get("max_elev_diff", -1.0),
+                elev_gradient=p.get("elev_gradient", 0.0),
+                min_std=p.get("min_std", 1.0),
+                num_iterations=int(p.get("num_iterations", 1)),
+                series_col=series_col,
+                ts_col=order_cols[0],
+                cell_deg=p.get("cell_deg"),
+            ).withColumnRenamed("flag_buddy_check", out)
+            return _join_spatial_flags(df, flags, series_col, order_cols[0])
+        if step.check == "sct":
+            flags = SP.sct(
+                df,
+                value_col,
+                series_col=series_col,
+                ts_col=order_cols[0],
+                cell_deg=p.get("cell_deg"),
+                **{
+                    k: v
+                    for k, v in p.items()
+                    if k
+                    in (
+                        "num_min",
+                        "num_max",
+                        "inner_radius",
+                        "outer_radius",
+                        "num_iterations",
+                        "min_horizontal_scale",
+                        "vertical_scale",
+                        "pos",
+                        "neg",
+                        "eps2",
+                    )
+                },
+            ).withColumnRenamed("flag_sct", out)
+            return _join_spatial_flags(df, flags, series_col, order_cols[0])
+        if step.name.startswith("test"):
+            return C.dummy_check(df, out_col=out)
+        raise ValueError(f"InvalidTestName: {step.name} ({step.check})")
+
+    # -- validate_direct analog ------------------------------------------
+    def run_pipeline(
+        self,
+        df: DataFrame,
+        pipeline_name: str,
+        value_col: str,
+        series_col: str = "conv_id",
+        order_cols: Sequence[str] = ("ts",),
+    ) -> DataFrame:
+        if pipeline_name not in self.pipelines:
+            raise KeyError(f"TestNotInPipelines: {pipeline_name}")
+        out = df
+        for step in self.pipelines[pipeline_name].steps:
+            out = self._apply_step(out, step, value_col, series_col, order_cols)
+        return out
+
+    def flag_columns(self, pipeline_name: str) -> list[str]:
+        return [flag_col(s.name) for s in self.pipelines[pipeline_name].steps]
+
+    # -- checkpointed tier materialization -------------------------------
+    def run_job(
+        self,
+        df: DataFrame,
+        pipeline_name: str,
+        out_dir: str | Path,
+        value_col: str = "text_len",
+        series_col: str = "conv_id",
+        ts_col: str = "ts",
+        input_fingerprint: str | None = None,
+    ) -> dict:
+        """Flag + roll up + write all tiers, checkpointed by UTC day.
+
+        One Spark job per tier covers *only* the not-yet-done partitions
+        (input filtered by day), written with dynamic partition overwrite
+        (idempotent), then the manifest marks them done with lineage and
+        per-partition metrics. Safe to kill and re-run."""
+        out_dir = Path(out_dir)
+        pipe = self.pipelines[pipeline_name]
+        lineage_params = {
+            "pipeline": pipeline_name,
+            "steps": [(s.name, s.check, s.params) for s in pipe.steps],
+            "value_col": value_col,
+        }
+        phash = params_hash(lineage_params)
+        fingerprint = input_fingerprint or "unfingerprinted"
+        fp = f"{fingerprint}:{phash}"
+
+        manifest = CheckpointManifest(out_dir / "_checkpoint.json")
+        day = F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
+        all_days = {r.d for r in df.select(day.alias("d")).distinct().collect()}
+        done = manifest.done_partitions(fp)
+        todo = sorted(all_days - done)
+        result = {"all": sorted(all_days), "skipped": sorted(done & all_days), "computed": todo}
+        if not todo:
+            return result
+
+        work = df.withColumn("day", day).filter(F.col("day").isin(todo))
+        flagged = self.run_pipeline(work, pipeline_name, value_col, series_col, (ts_col,))
+        check_names = [s.name for s in pipe.steps]
+        t0 = time()
+        tiers = build_tiers(
+            flagged, series_col=series_col, ts_col=ts_col, checks=check_names
+        )
+        metrics: dict[str, dict] = {d: {} for d in todo}
+        for tier_name, tier_df in tiers.items():
+            table = PartitionedTable(out_dir / f"tier_{tier_name}", ["day"])
+            tier_out = tier_df.withColumn(
+                "day", F.date_format(F.date_trunc("day", "bucket_ts"), "yyyy-MM-dd")
+            )
+            table.overwrite_partitions(
+                tier_out, lineage={"fingerprint": fp, "tier": tier_name}
+            )
+            # per-partition metrics from the written tier (cheap scan)
+            stats = (
+                table.read(self.spark)
+                .groupBy("day")
+                .agg(F.sum("n_turns").alias("rows"))
+                .collect()
+            )
+            for r in stats:
+                if str(r.day) in metrics:
+                    metrics[str(r.day)][f"rows_{tier_name}"] = r.rows
+        elapsed = time() - t0
+        for d in todo:
+            metrics[d]["elapsed_job_sec"] = round(elapsed, 3)
+        manifest.mark_done(todo, fp, lineage=lineage_params, metrics=metrics)
+        return result
+
+
+def _scalar(v):
+    if isinstance(v, (list, tuple)):
+        return v[0]
+    return v
+
+
+def _join_spatial_flags(df: DataFrame, flags: DataFrame, series_col: str, ts_col: str) -> DataFrame:
+    """Attach a spatial check's (series_id, ts, flag) output back onto the
+    wide frame — equi-join on the shared keys (sort-merge/shuffle-hash by
+    Catalyst; both sides already hash on the same keys)."""
+    f = flags.withColumnRenamed("series_id", "_sp_id").withColumnRenamed("ts", "_sp_ts")
+    joined = df.join(
+        f,
+        on=(df[series_col].cast("string") == f["_sp_id"]) & (df[ts_col] == f["_sp_ts"]),
+        how="left",
+    )
+    return joined.drop("_sp_id", "_sp_ts")
+
+
+def melt_flags(
+    df: DataFrame, check_names: Sequence[str], series_col: str = "conv_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Wide flag columns → the reference's long result format
+    (``TestResult{time, identifier, flag}``, ``proto/rove.proto:65-71``),
+    one row per (series, ts, test)."""
+    pairs = []
+    for c in check_names:
+        pairs.extend([F.lit(c), F.col(flag_col(c)).cast("int")])
+    stacked = df.select(
+        F.col(series_col).alias("identifier"),
+        F.col(ts_col).alias("time"),
+        F.stack(F.lit(len(check_names)), *pairs).alias("test", "flag"),
+    )
+    return stacked
+
+
+def flag_name_column(flag_int_col: str = "flag"):
+    """int flag → symbolic name (API edge)."""
+    mapping = F.create_map(
+        *[x for f in Flag for x in (F.lit(int(f)), F.lit(f.name))]
+    )
+    return mapping[F.col(flag_int_col)]

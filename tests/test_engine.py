@@ -1,0 +1,187 @@
+"""Engine orchestration: TOML pipeline → composed stages; long-format melt;
+checkpointed tier job with resume + invalidation semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rove_spark.config import parse_pipeline
+from rove_spark.model import Flag
+from rove_spark.operators.signals import derive_signals
+from rove_spark.plans.engine import Engine, flag_name_column, melt_flags
+from rove_spark.sources.synthetic import synthetic_transcripts
+
+PIPE = """
+[[step]]
+name = "special_values_check"
+[step.special_value_check]
+special_values = [-999.0]
+
+[[step]]
+name = "range_check"
+[step.range_check]
+min = 0.0
+max = 5000.0
+
+[[step]]
+name = "step_check"
+[step.step_check]
+max = 500.0
+
+[[step]]
+name = "spike_check"
+[step.spike_check]
+max = 400.0
+
+[[step]]
+name = "flatline_check"
+[step.flatline_check]
+max = 10
+"""
+
+
+def _engine(spark, toml=PIPE, **kw):
+    return Engine(spark, pipelines={"ta": parse_pipeline("ta", toml)}, **kw)
+
+
+def _signals(spark, **kw):
+    df = synthetic_transcripts(spark, n_conv=20, avg_turns=40, **kw)
+    return derive_signals(df)
+
+
+def test_run_pipeline_appends_flag_columns(spark):
+    eng = _engine(spark)
+    out = eng.run_pipeline(_signals(spark), "ta", value_col="text_len")
+    for c in eng.flag_columns("ta"):
+        assert c in out.columns, c
+    # anomalies in the synthetic data must trip step/spike
+    fails = out.filter(F.col("flag_step_check") == int(Flag.FAIL)).count()
+    assert fails > 0
+
+
+def test_unknown_pipeline_raises(spark):
+    import pytest
+
+    with pytest.raises(KeyError, match="TestNotInPipelines"):
+        _engine(spark).run_pipeline(_signals(spark), "nope", value_col="text_len")
+
+
+def test_aux_source_steps(spark):
+    toml = """
+[[step]]
+name = "climate_range_check"
+[step.range_check_dynamic]
+source = "clim"
+on = ["role"]
+
+[[step]]
+name = "model_check"
+[step.model_consistency_check]
+model_source = "hirlam"
+threshold = 1000.0
+on = ["conv_id", "ts"]
+"""
+    df = _signals(spark)
+    clim = spark.createDataFrame(
+        [("user", 0.0, 1200.0), ("assistant", 0.0, 1200.0), ("tool", 0.0, 1200.0)],
+        "role string, lo double, hi double",
+    )
+    model = df.select("conv_id", "ts", (F.col("text_len") + 1.0).alias("model_value"))
+    eng = _engine(spark, toml=toml, aux_sources={"clim": clim, "hirlam": model})
+    out = eng.run_pipeline(df, "ta", value_col="text_len")
+    rows = out.select("flag_climate_range_check", "flag_model_check").collect()
+    assert all(r.flag_model_check == Flag.PASS for r in rows)  # |v−(v+1)| ≤ 1000
+    assert any(r.flag_climate_range_check == Flag.FAIL for r in rows)  # anomalies > 1200
+
+
+def test_buddy_step_through_engine(spark):
+    from rove_spark.operators.spatial import with_synthetic_coords
+
+    toml = """
+[[step]]
+name = "buddy_check"
+[step.buddy_check]
+radii = [500000.0]
+nums_min = [2]
+threshold = 30.0
+"""
+    df = with_synthetic_coords(_signals(spark))
+    # one shared time slice so every conversation is a buddy candidate
+    df = df.withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    df = df.groupBy("conv_id", "ts", "lat", "lon", "elev").agg(
+        F.avg("text_len").alias("text_len")
+    )
+    eng = _engine(spark, toml=toml)
+    out = eng.run_pipeline(df, "ta", value_col="text_len")
+    flags = {r[0] for r in out.select("flag_buddy_check").collect()}
+    assert flags <= {Flag.PASS, Flag.FAIL, Flag.ISOLATED}
+
+
+def test_melt_flags_long_format(spark):
+    eng = _engine(spark)
+    out = eng.run_pipeline(_signals(spark), "ta", value_col="text_len")
+    names = [s.name for s in eng.pipelines["ta"].steps]
+    long = melt_flags(out, names)
+    assert long.columns == ["identifier", "time", "test", "flag"]
+    n_wide = out.count()
+    assert long.count() == n_wide * len(names)
+    named = long.withColumn("flag_name", flag_name_column())
+    assert {r.flag_name for r in named.select("flag_name").distinct().collect()} <= set(
+        Flag.names()
+    )
+
+
+def test_run_job_checkpoint_resume(tmp_path, spark):
+    eng = _engine(spark)
+    df = _signals(spark)
+    days = sorted(
+        r.d for r in df.select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")).distinct().collect()
+    )
+    assert len(days) >= 3
+
+    # partial run: pretend the job died after the first two days
+    part = df.filter(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").isin(days[:2]))
+    r1 = eng.run_job(part, "ta", tmp_path / "out", input_fingerprint="fp1")
+    assert r1["computed"] == days[:2]
+
+    # resume with the full input: only the remaining days are computed
+    r2 = eng.run_job(df, "ta", tmp_path / "out", input_fingerprint="fp1")
+    assert r2["skipped"] == days[:2]
+    assert r2["computed"] == days[2:]
+
+    # third run: everything is done
+    r3 = eng.run_job(df, "ta", tmp_path / "out", input_fingerprint="fp1")
+    assert r3["computed"] == []
+    assert r3["skipped"] == days
+
+    # resumed output ≡ from-scratch output
+    r_fresh = eng.run_job(df, "ta", tmp_path / "fresh", input_fingerprint="fp1")
+    assert r_fresh["computed"] == days
+    for tier in ("1m", "1h", "1d"):
+        a = spark.read.parquet(str(tmp_path / "out" / f"tier_{tier}"))
+        b = spark.read.parquet(str(tmp_path / "fresh" / f"tier_{tier}"))
+        cols = sorted(a.columns)
+        ca = sorted(tuple(str(x) for x in r) for r in a.select(*cols).collect())
+        cb = sorted(tuple(str(x) for x in r) for r in b.select(*cols).collect())
+        assert ca == cb, tier
+
+    # manifest carries lineage + metrics
+    from rove_spark.plans.checkpoint import CheckpointManifest
+
+    recs = CheckpointManifest(tmp_path / "out" / "_checkpoint.json").records()
+    assert set(recs) == set(days)
+    any_rec = recs[days[0]]
+    assert any_rec["lineage"]["pipeline"] == "ta"
+    assert any_rec["metrics"]["rows_1m"] > 0
+
+
+def test_run_job_param_change_invalidates(tmp_path, spark):
+    df = _signals(spark)
+    eng1 = _engine(spark)
+    r1 = eng1.run_job(df, "ta", tmp_path / "out", input_fingerprint="fp1")
+    assert r1["computed"] != []
+    # different threshold → different params hash → full recompute
+    eng2 = _engine(spark, toml=PIPE.replace("max = 500.0", "max = 400.0"))
+    r2 = eng2.run_job(df, "ta", tmp_path / "out", input_fingerprint="fp1")
+    assert r2["computed"] == r1["computed"]
+    assert r2["skipped"] == []

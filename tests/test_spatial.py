@@ -1,0 +1,183 @@
+"""Spatial checks: kernel goldens (hand-built constellations), the
+reference's constant-data invariant, and the Spark halo-bucketing
+equivalence (bucketed flags == global flags)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from rove_spark.model import Flag
+from rove_spark.operators import spatial
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _cluster(n, lat0=60.0, lon0=10.0, spread=0.01):
+    """n stations within ~1 km of each other."""
+    lat = lat0 + spread * np.arange(n) / n
+    lon = lon0 + spread * ((np.arange(n) * 7) % n) / n
+    return lat, lon, np.zeros(n)
+
+
+# ------------------------------------------------------------- kernels --
+
+
+def test_buddy_outlier_flagged():
+    lat, lon, elev = _cluster(5)
+    values = np.array([10.0, 10.5, 9.5, 10.0, 50.0])
+    flags = spatial.buddy_check_kernel(
+        values, lat, lon, elev, radius=5000, num_min=2, threshold=3.0, min_std=1.0
+    )
+    assert list(flags) == [Flag.PASS] * 4 + [Flag.FAIL]
+
+
+def test_buddy_isolated():
+    lat = np.array([60.0, 60.001, 65.0])  # third ~550 km away
+    lon = np.array([10.0, 10.001, 10.0])
+    values = np.array([10.0, 10.0, 10.0])
+    flags = spatial.buddy_check_kernel(
+        values, lat, lon, np.zeros(3), radius=5000, num_min=1, threshold=3.0
+    )
+    assert list(flags) == [Flag.PASS, Flag.PASS, Flag.ISOLATED]
+
+
+def test_buddy_gap_is_data_missing():
+    lat, lon, elev = _cluster(4)
+    values = np.array([10.0, np.nan, 10.0, 10.0])
+    flags = spatial.buddy_check_kernel(
+        values, lat, lon, elev, radius=5000, num_min=1, threshold=3.0
+    )
+    assert flags[1] == Flag.DATA_MISSING
+    assert all(f == Flag.PASS for i, f in enumerate(flags) if i != 1)
+
+
+def test_buddy_iterations_unmask_second_outlier():
+    """With the huge outlier in the pool, the buddy std is inflated and a
+    moderate outlier hides; iteration 2 (outlier excluded) catches it."""
+    lat, lon, elev = _cluster(8)
+    values = np.array([10.0, 10.0, 10.0, 10.0, 10.0, 10.0, 25.0, 1000.0])
+    one = spatial.buddy_check_kernel(
+        values, lat, lon, elev, radius=5000, num_min=2, threshold=3.0, num_iterations=1
+    )
+    two = spatial.buddy_check_kernel(
+        values, lat, lon, elev, radius=5000, num_min=2, threshold=3.0, num_iterations=3
+    )
+    assert one[7] == Flag.FAIL and one[6] == Flag.PASS
+    assert two[7] == Flag.FAIL and two[6] == Flag.FAIL
+
+
+def test_buddy_elevation_gate():
+    lat, lon, _ = _cluster(4)
+    elev = np.array([0.0, 10.0, 20.0, 900.0])  # last one on a mountain
+    values = np.array([10.0, 10.0, 10.0, 10.0])
+    flags = spatial.buddy_check_kernel(
+        values, lat, lon, elev, radius=5000, num_min=1, threshold=3.0, max_elev_diff=100.0
+    )
+    # the mountain station has no buddies within elevation tolerance
+    assert flags[3] == Flag.ISOLATED
+
+
+def test_buddy_constant_all_pass():
+    """Reference integration invariant (constant data ⇒ uniform Pass),
+    ``tests/integration_test.rs:105-114``."""
+    lat, lon, elev = _cluster(50)
+    values = np.full(50, 7.5)
+    flags = spatial.buddy_check_kernel(
+        values, lat, lon, elev, radius=10000, num_min=2, threshold=2.0
+    )
+    assert set(flags) == {Flag.PASS}
+
+
+def test_sct_constant_all_pass_or_isolated():
+    lat, lon, elev = _cluster(30)
+    values = np.full(30, 5.0)
+    flags = spatial.sct_kernel(values, lat, lon, elev, num_min=5)
+    assert set(flags) <= {Flag.PASS, Flag.ISOLATED}
+    assert (flags == Flag.PASS).sum() > 0
+
+
+def test_sct_outlier_flagged():
+    rng = np.random.default_rng(1)
+    n = 40
+    lat = 60.0 + rng.uniform(0, 0.3, n)
+    lon = 10.0 + rng.uniform(0, 0.3, n)
+    values = 10.0 + rng.normal(0, 0.5, n)
+    values[13] = 60.0
+    flags = spatial.sct_kernel(
+        values, lat, lon, np.zeros(n), num_min=3, pos=3.0, neg=3.0
+    )
+    assert flags[13] == Flag.FAIL
+    assert (flags == Flag.FAIL).sum() <= 3  # no mass false positives
+
+
+def test_sct_isolated():
+    lat = np.array([60.0, 60.001, 60.002, 68.0])
+    lon = np.array([10.0, 10.001, 10.002, 10.0])
+    values = np.array([1.0, 1.0, 1.0, 1.0])
+    flags = spatial.sct_kernel(values, lat, lon, np.zeros(4), num_min=3)
+    assert flags[3] == Flag.ISOLATED
+
+
+# --------------------------------------------------------------- spark --
+
+
+def _slice_df(spark, n=60, outlier_idx=(7,)):
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(n):
+        v = 20.0 + float(rng.normal(0, 0.5))
+        if i in outlier_idx:
+            v = 90.0
+        rows.append(
+            (f"s{i:03d}", T0, v, 60.0 + float(rng.uniform(0, 0.5)), 10.0 + float(rng.uniform(0, 0.5)), 0.0)
+        )
+    return spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, value double, lat double, lon double, elev double"
+    )
+
+
+def test_spark_buddy_check(spark):
+    df = _slice_df(spark)
+    out = spatial.buddy_check(df, "value", radius=60000, num_min=3, threshold=3.0)
+    flags = {r.series_id: r.flag_buddy_check for r in out.collect()}
+    assert flags["s007"] == Flag.FAIL
+    assert sum(1 for v in flags.values() if v == Flag.FAIL) == 1
+
+
+def test_spark_bucketed_equals_global(spark):
+    """Halo correctness: cell-bucketed execution must produce the same
+    flags as one global group (radius ≪ halo width)."""
+    df = _slice_df(spark, n=80, outlier_idx=(7, 33))
+    glob = {
+        r.series_id: r.flag_buddy_check
+        for r in spatial.buddy_check(
+            df, "value", radius=30000, num_min=3, threshold=3.0
+        ).collect()
+    }
+    cellular = {
+        r.series_id: r.flag_buddy_check
+        for r in spatial.buddy_check(
+            df, "value", radius=30000, num_min=3, threshold=3.0, cell_deg=0.4
+        ).collect()
+    }
+    assert glob == cellular
+
+
+def test_spark_sct(spark):
+    df = _slice_df(spark, n=50, outlier_idx=(11,))
+    out = spatial.sct(df, "value", num_min=3, pos=3.0, neg=3.0)
+    flags = {r.series_id: r.flag_sct for r in out.collect()}
+    assert flags["s011"] == Flag.FAIL
+
+
+def test_synthetic_coords_deterministic(spark):
+    from rove_spark.sources.synthetic import synthetic_transcripts
+
+    df = synthetic_transcripts(spark, n_conv=10, avg_turns=5)
+    a = spatial.with_synthetic_coords(df).select("conv_id", "lat", "lon", "elev").distinct()
+    rows = a.collect()
+    assert len(rows) == 10
+    assert all(58.0 <= r.lat <= 61.0 and 8.0 <= r.lon <= 11.0 for r in rows)
