@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine extras for training-data pipelines:
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
+  set against the vector table; dot products are JVM-side
+  ``zip_with``/``aggregate`` expressions; per-query rank via window.
+  The correctness baseline, and the right plan whenever |queries| is small
+  (the table side streams once, no shuffle of vectors).
+- ``ivf_topk``: IVF-style scale path — deterministic coarse centroids,
+  vectors assigned to their nearest centroid once (inverted lists), a
+  query probes only the ``n_probe`` closest lists. Turns the scan side
+  from |table| into |table|·n_probe/n_centroids.
+
+Recall note: IVF is approximate — tests measure recall vs brute force and
+assert ≥0.9 at n_probe=4/16 lists on clustered data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k for each query. Queries are broadcast — the big
+    vector table never shuffles; ranking shuffles only (query, id, score)
+    triples."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(query_vec_col).alias("_qv"),
+            _norm(F.col(query_vec_col)).alias("_qn"),
+        )
+    )
+    v = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vv"),
+        _norm(F.col(vec_col)).alias("_vn"),
+    )
+    scored = v.crossJoin(q).select(
+        F.col("_qid").alias(query_id_col),
+        F.col("_vid").alias(id_col),
+        (_dot(F.col("_vv"), F.col("_qv")) / (F.col("_vn") * F.col("_qn"))).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def build_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids: one averaging round (k-means step)
+    seeded by hash-bucketing vectors into n_centroids groups. No RNG, no
+    iteration-to-convergence — stability across runs beats the last bit of
+    quantizer quality for a reproducible pipeline."""
+    assigned = vectors.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)).alias("centroid_id"),
+        F.col(vec_col).alias("_v"),
+    )
+    # element-wise mean via posexplode + groupBy (scales to any dim)
+    exploded = assigned.select("centroid_id", F.posexplode("_v").alias("pos", "x"))
+    means = (
+        exploded.groupBy("centroid_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "centroid_id",
+            F.transform("pm", lambda s: s.getField("m").cast("float")).alias("centroid"),
+        )
+    )
+    return means
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted lists: each vector joins its max-cosine centroid.
+    Centroids are tiny → broadcast; one narrow pass over the table."""
+    c = F.broadcast(centroids)
+    scored = vectors.crossJoin(c).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r", "_sim")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF search: probe the n_probe nearest inverted lists per query,
+    exact cosine within the probed lists. Pass precomputed
+    ``centroids``/``assigned`` to amortize index build across query
+    batches (the realistic usage at scale)."""
+    if centroids is None:
+        centroids = build_ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = assign_to_centroids(vectors, centroids, id_col, vec_col)
+
+    q = queries.select(F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv"))
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "_qid", "_qv", "centroid_id", cosine(F.col("_qv"), F.col("centroid")).alias("_sim")
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    probes = qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= n_probe)
+
+    cand = probes.select("_qid", "_qv", "centroid_id").join(
+        assigned, on="centroid_id"
+    )
+    scored = cand.select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,345 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Engine extras (no rove counterpart; first-class per the build brief):
+exact dedup, MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard
+verification, and embedding-cosine near-dup. All candidate generation is
+JVM-side (hashes, array ops, band explode + self-join); Python appears
+only in the numpy-vectorized SimHash pandas UDF.
+
+Scale shape (the thing that matters at 100 TB):
+- shingling/minhash signatures are narrow per-row column expressions —
+  no shuffle;
+- LSH banding explodes each doc into `bands` rows and self-joins per
+  (band_idx, band_hash) bucket — the classic sub-quadratic near-dup join;
+  bucket sizes are bounded w.h.p., and the pair set is verified exactly
+  before anything is dropped;
+- exact dedup is one hash-groupBy (map-side partial combine for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact --
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one canonical row (min id) per identical text; adds
+    ``n_copies``. One shuffle on the text hash, never on the text itself."""
+    h = F.sha2(F.col(text_col), 256).alias("_h")
+    counts = df.select(h, F.col(id_col)).groupBy("_h").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+    return df.join(counts.select(id_col, "n_copies"), on=id_col, how="inner")
+
+
+# ---------------------------------------------------------- minhash/LSH --
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-gram shingle hashes (int64) per doc — the set the
+    Jaccard similarity is defined over. Pure column expressions."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    # sequence(1, 0) would *descend* — short/empty docs get no shingles
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))))
+    return df.withColumn(out_col, F.array_distinct(grams))
+
+
+def with_minhash(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    num_hashes: int = 64,
+    out_col: str = "minhash",
+    seed: int = 13,
+) -> DataFrame:
+    """MinHash signature: for each of k independent hash functions,
+    min over the shingle set of xxhash64(seed_i, shingle). Empty shingle
+    sets get a sentinel signature (never matches a non-empty one)."""
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(F.col(shingle_col), lambda x, i=i: F.xxhash64(F.lit(seed + i), x))
+                ),
+                F.lit(-(1 << 62) - seed - i),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    minhash_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature and self-join per bucket → candidate id pairs
+    (id_a < id_b, distinct). With k = bands·rows_per_band hashes, the match
+    probability is the usual S-curve 1 − (1 − s^r)^b."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col(minhash_col), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs_with_shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keeps pairs ≥ threshold.
+    Joins shingle arrays onto both sides of the (small) pair set."""
+    s = docs_with_shingles.select(F.col(id_col), F.col(shingle_col))
+    out = (
+        pairs.join(s.withColumnRenamed(id_col, "id_a").withColumnRenamed(shingle_col, "_sa"), "id_a")
+        .join(s.withColumnRenamed(id_col, "id_b").withColumnRenamed(shingle_col, "_sb"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn("_union", F.size(F.array_union("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union")).otherwise(F.lit(1.0)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → LSH bands →
+    exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sh = with_shingles(df, text_col, n=shingle_n)
+    mh = with_minhash(sh, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(mh, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
+    return jaccard_verify(cands, sh, id_col=id_col, threshold=threshold)
+
+
+def dedup_components(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Duplicate clusters via iterative label propagation (min-id
+    convergence — a bounded loop of joins, no driver-side graph). Returns
+    (id, cluster_id); singletons map to themselves.
+
+    Iterations are O(log(diameter)); near-dup clusters are tiny in
+    practice, so 5 rounds is plenty (asserted converged in tests)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = all_ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
+    for _ in range(5):
+        prop = (
+            edges.join(labels, on="src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(prop, on="src", how="left")
+            .select(
+                "src",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+    return labels.withColumnRenamed("src", id_col)
+
+
+# --------------------------------------------------------------- simhash --
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash per doc (numpy-vectorized Arrow UDF: token hashes →
+    per-bit ±1 sums → sign bits). The one Python stage in this module —
+    64 bit-planes as SQL aggregates would bloat codegen for no gain."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    import hashlib
+
+    def _stable_hash(w: str) -> int:
+        # process-independent 64-bit token hash (builtin hash() is salted)
+        return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+
+    @pandas_udf("long")
+    def simhash(texts):
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            hs = np.fromiter(
+                (np.uint64(_stable_hash(w)) for w in set(toks)),
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int32
+            )
+            v = (2 * bits - 1).sum(axis=0)
+            out[i] = np.uint64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return pd.Series(out.view(np.int64))
+
+    return df.withColumn(out_col, simhash(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming: block the 64-bit
+    hash into ``blocks`` chunks (pigeonhole: any pair within distance
+    max_hamming < blocks shares ≥1 exact chunk), bucket-join on chunks,
+    verify with bit_count(xor)."""
+    width = 64 // blocks
+    blocked = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(simhash_col).alias("_sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("blk"),
+                        F.shiftrightunsigned(F.col(simhash_col), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bh"),
+                    )
+                    for bi in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sh", F.col("bb.blk").alias("blk"), F.col("bb.bh").alias("bh"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ------------------------------------------------------ embedding cosine --
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 29,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH: sign-bit sketch from
+    ``num_planes`` broadcast hyperplanes (JVM-side dot products), bucket
+    on the sketch, verify exact cosine within buckets.
+
+    Deterministic hyperplanes derive from (seed, plane, dim-index) hashes
+    — no RNG state, identical across runs/cluster sizes."""
+    import numpy as np
+
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        dim = int(first[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    def _dot_with(plane_idx: int):
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[plane_idx]])
+        prods = F.zip_with(F.col(vec_col), lit_plane, lambda x, y: x * y)
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    sketch = F.concat(
+        *[F.when(_dot_with(i) >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(num_planes)]
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(vec_col), F.col(vec_col), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sk = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), norm.alias("_n"), sketch.alias("_b"))
+    a, b = sk.alias("a"), sk.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, on=[F.col("a._b") == F.col("b._b"), F.col("a._id") < F.col("b._id")])
+        .withColumn("cosine", dot / (F.col("a._n") * F.col("b._n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
+    )
+    return pairs

@@ -1,0 +1,118 @@
+"""Text analysis for training-data pipelines: token counting, language ID,
+quality scoring, document fingerprinting. All pure column expressions
+(whole-stage codegen; no Python in the hot path).
+
+Engine extras (no rove counterpart; the reference's scalar-function surface
+is tiny — SURVEY §2.7 — these are the transcript/corpus-domain analogs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal marker sets for the n-gram/stopword language heuristic.
+# (A production system would ship per-language frequency models; the
+# operator shape — score per language, argmax — is the contract.)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "que", "con"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "on", "at", "by", "be", "as", "are", "was"]
+
+_BPE_ISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish segmentation count (letters runs,
+    digit runs, single punctuation — the pre-tokenizer shape most BPE
+    vocabularies assume)."""
+    ws = F.size(F.filter(_words(text_col), lambda w: F.length(w) > 0))
+    bpe = F.regexp_count(F.col(text_col), F.lit(_BPE_ISH_RE))
+    return df.withColumns(
+        {
+            "n_tokens_ws": ws.cast("long"),
+            "n_tokens_bpe": bpe.cast("long"),
+            "avg_token_len": F.when(
+                ws > 0,
+                (F.length(F.regexp_replace(text_col, r"\s+", "")) / ws)
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: per-language hit count over the token set,
+    argmax wins; ties/no-hits → 'und'. Adds lang_pred + lang_score."""
+    words = F.array_distinct(_words(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(scores)):  # earlier languages win ties
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.withColumns(
+        {"lang_pred": pred, "lang_score": best.cast("int")}
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals + a composite [0,1] score:
+    length band, alpha ratio, punctuation ratio, stopword ratio,
+    repetition (distinct/total words). Deterministic integer/ratio math."""
+    length = F.length(text_col)
+    words = F.filter(_words(text_col), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    alpha = F.regexp_count(F.col(text_col), F.lit(r"[a-zA-Z]"))
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(EN_STOPWORDS)))
+    distinct_ratio = F.when(n_words > 0, F.size(F.array_distinct(words)) / n_words).otherwise(0.0)
+    alpha_ratio = F.when(length > 0, alpha / length).otherwise(0.0)
+    punct_ratio = F.when(length > 0, punct / length).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(0.0)
+    len_band = F.when((length >= 50) & (length <= 20000), 1.0).otherwise(0.3)
+    score = (
+        0.3 * len_band
+        + 0.25 * alpha_ratio
+        + 0.2 * F.least(stop_ratio * F.lit(3.0), F.lit(1.0))
+        + 0.15 * distinct_ratio
+        + 0.1 * (1.0 - F.least(punct_ratio * F.lit(4.0), F.lit(1.0)))
+    )
+    return df.withColumns(
+        {
+            "alpha_ratio": alpha_ratio,
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio,
+            "distinct_word_ratio": distinct_ratio,
+            "quality_score": F.round(score, 6),
+        }
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", k_smallest: int = 8
+) -> DataFrame:
+    """Document fingerprints:
+    - ``fp_exact``: 64-bit content hash (byte-identity);
+    - ``fp_robust``: hash of the k smallest word-trigram hashes (a
+      winnowing-style sketch — stable under small edits)."""
+    words = _words(text_col)
+    n = F.greatest(F.size(words) - 2, F.lit(0))
+    # sequence(1, 0) would *descend* — guard short/empty docs explicitly
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, 3))))
+    smallest = F.slice(F.array_sort(F.array_distinct(grams)), 1, k_smallest)
+    return df.withColumns(
+        {
+            "fp_exact": F.xxhash64(F.col(text_col)),
+            "fp_robust": F.xxhash64(F.concat_ws(",", F.transform(smallest, lambda x: x.cast("string")))),
+        }
+    )

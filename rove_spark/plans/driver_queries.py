@@ -371,6 +371,179 @@ FROM documents
 """
 
 
+# ------------------------------------------------------- text analysis --
+
+
+def q_langid(spark, sf):
+    from rove_spark.operators.textstats import with_langid
+
+    docs = read_table(spark, sf, "documents")
+    return with_langid(docs).select("doc_id", "lang_pred", "lang_score")
+
+
+def _sql_lang_scores() -> str:
+    from rove_spark.operators.textstats import LANG_MARKERS
+
+    parts = []
+    for lang, markers in LANG_MARKERS.items():
+        lit = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        parts.append(
+            f"len(list_intersect(list_distinct(list_filter("
+            f"string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)), {lit})) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+SQL_LANGID = f"""
+WITH s AS (SELECT doc_id, {_sql_lang_scores()} FROM documents),
+b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s)
+SELECT doc_id,
+       CASE WHEN best > 0 AND s_en = best THEN 'en'
+            WHEN best > 0 AND s_de = best THEN 'de'
+            WHEN best > 0 AND s_fr = best THEN 'fr'
+            WHEN best > 0 AND s_es = best THEN 'es'
+            ELSE 'und' END AS lang_pred,
+       CAST(best AS INT) AS lang_score
+FROM b
+"""
+
+
+def q_quality(spark, sf):
+    from rove_spark.operators.textstats import with_quality
+
+    docs = read_table(spark, sf, "documents")
+    out = with_quality(docs)
+    return out.select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("distinct_word_ratio", 6).alias("distinct_word_ratio"),
+        "quality_score",
+    )
+
+
+def _sql_quality() -> str:
+    from rove_spark.operators.textstats import EN_STOPWORDS
+
+    stop = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         length(text) AS l,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS words,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct
+  FROM documents
+), r AS (
+  SELECT doc_id, l, alpha, punct,
+         len(words) AS nw,
+         len(list_distinct(words)) AS dw,
+         len(list_filter(words, x -> list_contains({stop}, x))) AS sw
+  FROM w
+)
+SELECT doc_id,
+       round(CASE WHEN l > 0 THEN alpha / l ELSE 0.0 END, 6) AS alpha_ratio,
+       round(CASE WHEN nw > 0 THEN sw / nw ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN nw > 0 THEN dw / nw ELSE 0.0 END, 6) AS distinct_word_ratio,
+       round(
+         0.3 * (CASE WHEN l >= 50 AND l <= 20000 THEN 1.0 ELSE 0.3 END)
+         + 0.25 * (CASE WHEN l > 0 THEN alpha / l ELSE 0.0 END)
+         + 0.2 * least((CASE WHEN nw > 0 THEN sw / nw ELSE 0.0 END) * 3.0, 1.0)
+         + 0.15 * (CASE WHEN nw > 0 THEN dw / nw ELSE 0.0 END)
+         + 0.1 * (1.0 - least((CASE WHEN l > 0 THEN punct / l ELSE 0.0 END) * 4.0, 1.0)),
+         6) AS quality_score
+FROM r
+"""
+
+
+def q_knn_cosine(spark, sf):
+    """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
+    from rove_spark.operators.ann import brute_force_topk
+
+    _utc(spark)
+    emb = read_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(emb, q, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+SQL_KNN = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+"""
+
+
+def q_minhash_neardup(spark, sf):
+    """MinHash+LSH near-dup pairs on documents (rows-only: hash chain not
+    SQL-portable; exactness pinned by tests/test_dedup.py goldens)."""
+    from rove_spark.operators.dedup import minhash_dedup
+
+    _utc(spark)
+    docs = read_table(spark, sf, "documents")
+    out = minhash_dedup(docs, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_neardup(spark, sf):
+    from rove_spark.operators.dedup import simhash_near_dup_pairs, with_simhash
+
+    _utc(spark)
+    docs = read_table(spark, sf, "documents")
+    return simhash_near_dup_pairs(with_simhash(docs), max_hamming=16)
+
+
+def q_ivf_knn(spark, sf):
+    from rove_spark.operators.ann import ivf_topk
+
+    _utc(spark)
+    emb = read_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, q, k=10, n_centroids=8, n_probe=4).select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_multimodal_features(spark, sf):
+    """Synthetic asset table → stub feature extraction → self-NN check
+    via the ANN operator (rows-only; media libs are stubbed)."""
+    from rove_spark.operators.ann import brute_force_topk
+    from rove_spark.operators.multimodal import extract_features, synthetic_assets
+
+    _utc(spark)
+    assets = synthetic_assets(spark, n=100)
+    feats = extract_features(assets)
+    vec_tbl = feats.select(
+        F.col("asset_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    q = vec_tbl.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(vec_tbl, q, k=3, id_col="vec_id").select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ---------------------------------------------- non-SQL-expressible ops --
 # (no oracle entry → driver records a rows-only check; correctness is
 # pinned by golden kernel fixtures in tests/test_spatial.py /
@@ -475,6 +648,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buddy_check": q_buddy_check,
         "sct": q_sct,
         "gorilla_roundtrip": q_gorilla_roundtrip,
+        "langid": q_langid,
+        "quality_score": q_quality,
+        "knn_cosine": q_knn_cosine,
+        "ivf_knn": q_ivf_knn,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -495,4 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
         "gorilla_roundtrip": SQL_GORILLA,
+        "langid": SQL_LANGID,
+        "quality_score": _sql_quality(),
+        "knn_cosine": SQL_KNN,
     }

@@ -1,0 +1,109 @@
+"""Dedup operators: exact, MinHash+LSH (recall on planted near-dups, no
+false positives after verify), SimHash hamming, embedding-cosine LSH,
+cluster labeling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rove_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    # 20 distinct docs
+    for i in range(20):
+        rows.append((i, f"document {i} " + " ".join(f"tok{i}_{j}" for j in range(30))))
+    # planted near-dups of doc 0: BASE with one word changed
+    rows.append((100, BASE))
+    rows.append((101, BASE.replace("lazy", "sleepy")))
+    rows.append((102, BASE.replace("garden", "park")))
+    # exact duplicate pair
+    rows.append((200, "exactly the same text content here"))
+    rows.append((201, "exactly the same text content here"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs)
+    kept = {r.doc_id: r.n_copies for r in out.collect()}
+    assert kept[200] == 2 and 201 not in kept
+    assert kept[100] == 1
+
+
+def test_minhash_finds_planted_neardups(spark, docs):
+    pairs = dedup.minhash_dedup(docs, threshold=0.6).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (100, 101) in got and (100, 102) in got and (101, 102) in got
+    # no cross-contamination with the distinct docs
+    assert all(a >= 100 and b >= 100 for a, b in got)
+
+
+def test_jaccard_verify_kills_false_candidates(spark, docs):
+    sh = dedup.with_shingles(docs)
+    fake = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = dedup.jaccard_verify(fake, sh, threshold=0.5)
+    assert out.count() == 0
+
+
+def test_minhash_deterministic(spark, docs):
+    a = dedup.with_minhash(dedup.with_shingles(docs)).select("doc_id", "minhash").collect()
+    b = dedup.with_minhash(dedup.with_shingles(docs)).select("doc_id", "minhash").collect()
+    assert sorted(map(tuple, ((r.doc_id, tuple(r.minhash)) for r in a))) == sorted(
+        map(tuple, ((r.doc_id, tuple(r.minhash)) for r in b))
+    )
+
+
+def test_simhash_near_dups(spark, docs):
+    sh = dedup.with_simhash(docs)
+    pairs = dedup.simhash_near_dup_pairs(sh, max_hamming=10).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (200, 201) in got  # identical text → hamming 0
+    assert (100, 101) in got  # one-word change → small hamming
+    assert all(a >= 100 for a, _ in got)
+
+
+def test_dedup_components(spark, docs):
+    pairs = dedup.minhash_dedup(docs, threshold=0.6)
+    labels = dedup.dedup_components(pairs, docs.select("doc_id"))
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got[100] == got[101] == got[102] == 100
+    assert got[5] == 5  # singleton
+
+
+def test_embedding_near_dup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(10):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    near = base + rng.standard_normal(16) * 0.02
+    rows.append((100, [float(x) for x in base / np.linalg.norm(base)]))
+    rows.append((101, [float(x) for x in near / np.linalg.norm(near)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_near_dup_pairs(df, threshold=0.98, num_planes=8).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (100, 101) in got
+    assert all({a, b} == {100, 101} for a, b in got)
+
+
+def test_lsh_on_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = dedup.minhash_dedup(docs, threshold=0.9)
+    exact = dedup.exact_dedup(docs)
+    n_exact_dups = exact.filter(F.col("n_copies") > 1).count()
+    # identical texts (if any) must be found by the LSH path too
+    found = pairs.filter(F.col("jaccard") >= 0.999).count()
+    assert pairs.count() >= 0  # plan executes end-to-end
+    if n_exact_dups:
+        assert found > 0
