@@ -1,0 +1,149 @@
+"""Structured Streaming: continuous tier rollup + stateful streaming QC.
+
+The reference is request-driven batch over "real-time" data — no streaming
+operators at all (SURVEY §2.7; Kafka triggering was out-of-scope,
+``docs/requirements.md:5``). The engine adds the streaming shape the
+production target describes (~35k obs/min, flag latency < 5 min,
+``docs/requirements.md:17,24``):
+
+- ``stream_rollup``: readStream → watermark → tumbling-window aggregate
+  with the SAME integer-domain stat columns as the batch 1m tier, so a
+  streaming 1m tier cascades into the batch 1h/1d tiers unchanged. Late
+  data within the watermark updates its window; windows close when the
+  watermark passes (append mode = finalized-window semantics).
+- ``stream_step_check``: custom stateful operator via
+  ``applyInPandasWithState`` — per-series state carries (last_ts,
+  last_value) across micro-batches, so the first row of a batch is checked
+  against the last row of the previous batch exactly like the batch
+  operator checks against ``lag(1)``. State is tiny (two scalars per
+  series) and partitioned by series key — scales with #series, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from rove_spark.model import Flag
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    role_col: str | None = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Streaming 1m-tier aggregate (schema-compatible with the batch tier:
+    same stat columns, ``bucket_ts`` = window start)."""
+    keys = [F.col(series_col), F.window(F.col(ts_col), window).alias("w")]
+    if role_col:
+        keys.append(F.col(role_col))
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn("_tl", F.length(text_col).cast("long"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("_tl").alias("text_len_sum"),
+            F.min("_tl").alias("text_len_min"),
+            F.max("_tl").alias("text_len_max"),
+            F.sum(F.col(tool_col).isNotNull().cast("long")).alias("n_tool_calls"),
+        )
+    )
+    out_cols = [F.col(series_col), F.col("w.start").alias("bucket_ts")]
+    if role_col:
+        out_cols.append(F.col(role_col))
+    return agg.select(
+        *out_cols, "n_turns", "text_len_sum", "text_len_min", "text_len_max", "n_tool_calls"
+    )
+
+
+_STEP_STATE = StructType(
+    [StructField("last_ts", DoubleType()), StructField("last_value", DoubleType())]
+)
+
+_STEP_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("flag_step_check", LongType()),
+    ]
+)
+
+
+def stream_step_check(
+    stream_df: DataFrame,
+    value_col: str,
+    max_: float,
+    high: float = 2.0,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming step_check: SPEC.md semantics, state = the last
+    (ts, value) per series. Rows inside a micro-batch are sorted by ts;
+    cross-batch continuity comes from the state store."""
+    import pandas as pd
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last_ts, last_value = state.get
+        else:
+            last_ts, last_value = None, None
+        frames = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("_epoch")
+            flags = []
+            for ts_e, v in zip(pdf["_epoch"], pdf["_v"]):
+                if last_ts is None:
+                    flags.append(int(Flag.INCONCLUSIVE))
+                elif pd.isna(v) or pd.isna(last_value) or last_value is None:
+                    flags.append(int(Flag.DATA_MISSING))
+                else:
+                    d = abs(v - last_value)
+                    flags.append(
+                        int(Flag.FAIL)
+                        if d >= max_
+                        else int(Flag.WARN)
+                        if d >= high
+                        else int(Flag.PASS)
+                    )
+                last_ts, last_value = float(ts_e), (None if pd.isna(v) else float(v))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "series_id": key[0],
+                        "ts": pd.to_datetime(pdf["_epoch"], unit="s"),
+                        "value": pdf["_v"],
+                        "flag_step_check": flags,
+                    }
+                )
+            )
+        state.update((last_ts, last_value if last_value is not None else float("nan")))
+        yield pd.concat(frames) if frames else pd.DataFrame(columns=[f.name for f in _STEP_OUT])
+
+    prepped = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.col(series_col).cast("string").alias("_sid"),
+            F.unix_timestamp(F.col(ts_col)).cast("double").alias("_epoch"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+    )
+    return prepped.groupBy("_sid").applyInPandasWithState(
+        fn, _STEP_OUT, _STEP_STATE, "append", GroupStateTimeout.NoTimeout
+    )
