@@ -65,15 +65,26 @@ class _BitWriter:
 
 
 class _BitReader:
-    __slots__ = ("data", "pos")
+    """Incremental big-endian bit reader: O(1) amortized per read (a whole-
+    blob bigint shift per read would make decode O(n²))."""
+
+    __slots__ = ("data", "byte_pos", "acc", "acc_bits")
 
     def __init__(self, data: bytes):
-        self.data = int.from_bytes(data, "big")
-        self.pos = len(data) * 8
+        self.data = data
+        self.byte_pos = 0
+        self.acc = 0
+        self.acc_bits = 0
 
     def read(self, nbits: int) -> int:
-        self.pos -= nbits
-        return (self.data >> self.pos) & ((1 << nbits) - 1)
+        while self.acc_bits < nbits:
+            self.acc = (self.acc << 8) | self.data[self.byte_pos]
+            self.byte_pos += 1
+            self.acc_bits += 8
+        self.acc_bits -= nbits
+        out = self.acc >> self.acc_bits
+        self.acc &= (1 << self.acc_bits) - 1
+        return out
 
 
 def encode_timestamps(ts: np.ndarray) -> bytes:
@@ -277,13 +288,19 @@ def compress_series(
             ]
         )
 
+    from rove_spark.operators.util import parallel_groups
+
     prepped = df.select(
         F.col(series_col).cast("string").alias("_series"),
         F.date_trunc(chunk, F.col(ts_col)).alias("_chunk"),
         F.unix_timestamp(F.col(ts_col)).alias("_epoch"),
         F.col(value_col).cast("float").alias(value_col),
     )
-    return prepped.groupBy("_series", "_chunk").applyInPandas(enc, CHUNK_SCHEMA)
+    return (
+        parallel_groups(prepped, "_series", "_chunk")
+        .groupBy("_series", "_chunk")
+        .applyInPandas(enc, CHUNK_SCHEMA)
+    )
 
 
 def decompress_series(chunks_df, value_col: str = "value"):
@@ -319,6 +336,10 @@ def decompress_series(chunks_df, value_col: str = "value"):
                 columns=["series_id", "ts", value_col, "is_gap"]
             )
 
-    return chunks_df.mapInPandas(
+    from rove_spark.operators.util import parallel_groups
+
+    # chunk rows are few but CPU-heavy to decode — spread them explicitly
+    # (AQE would coalesce this tiny-by-bytes stage onto one worker)
+    return parallel_groups(chunks_df, "series_id", "chunk_start").mapInPandas(
         dec, f"series_id string, ts timestamp, {value_col} float, is_gap boolean"
     )

@@ -119,12 +119,16 @@ def build_tiers(
     checks: Sequence[str] = (),
     text_len_source: str = "text",
     tool_col: str = "tool",
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """Raw → {1m, 1h, 1d}, each coarser tier cascaded from the finer one.
 
-    The 1m tier is the only scan of raw data; persist it if all three tiers
-    are materialized in one job (SURVEY §4 scan-sharing analog of rove's
-    fetch-once-per-request cache, ``pipeline.rs:147-155``).
+    With ``persist`` (default) the 1m tier is cached so the raw scan (and
+    any check stages feeding it) runs exactly once across all three tier
+    materializations — the scan-sharing analog of rove's
+    fetch-once-per-request cache (``pipeline.rs:147-155``,
+    ``scheduler.rs:119-129``). Without it, a 3-tier job would recompute
+    raw→1m three times. Caller owns ``unpersist`` if memory matters.
     """
     t1m = rollup_from_raw(
         df,
@@ -136,6 +140,8 @@ def build_tiers(
         text_len_source=text_len_source,
         tool_col=tool_col,
     )
+    if persist:
+        t1m = t1m.persist()
     t1h = rollup_cascade(t1m, "1h", series_col=series_col, role_col=role_col)
     t1d = rollup_cascade(t1h, "1d", series_col=series_col, role_col=role_col)
     return {"1m": t1m, "1h": t1h, "1d": t1d}

@@ -104,10 +104,11 @@ def buddy_check_kernel(
             )
         std = np.maximum(np.sqrt(var), min_std)
         z = np.abs(values - mean) / std
-        newly_failed = present & check & (cnt >= num_min) & (z > threshold) & ~excluded
+        newly_failed = present & (cnt >= num_min) & (z > threshold) & ~excluded
         isolated = present & check & (cnt < num_min)
         flags[isolated] = int(Flag.ISOLATED)
-        flags[newly_failed] = int(Flag.FAIL)
+        # halo rows leave the buddy pool when bad but are flagged at home
+        flags[newly_failed & check] = int(Flag.FAIL)
         if not newly_failed.any():
             break
         excluded |= newly_failed
@@ -131,16 +132,21 @@ def sct_kernel(
     eps2: float = 0.5,
     check_mask: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Spatial Consistency Test (leave-one-out optimal interpolation),
-    SPEC.md §sct. Defaults mirror the reference call site
-    (``/root/reference/src/lib.rs:241-256``).
+    """Spatial Consistency Test — box optimal interpolation with
+    leave-one-out residuals, SPEC.md §sct. Defaults mirror the reference
+    call site (``/root/reference/src/lib.rs:241-256``); like titanlib, the
+    OI runs per *box* (here: the grouped bucket), one factorization per
+    iteration instead of per-station k³ solves.
 
-    Per station: neighbors = up to ``num_max`` nearest within
-    ``outer_radius``; < ``num_min`` within ``inner_radius`` → ISOLATED.
-    Gaussian covariance S over (horizontal, vertical) distance; innovation
-    d = v − mean(neighbor values); cross-validation residual from
-    W = S(S+eps2·I)⁻¹: cv_i = (d_i − a_i)/(1 − W_ii); normalized by the
-    neighborhood residual scale; outside (−neg, pos) → FAIL.
+    Stations with < ``num_min`` usable neighbors (incl. self) within
+    ``inner_radius`` → ISOLATED. Over the usable box: Gaussian covariance
+    S from (horizontal, vertical) distances, innovation d = v − mean(v),
+    B = S + eps2·I; the leave-one-out cross-validation residual is
+    cv_i = (B⁻¹d)_i / B⁻¹_ii, normalized by the box residual scale
+    σ² = dᵀB⁻¹d / k; z outside (−neg, pos) → FAIL, iterated with FAILed
+    stations removed from the pool (≤ num_iterations rounds).
+    ``outer_radius``/``num_max`` box capping is delegated to the upstream
+    cell bucketing (cell_deg), which bounds group size at scale.
     """
     n = len(values)
     flags = np.full(n, int(Flag.PASS), dtype=np.int8)
@@ -151,50 +157,45 @@ def sct_kernel(
     dist = _haversine_matrix(lat, lon)
     check = np.ones(n, dtype=bool) if check_mask is None else np.asarray(check_mask, bool)
     excluded = np.zeros(n, dtype=bool)
+    _ = num_max  # box size is bounded by upstream bucketing (cell_deg)
 
     for _ in range(max(1, num_iterations)):
-        newly_failed_any = False
-        for i in range(n):
-            if not (present[i] and check[i]) or excluded[i] or flags[i] == int(Flag.FAIL):
-                continue
-            usable = present & ~excluded
-            usable_i = usable.copy()
-            usable_i[i] = True  # self participates in its own neighborhood
-            within_inner = usable & (dist[i] <= inner_radius)
-            if within_inner.sum() < num_min:  # includes self
-                flags[i] = int(Flag.ISOLATED)
-                continue
-            nbr = np.where(usable_i & (dist[i] <= outer_radius))[0]
-            if len(nbr) > num_max:
-                nbr = nbr[np.argsort(dist[i][nbr])[:num_max]]
-            idx = nbr
-            k = len(idx)
-            d_h = dist[np.ix_(idx, idx)]
-            d_v = elev[idx][:, None] - elev[idx][None, :]
-            S = np.exp(
-                -0.5 * (d_h / min_horizontal_scale) ** 2
-                - 0.5 * (d_v / vertical_scale) ** 2
-            )
-            v = values[idx].astype(np.float64)
-            bg = v.mean()
-            innov = v - bg
-            try:
-                A = np.linalg.solve(S + eps2 * np.eye(k), innov)
-            except np.linalg.LinAlgError:
-                continue
-            W_diag = 1.0 - eps2 * np.diag(np.linalg.inv(S + eps2 * np.eye(k)))
-            analysis = S @ A
-            pos_i = int(np.where(idx == i)[0][0])
-            denom = max(1e-9, 1.0 - W_diag[pos_i])
-            cv = (innov[pos_i] - analysis[pos_i]) / denom
-            sigma2 = max(1e-9, float(innov @ A) / k)
-            z = cv / math.sqrt(sigma2 * (1.0 + eps2))
-            if z > pos or z < -neg:
-                flags[i] = int(Flag.FAIL)
-                excluded[i] = True
-                newly_failed_any = True
-        if not newly_failed_any:
+        usable = present & ~excluded
+        # isolation: too few usable neighbors (incl. self) in inner radius
+        inner_counts = ((dist <= inner_radius) & usable[None, :]).sum(axis=1)
+        isolated = present & check & ~excluded & (inner_counts < num_min)
+        flags[isolated & (flags != int(Flag.FAIL))] = int(Flag.ISOLATED)
+
+        idx = np.where(usable & (inner_counts >= num_min))[0]
+        k = len(idx)
+        if k < num_min:
             break
+        # one box-OI factorization for the whole group (titanlib operates
+        # on boxes; per-station k³ solves would be O(n·k³) per slice)
+        d_h = dist[np.ix_(idx, idx)]
+        d_v = elev[idx][:, None] - elev[idx][None, :]
+        S = np.exp(
+            -0.5 * (d_h / min_horizontal_scale) ** 2
+            - 0.5 * (d_v / vertical_scale) ** 2
+        )
+        v = values[idx].astype(np.float64)
+        innov = v - v.mean()
+        try:
+            Binv = np.linalg.inv(S + eps2 * np.eye(k))
+        except np.linalg.LinAlgError:
+            break
+        A = Binv @ innov
+        # leave-one-out residual: (innov − S·A)/(1−W_ii) = A_i / Binv_ii
+        cv = A / np.maximum(np.diag(Binv), 1e-12)
+        sigma2 = max(1e-9, float(innov @ A) / k)
+        z = cv / math.sqrt(sigma2 * (1.0 + eps2))
+        bad = (z > pos) | (z < -neg)
+        if not bad.any():
+            break
+        # halo rows (check=False) are excluded from the pool when bad, but
+        # flagged only in their home bucket
+        flags[idx[bad & check[idx]]] = int(Flag.FAIL)
+        excluded[idx[bad]] = True
     return flags
 
 
@@ -278,7 +279,9 @@ def _grouped_spatial(
             }
         )
 
-    return grouped.groupBy(*group_keys).applyInPandas(
+    from rove_spark.operators.util import parallel_groups
+
+    return parallel_groups(grouped, *group_keys).groupBy(*group_keys).applyInPandas(
         run, f"series_id string, ts timestamp, {flag_name} tinyint"
     )
 

@@ -49,52 +49,69 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: per-language hit count over the token set,
-    argmax wins; ties/no-hits → 'und'. Adds lang_pred + lang_score."""
-    words = F.array_distinct(_words(text_col))
-    scores = {
-        lang: F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
+    argmax wins; ties/no-hits → 'und'. Adds lang_pred + lang_score.
+
+    Words and per-language scores are materialized as intermediate
+    projections — Catalyst does not CSE across higher-order-function
+    lambdas, so inlining them would re-split the text once per score
+    reference (~8×)."""
+    with_words = df.withColumn("_lw", F.array_distinct(_words(text_col)))
+    score_cols = {
+        f"_s_{lang}": F.size(
+            F.array_intersect(F.col("_lw"), F.array(*[F.lit(m) for m in markers]))
+        )
         for lang, markers in LANG_MARKERS.items()
     }
-    best = F.greatest(*scores.values())
+    scored = with_words.withColumns(score_cols)
+    names = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in names])
     pred = F.lit("und")
-    for lang in reversed(list(scores)):  # earlier languages win ties
-        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return df.withColumns(
-        {"lang_pred": pred, "lang_score": best.cast("int")}
-    )
+    for lang in reversed(names):  # earlier languages win ties
+        pred = F.when((F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    out = scored.withColumns({"lang_pred": pred, "lang_score": best.cast("int")})
+    return out.drop("_lw", *score_cols)
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality signals + a composite [0,1] score:
     length band, alpha ratio, punctuation ratio, stopword ratio,
     repetition (distinct/total words). Deterministic integer/ratio math."""
-    length = F.length(text_col)
-    words = F.filter(_words(text_col), lambda w: F.length(w) > 0)
-    n_words = F.size(words)
-    alpha = F.regexp_count(F.col(text_col), F.lit(r"[a-zA-Z]"))
-    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
-    stop_hits = F.size(F.filter(words, lambda w: w.isin(EN_STOPWORDS)))
-    distinct_ratio = F.when(n_words > 0, F.size(F.array_distinct(words)) / n_words).otherwise(0.0)
-    alpha_ratio = F.when(length > 0, alpha / length).otherwise(0.0)
-    punct_ratio = F.when(length > 0, punct / length).otherwise(0.0)
-    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(0.0)
+    # stage intermediates as real columns (no CSE across array lambdas)
+    staged = df.withColumn(
+        "_qw", F.filter(_words(text_col), lambda w: F.length(w) > 0)
+    ).withColumns(
+        {
+            "_ql": F.length(text_col),
+            "_qn": F.size(F.col("_qw")),
+            "_qa": F.regexp_count(F.col(text_col), F.lit(r"[a-zA-Z]")),
+            "_qp": F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")),
+        }
+    )
+    staged = staged.withColumns(
+        {
+            "_qs": F.size(F.filter(F.col("_qw"), lambda w: w.isin(EN_STOPWORDS))),
+            "_qd": F.size(F.array_distinct(F.col("_qw"))),
+        }
+    )
+    length, n_words = F.col("_ql"), F.col("_qn")
+    ratios = staged.withColumns(
+        {
+            "alpha_ratio": F.when(length > 0, F.col("_qa") / length).otherwise(0.0),
+            "punct_ratio": F.when(length > 0, F.col("_qp") / length).otherwise(0.0),
+            "stopword_ratio": F.when(n_words > 0, F.col("_qs") / n_words).otherwise(0.0),
+            "distinct_word_ratio": F.when(n_words > 0, F.col("_qd") / n_words).otherwise(0.0),
+        }
+    )
     len_band = F.when((length >= 50) & (length <= 20000), 1.0).otherwise(0.3)
     score = (
         0.3 * len_band
-        + 0.25 * alpha_ratio
-        + 0.2 * F.least(stop_ratio * F.lit(3.0), F.lit(1.0))
-        + 0.15 * distinct_ratio
-        + 0.1 * (1.0 - F.least(punct_ratio * F.lit(4.0), F.lit(1.0)))
+        + 0.25 * F.col("alpha_ratio")
+        + 0.2 * F.least(F.col("stopword_ratio") * F.lit(3.0), F.lit(1.0))
+        + 0.15 * F.col("distinct_word_ratio")
+        + 0.1 * (1.0 - F.least(F.col("punct_ratio") * F.lit(4.0), F.lit(1.0)))
     )
-    return df.withColumns(
-        {
-            "alpha_ratio": alpha_ratio,
-            "punct_ratio": punct_ratio,
-            "stopword_ratio": stop_ratio,
-            "distinct_word_ratio": distinct_ratio,
-            "quality_score": F.round(score, 6),
-        }
-    )
+    out = ratios.withColumn("quality_score", F.round(score, 6))
+    return out.drop("_qw", "_ql", "_qn", "_qa", "_qp", "_qs", "_qd")
 
 
 def with_fingerprint(

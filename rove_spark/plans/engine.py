@@ -168,6 +168,7 @@ class Engine:
         series_col: str = "conv_id",
         ts_col: str = "ts",
         input_fingerprint: str | None = None,
+        retention: dict[str, str] | None = None,
     ) -> dict:
         """Flag + roll up + write all tiers, checkpointed by UTC day.
 
@@ -225,6 +226,15 @@ class Engine:
         for d in todo:
             metrics[d]["elapsed_job_sec"] = round(elapsed, 3)
         manifest.mark_done(todo, fp, lineage=lineage_params, metrics=metrics)
+        if retention:
+            # retention policy: per-tier cutoff day (e.g. {"1m": "2024-02-01"})
+            # — whole-partition drops, no data rewrite (rollup.py)
+            from rove_spark.operators.rollup import retention_expire
+
+            result["expired"] = {}
+            for tier_name, cutoff in retention.items():
+                table = PartitionedTable(out_dir / f"tier_{tier_name}", ["day"])
+                result["expired"][tier_name] = retention_expire(table, cutoff)
         return result
 
 

@@ -56,6 +56,13 @@ def get_spark(
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
     )
+    # shuffle spill dir: prefer tmpfs — on a real cluster each executor has
+    # local NVMe, so shuffle IO scales with nodes; on this single box the
+    # network-attached root disk would be one shared bottleneck that
+    # falsely caps core-scaling measurements
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        b = b.config("spark.local.dir", os.path.join(shm, "rove_spark_local"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
