@@ -110,8 +110,14 @@ def fill_forward(
     series_col: str = "conv_id",
     ts_col: str = "ts",
     out_col: str | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Last-observation-carried-forward over gaps (engine extra; rove keeps
-    gaps as None — this is for rollup consumers that want dense series)."""
-    w = Window.partitionBy(series_col).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    gaps as None — this is for rollup consumers that want dense series).
+    Pass ``order_cols`` with a tiebreaker when ``ts`` isn't unique."""
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(*(order_cols or [ts_col]))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return df.withColumn(out_col or f"{value_col}_ff", F.last(value_col, ignorenulls=True).over(w))

@@ -371,6 +371,62 @@ FROM documents
 """
 
 
+POLY = [(-0.1, -0.1), (0.12, -0.05), (0.1, 0.12), (-0.05, 0.1)]
+
+
+def q_polygon_filter(spark, sf):
+    """SpaceSpec::Polygon pushdown parity (P2/P5): codegen'd ray-cast
+    point-in-polygon over (embedding[0], embedding[1]) as coordinates."""
+    from rove_spark.functions.geo import point_in_polygon
+
+    _utc(spark)
+    emb = read_table(spark, sf, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    return pts.filter(point_in_polygon("x", "y", POLY)).select("vec_id")
+
+
+def _sql_polygon() -> str:
+    from rove_spark.functions.geo import point_in_polygon_sql
+
+    cond = point_in_polygon_sql("x", "y", POLY)
+    return f"""
+WITH pts AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+)
+SELECT vec_id FROM pts WHERE {cond}
+"""
+
+
+def q_fill_forward(spark, sf):
+    """Forward-fill over gaps (gridfill.fill_forward): error-event values
+    are nulled, then carried forward per user."""
+    from rove_spark.operators.gridfill import fill_forward
+
+    ev = _events(spark, sf).withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    out = fill_forward(ev, "v", series_col="user_id", out_col="v_ff", order_cols=["ts", "event_id"])
+    return out.select("event_id", "v_ff")
+
+
+SQL_FILL_FORWARD = """
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS v_ff
+FROM base
+"""
+
+
 # ------------------------------------------------------- text analysis --
 
 
@@ -655,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "multimodal_features": q_multimodal_features,
+        "polygon_filter": q_polygon_filter,
+        "fill_forward": q_fill_forward,
     }
 
 
@@ -678,4 +736,6 @@ def oracle_sql() -> dict[str, str]:
         "langid": SQL_LANGID,
         "quality_score": _sql_quality(),
         "knn_cosine": SQL_KNN,
+        "polygon_filter": _sql_polygon(),
+        "fill_forward": SQL_FILL_FORWARD,
     }
