@@ -80,7 +80,7 @@ def run_one(cpus: int, n_conv: int, avg_turns: int) -> dict:
 
 
 def main() -> None:
-    n_conv = int(os.environ.get("ROVE_SCALING_N_CONV", "16000"))
+    n_conv = int(os.environ.get("ROVE_SCALING_N_CONV", "32000"))
     avg_turns = int(os.environ.get("ROVE_SCALING_AVG_TURNS", "800"))
     repeats = int(os.environ.get("ROVE_SCALING_REPEATS", "5"))
 

@@ -1,0 +1,102 @@
+"""Physical-plan quality gates: the properties that keep the engine fast
+at 100 TB, asserted on `.explain` output so regressions fail loudly.
+
+- predicate pushdown + column pruning reach the parquet scan;
+- checks/rollups stay inside whole-stage codegen (no Python eval);
+- small dimension joins broadcast;
+- the temporal check stack shares ONE sort/exchange;
+- grouped-UDF stages keep explicit parallel partitioning.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rove_spark.operators import checks
+from rove_spark.operators.rollup import rollup_from_raw
+from rove_spark.sources.synthetic import synthetic_transcripts
+
+
+@pytest.fixture(scope="module")
+def parquet_transcripts(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "transcripts")
+    synthetic_transcripts(spark, n_conv=20, avg_turns=30).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_column_pruning_drops_text(spark, parquet_transcripts):
+    """A projection that only needs text_len must not read the text bytes:
+    ReadSchema is the contract (length() is computed post-scan, so we
+    project length at write... here: reading only 3 of 6 columns)."""
+    df = spark.read.parquet(parquet_transcripts).select("conv_id", "ts", "role")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
+    assert "conv_id" in read_schema
+
+
+def test_filter_pushdown_on_series(spark, parquet_transcripts):
+    df = spark.read.parquet(parquet_transcripts).filter(F.col("conv_id") == "conv-3")
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "conv_id" in pushed and "EqualTo" in pushed
+
+
+def test_check_stack_shares_one_sort(spark, parquet_transcripts):
+    """step+spike+flatline all use partitionBy(conv_id).orderBy(ts) — the
+    physical plan must contain exactly one exchange and one sort for the
+    whole stack (flatline adds one more for its run-group window)."""
+    df = spark.read.parquet(parquet_transcripts).withColumn(
+        "v", F.length("text").cast("float")
+    )
+    out = checks.step_check(df, "v", max_=5.0)
+    out = checks.spike_check(out, "v", max_=5.0)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1
+    assert plan.count("Sort [") == 1
+
+
+def test_checks_have_no_python_eval(spark, parquet_transcripts):
+    df = spark.read.parquet(parquet_transcripts).withColumn("v", F.length("text").cast("float"))
+    out = checks.step_check(df, "v", max_=5.0)
+    out = checks.spike_check(out, "v", max_=5.0)
+    out = checks.flatline_check(out, "v", max_=3)
+    out = checks.range_check(out, "v", min_=0.0, max_=100.0)
+    out = checks.special_value_check(out, "v", special_values=[1.0])
+    assert "EvalPython" not in _plan(out)
+
+
+def test_rollup_has_partial_aggregation(spark, parquet_transcripts):
+    """Tier aggregation must be partial+final hash agg (map-side combine):
+    two HashAggregate nodes around the exchange."""
+    df = spark.read.parquet(parquet_transcripts)
+    tier = rollup_from_raw(df, "1m")
+    plan = _plan(tier)
+    assert plan.count("HashAggregate") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_dynamic_range_broadcasts_bounds(spark, parquet_transcripts):
+    df = spark.read.parquet(parquet_transcripts).withColumn("v", F.length("text").cast("float"))
+    bounds = spark.createDataFrame(
+        [("user", 0.0, 100.0)], "role string, lo double, hi double"
+    )
+    out = checks.range_check_dynamic(df, "v", bounds, on=["role"])
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_grouped_udf_keeps_parallel_partitioning(spark, parquet_transcripts):
+    """The explicit repartition before grouped pandas UDFs must survive in
+    the plan (AQE byte-based coalescing would serialize the stage)."""
+    from rove_spark.operators.gorilla import compress_series
+
+    df = spark.read.parquet(parquet_transcripts).withColumn("v", F.length("text").cast("float"))
+    chunks = compress_series(df, "v")
+    plan = _plan(chunks)
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan or "hashpartitioning" in plan
+    assert "FlatMapGroupsInPandas" in plan
