@@ -31,6 +31,10 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _identity(pdf):
+    return pdf
+
+
 def bench_rollup(spark) -> dict:
     """Turns/sec into all three tiers (checks included), synthetic table."""
     from rove_spark.operators import checks
@@ -60,6 +64,13 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("rove_bench", master=f"local[{cpus}]")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # python-worker warmup: the first grouped-UDF stage of a session pays
+    # ~15-25s of worker spawn + imports; measure steady state instead
+    from pyspark.sql import functions as F
+
+    spark.range(0, 64, 1, 64).withColumn("k", F.col("id") % 64).groupBy("k").applyInPandas(
+        _identity, "id long, k long"
+    ).count()
 
     times: dict[str, float] = {}
     for name, fn in driver_queries.queries().items():

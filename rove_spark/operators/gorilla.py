@@ -260,45 +260,67 @@ def compress_series(
     series_col: str = "conv_id",
     ts_col: str = "ts",
     chunk: str = "day",
+    group_chunk: str = "month",
 ):
     """DataFrame (series, ts, value[, …]) → Gorilla chunk table, one row
-    per (series, chunk_start). Grouping by (series, calendar chunk) bounds
-    group size — a monster conversation becomes many day-chunks, which is
-    also the hot-key salting story for this stage (SURVEY §4)."""
+    per (series, ``chunk`` start).
+
+    Two-level chunking: the *shuffle group* is (series, ``group_chunk``)
+    — coarse, so each grouped-UDF invocation amortizes its fixed Arrow/
+    pandas overhead over many points (44k day-groups of ~24 points ran 6×
+    slower than 2k month-groups emitting the same day-chunks) — while the
+    *codec chunk* stays fine-grained (``chunk``) for retention/seek
+    granularity. Group size stays bounded (series × month), which is the
+    hot-key story for this stage (SURVEY §4)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     def enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("_epoch")
-        ts = pdf["_epoch"].to_numpy(np.int64)
-        raw = pdf[value_col].to_numpy(dtype=np.float32, na_value=np.nan)
-        present = pdf[value_col].notna().to_numpy()
-        c = encode_chunk_masked(ts, raw, present)
+        out = []
+        for (series, chunk_start), part in pdf.groupby(["_series", "_chunk"], sort=False):
+            ts = part["_epoch"].to_numpy(np.int64)
+            raw = part[value_col].to_numpy(dtype=np.float32, na_value=np.nan)
+            present = part[value_col].notna().to_numpy()
+            c = encode_chunk_masked(ts, raw, present)
+            out.append(
+                (
+                    series,
+                    chunk_start,
+                    c["n_points"],
+                    c["n_present"],
+                    c["ts_codec"],
+                    c["val_codec"],
+                    c["presence"],
+                    c["checksum"],
+                )
+            )
         return pd.DataFrame(
-            [
-                {
-                    "series_id": pdf["_series"].iloc[0],
-                    "chunk_start": pdf["_chunk"].iloc[0],
-                    **{k: c[k] for k in ("n_points", "n_present")},
-                    "ts_codec": c["ts_codec"],
-                    "val_codec": c["val_codec"],
-                    "presence": c["presence"],
-                    "checksum": c["checksum"],
-                }
-            ]
+            out,
+            columns=[
+                "series_id",
+                "chunk_start",
+                "n_points",
+                "n_present",
+                "ts_codec",
+                "val_codec",
+                "presence",
+                "checksum",
+            ],
         )
 
     from rove_spark.operators.util import parallel_groups
 
     prepped = df.select(
         F.col(series_col).cast("string").alias("_series"),
+        F.date_trunc(group_chunk, F.col(ts_col)).alias("_group"),
         F.date_trunc(chunk, F.col(ts_col)).alias("_chunk"),
         F.unix_timestamp(F.col(ts_col)).alias("_epoch"),
         F.col(value_col).cast("float").alias(value_col),
     )
     return (
-        parallel_groups(prepped, "_series", "_chunk")
-        .groupBy("_series", "_chunk")
+        parallel_groups(prepped, "_series", "_group")
+        .groupBy("_series", "_group")
         .applyInPandas(enc, CHUNK_SCHEMA)
     )
 

@@ -371,6 +371,70 @@ FROM documents
 """
 
 
+def q_rollup_flag_density(spark, sf):
+    """Tier × QC integration: hourly rollup carrying step-check FAIL
+    counts per (user, event_type) — the north-star 'flag densities per
+    role' shape on the driver's tables."""
+    ev = _events(spark, sf)
+    flagged = checks.step_check(
+        ev, "value", max_=STEP_MAX, high=STEP_HIGH, series_col="user_id", order_cols=_EV_ORDER
+    )
+    return flagged.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("flag_step_check") == 1).cast("long")).alias("n_fail_step"),
+        F.sum((F.col("flag_step_check") == 5).cast("long")).alias("n_missing_step"),
+    )
+
+
+SQL_ROLLUP_FLAGS = f"""
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         lag(value) OVER win AS pv,
+         lag(ts) OVER win AS pts
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN pts IS NULL THEN 3
+              WHEN value IS NULL OR pv IS NULL THEN 5
+              WHEN abs(value - pv) >= {STEP_MAX} THEN 1
+              WHEN abs(value - pv) >= {STEP_HIGH} THEN 2
+              ELSE 0 END AS flag
+  FROM w
+)
+SELECT user_id, date_trunc('hour', ts) AS bucket_ts, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN flag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_step,
+       CAST(sum(CASE WHEN flag = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_step
+FROM f GROUP BY 1, 2, 3
+"""
+
+
+def q_rollup_by_type(spark, sf):
+    """Per-(event_type, day) tier — the role-pivot analog over events."""
+    ev = _events(spark, sf)
+    return ev.groupBy("event_type", F.date_trunc("day", "ts").alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_sum_cents"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+SQL_ROLLUP_BY_TYPE = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_sum_cents,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
 POLY = [(-0.1, -0.1), (0.12, -0.05), (0.1, 0.12), (-0.05, 0.1)]
 
 
@@ -713,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "polygon_filter": q_polygon_filter,
         "fill_forward": q_fill_forward,
+        "rollup_flag_density": q_rollup_flag_density,
+        "rollup_by_type": q_rollup_by_type,
     }
 
 
@@ -738,4 +804,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": SQL_KNN,
         "polygon_filter": _sql_polygon(),
         "fill_forward": SQL_FILL_FORWARD,
+        "rollup_flag_density": SQL_ROLLUP_FLAGS,
+        "rollup_by_type": SQL_ROLLUP_BY_TYPE,
     }

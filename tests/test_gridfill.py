@@ -93,3 +93,16 @@ def test_gridfill_plan_has_no_udfs(spark):
     df = _obs(spark, [0, 1, 3])
     plan = grid_fill(df, PT1M)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_calendar_month_grid(spark):
+    """Calendar-aware periods (RelativeDuration months,
+    duration.rs:67-68): month-step grids via INTERVAL MONTH sequence."""
+    rows = [
+        ("s1", dt.datetime(2024, 1, 1), 1.0),
+        ("s1", dt.datetime(2024, 4, 1), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value float")
+    out = grid_fill(df, parse_iso8601("P1M")).orderBy("ts").collect()
+    assert [r.ts.month for r in out] == [1, 2, 3, 4]
+    assert [r.is_gap for r in out] == [False, True, True, False]
