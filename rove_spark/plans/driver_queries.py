@@ -435,6 +435,108 @@ FROM events GROUP BY 1, 2
 """
 
 
+SESSION_GAP_S = 3600
+
+
+def q_sessionize(spark, sf):
+    """Inactivity-gap sessionization per user (+ per-session stats)."""
+    from rove_spark.operators.sessionize import session_stats
+
+    ev = _events(spark, sf)
+    out = session_stats(
+        ev, SESSION_GAP_S, series_col="user_id", order_cols=["ts", "event_id"]
+    ).withColumn("duration_us", F.round(F.col("duration_sec") * 1_000_000))
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("int").alias("session_idx"),
+        "session_start",
+        "session_end",
+        F.col("duration_us").cast("long").alias("duration_us"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+), marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN pts IS NULL
+                   OR (epoch_us(ts) - epoch_us(pts)) > CAST({SESSION_GAP_S} AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+), assigned AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def q_topk_users(spark, sf):
+    """Top-10 users by event volume (deterministic tie-break)."""
+    ev = _events(spark, sf)
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_sum_cents"),
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("user_id", "n_events", "value_sum_cents", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_TOPK = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_sum_cents
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_events, value_sum_cents,
+       CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS INT) AS rank
+FROM c QUALIFY rank <= 10
+"""
+
+
+def q_cube_rollup(spark, sf):
+    """CUBE over (event_type, day): all grouping-set combinations with
+    integer-domain stats — multidimensional aggregate coverage."""
+    ev = _events(spark, sf).withColumn("day", F.date_trunc("day", "ts"))
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_sum_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day"), F.to_timestamp(F.lit("1970-01-01"))).alias("day"),
+            "n_events",
+            "value_sum_cents",
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                TIMESTAMP '1970-01-01') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_sum_cents
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+"""
+
+
 POLY = [(-0.1, -0.1), (0.12, -0.05), (0.1, 0.12), (-0.05, 0.1)]
 
 
@@ -779,6 +881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_forward": q_fill_forward,
         "rollup_flag_density": q_rollup_flag_density,
         "rollup_by_type": q_rollup_by_type,
+        "sessionize": q_sessionize,
+        "topk_users": q_topk_users,
+        "cube_rollup": q_cube_rollup,
     }
 
 
@@ -806,4 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "fill_forward": SQL_FILL_FORWARD,
         "rollup_flag_density": SQL_ROLLUP_FLAGS,
         "rollup_by_type": SQL_ROLLUP_BY_TYPE,
+        "sessionize": SQL_SESSIONIZE,
+        "topk_users": SQL_TOPK,
+        "cube_rollup": SQL_CUBE,
     }
