@@ -72,7 +72,8 @@ def synthetic_transcripts(
     turns = turns.filter(_h(seed + 2, "conv_n", "turn_idx", mod=gap_mod) >= int(gap_rate * gap_mod))
 
     role = (
-        F.when(F.pmod(F.col("turn_idx"), F.lit(2)) == 0, F.lit("user"))
+        F.when(F.col("turn_idx") == 0, F.lit("system"))
+        .when(F.pmod(F.col("turn_idx"), F.lit(2)) == 1, F.lit("user"))
         .when(_h(seed + 3, "conv_n", "turn_idx", mod=5) == 0, F.lit("tool"))
         .otherwise(F.lit("assistant"))
     )

@@ -54,6 +54,9 @@ def test_gaps_exist_on_grid(spark):
 def test_roles_and_tools(spark):
     df = synthetic_transcripts(spark, n_conv=20, avg_turns=40)
     roles = {r.role for r in df.select("role").distinct().collect()}
-    assert roles == {"user", "assistant", "tool"}
+    assert roles == {"user", "assistant", "tool", "system"}  # FIXTURES.md F1 domain
+    # exactly one system turn per conversation, at turn 0
+    sys_turns = df.filter(F.col("role") == "system")
+    assert sys_turns.filter(F.col("turn_idx") != 0).count() == 0
     assert df.filter((F.col("role") == "tool") & F.col("tool").isNull()).count() == 0
     assert df.filter((F.col("role") == "user") & F.col("tool").isNotNull()).count() == 0
