@@ -356,17 +356,20 @@ def q_token_stats(spark, sf):
     _utc(spark)
     docs = read_table(spark, sf, "documents")
     n_spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    bpe = F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("text_chars"),
         (n_spaces + 1).cast("long").alias("n_tokens"),
+        bpe.cast("long").alias("n_tokens_bpe"),
     )
 
 
 SQL_TOKEN_STATS = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS text_chars,
-       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens_bpe
 FROM documents
 """
 
@@ -432,6 +435,59 @@ SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
        max(value) AS value_max,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1, 2
+"""
+
+
+SAMPLE_FRACTION = 0.2
+STRATA_FRACTIONS = {"error": 1.0, "purchase": 0.1, "click": 0.05}
+
+
+def q_hash_sample(spark, sf):
+    """Deterministic (engine-portable) hash sampling: md5-keyed, so the
+    oracle reproduces the exact row membership."""
+    from rove_spark.operators.sampling import hash_sample
+
+    ev = _events(spark, sf)
+    return hash_sample(ev, ["event_id"], SAMPLE_FRACTION).select("event_id")
+
+
+# membership u < f over the md5 hash-unit is equivalent to a lexicographic
+# compare of the 8-hex-char prefix against ceil(f·2^32) in hex (md5 output
+# is lowercase hex in both engines; [0-9a-f] string order == numeric order)
+def _hex_threshold(fraction: float) -> str:
+    import math
+
+    t = math.ceil(fraction * (1 << 32))
+    if t >= (1 << 32):
+        return "g"  # lexicographically above every hex prefix → keep all
+    return format(t, "08x")
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT event_id FROM events
+WHERE substr(md5('|' || CAST(event_id AS VARCHAR)), 1, 8) < '{_hex_threshold(SAMPLE_FRACTION)}'
+"""
+
+
+def q_stratified_sample(spark, sf):
+    from rove_spark.operators.sampling import stratified_sample
+
+    ev = _events(spark, sf)
+    out = stratified_sample(ev, "event_type", STRATA_FRACTIONS, key_cols=["event_id"])
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+def _sql_stratified() -> str:
+    cases = " ".join(
+        f"WHEN event_type = '{k}' THEN '{_hex_threshold(v)}'"
+        for k, v in STRATA_FRACTIONS.items()
+    )
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled
+FROM events
+WHERE substr(md5('|' || CAST(event_id AS VARCHAR)), 1, 8)
+      < (CASE {cases} ELSE '00000000' END)
+GROUP BY 1
 """
 
 
@@ -884,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "topk_users": q_topk_users,
         "cube_rollup": q_cube_rollup,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -914,4 +972,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SQL_SESSIONIZE,
         "topk_users": SQL_TOPK,
         "cube_rollup": SQL_CUBE,
+        "hash_sample": SQL_HASH_SAMPLE,
+        "stratified_sample": _sql_stratified(),
     }
