@@ -47,6 +47,31 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str = "conv_id",
+    sort_cols: tuple[str, ...] = ("conv_id", "ts"),
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Write a series table bucketed on the series key and sorted by
+    (series, ts) — the Iceberg `bucket(conv_id)` + sort-order analog.
+    Downstream per-series window stages (every QC check) and series-keyed
+    aggregations then run with ZERO exchange: the scan itself satisfies
+    the clustering, and the sort order kills the window sort's shuffle
+    (measured 4.6× on the check stage; see BENCH.md). At 100 TB this is
+    the difference between re-shuffling the table per run and never
+    shuffling it at all."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(*sort_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 class PartitionedTable:
     """A partitioned parquet table with snapshot manifest + idempotent
     per-partition overwrite. Narrow stand-in for an Iceberg table."""

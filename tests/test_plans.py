@@ -100,3 +100,28 @@ def test_grouped_udf_keeps_parallel_partitioning(spark, parquet_transcripts):
     plan = _plan(chunks)
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan or "hashpartitioning" in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_bucketed_layout_eliminates_exchange(spark, parquet_transcripts, tmp_path):
+    """write_bucketed (Iceberg bucket+sort-order analog): per-series window
+    checks on the bucketed table must have NO exchange, and flags must
+    equal the plain-path flags exactly."""
+    from rove_spark.sources.tables import write_bucketed
+
+    df = spark.read.parquet(parquet_transcripts).withColumn(
+        "v", F.length("text").cast("float")
+    )
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
+    write_bucketed(df, "t_bucketed_test", n_buckets=4)
+    bt = spark.table("t_bucketed_test")
+
+    out_b = checks.step_check(bt, "v", max_=50.0)
+    plan = _plan(out_b)
+    assert "Exchange" not in plan
+
+    out_p = checks.step_check(df, "v", max_=50.0)
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    got_b = {key(r): r.flag_step_check for r in out_b.collect()}
+    got_p = {key(r): r.flag_step_check for r in out_p.collect()}
+    assert got_b == got_p
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
