@@ -68,6 +68,7 @@ def rollup_from_raw(
     text_len_source: str = "text",
     tool_col: str = "tool",
     checks: Sequence[str] = (),
+    sketch_cols: dict | None = None,
 ) -> DataFrame:
     """Raw turns (+ flag columns) → one tier. ``text_len_source`` may be the
     ``text`` column itself (length taken here, int domain) or a precomputed
@@ -82,7 +83,11 @@ def rollup_from_raw(
     keys = [F.col(series_col), F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts")]
     if role_col:
         keys.append(F.col(role_col))
-    out = df.groupBy(*keys).agg(*_base_aggs(tl, tool_col), *_flag_aggs(checks))
+    sketches = [
+        F.hll_sketch_agg(src).alias(f"{name}_hll")
+        for name, src in (sketch_cols or {}).items()
+    ]
+    out = df.groupBy(*keys).agg(*_base_aggs(tl, tool_col), *_flag_aggs(checks), *sketches)
     return out
 
 
@@ -106,6 +111,10 @@ def rollup_cascade(
             aggs.append(F.min(name).alias(name))
         elif name.endswith("_max"):
             aggs.append(F.max(name).alias(name))
+        elif name.endswith("_hll"):
+            # mergeable distinct sketches: union composes exactly like sums
+            # (the continuous-aggregate primitive for COUNT DISTINCT)
+            aggs.append(F.hll_union_agg(name).alias(name))
         else:  # counts and sums are additive
             aggs.append(F.sum(name).alias(name))
     return tier_df.groupBy(*keys).agg(*aggs)
@@ -145,6 +154,17 @@ def build_tiers(
     t1h = rollup_cascade(t1m, "1h", series_col=series_col, role_col=role_col)
     t1d = rollup_cascade(t1h, "1d", series_col=series_col, role_col=role_col)
     return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
+def with_sketch_estimates(tier_df: DataFrame) -> DataFrame:
+    """Read-time distinct estimates from the stored HLL sketches."""
+    out = tier_df
+    for name, dtype in tier_df.dtypes:
+        if name.endswith("_hll") and dtype == "binary":
+            out = out.withColumn(
+                name.removesuffix("_hll") + "_distinct", F.hll_sketch_estimate(name)
+            )
+    return out
 
 
 def with_rates(tier_df: DataFrame, checks: Sequence[str] = ()) -> DataFrame:

@@ -52,10 +52,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.warehouse.dir", os.environ.get("ROVE_WAREHOUSE", "/tmp/rove_warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # throughput-oriented GC: batch jobs prefer ParallelGC's higher
         # throughput over G1's pause targets (~20% on the rollup job here)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC -Dderby.system.home=/tmp/rove_derby",
+        )
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")

@@ -63,6 +63,18 @@ def write_bucketed(
     (measured 4.6× on the check stage; see BENCH.md). At 100 TB this is
     the difference between re-shuffling the table per run and never
     shuffling it at all."""
+    if mode == "overwrite":
+        # a previous crashed write can leave an orphaned location with no
+        # metastore entry — saveAsTable then fails LOCATION_ALREADY_EXISTS
+        import shutil
+        from urllib.parse import urlparse
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = Path(warehouse) / table_name.lower()
+        if loc.exists():
+            shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode(mode)
         .bucketBy(n_buckets, bucket_col)

@@ -36,13 +36,23 @@ spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 # materialize the input table once (untimed) - the engine is measured on
 # a real table scan, not on synthetic string generation
 src = sys.argv[4]
+bucketed = len(sys.argv) > 5 and sys.argv[5] == "bucketed"
 if not os.path.exists(src):
     gen = synthetic_transcripts(spark, n_conv=n_conv, avg_turns=avg_turns, n_partitions=128)
     gen.write.mode("overwrite").parquet(src)
-df = spark.read.parquet(src)
-# project text -> text_len once; the wide text column must never ride
-# through the window-sort exchange (memory-bandwidth kill at scale)
-df = df.select("conv_id", "ts", "role", "tool", F.length("text").cast("float").alias("text_len"))
+if bucketed:
+    from rove_spark.sources.tables import write_bucketed
+    table = "tr_scaling_" + src.rsplit("_", 2)[-2] + "_" + src.rsplit("_", 2)[-1]
+    if not spark.catalog.tableExists(table):
+        base = spark.read.parquet(src).select(
+            "conv_id", "ts", "role", "tool", F.length("text").cast("float").alias("text_len"))
+        write_bucketed(base, table, n_buckets=64)
+    df = spark.table(table)
+else:
+    df = spark.read.parquet(src)
+    # project text -> text_len once; the wide text column must never ride
+    # through the window-sort exchange (memory-bandwidth kill at scale)
+    df = df.select("conv_id", "ts", "role", "tool", F.length("text").cast("float").alias("text_len"))
 n_turns = df.count()
 t0 = time.time()
 flagged = checks.step_check(df, "text_len", max_=500.0)
@@ -68,7 +78,8 @@ def run_one(cpus: int, n_conv: int, avg_turns: int) -> dict:
     script = CHILD.format(repo=str(REPO))
     out = subprocess.run(
         [sys.executable, "-c", script, str(cpus), str(n_conv), str(avg_turns),
-         f"/tmp/rove_scaling_input_{n_conv}_{avg_turns}"],
+         f"/tmp/rove_scaling_input_{n_conv}_{avg_turns}",
+         "bucketed" if os.environ.get("ROVE_SCALING_BUCKETED") else "plain"],
         capture_output=True,
         text=True,
         timeout=1200,
@@ -121,10 +132,12 @@ def main() -> None:
         f"- local[{c}]: {[r['turns_per_sec'] for r in samples[c]]}" for c in sizes
     )
     bench_md = REPO / "BENCH.md"
+    marker = "## Scaling: N vs 4N parallelism (north_rule criterion)"
+    existing = bench_md.read_text() if bench_md.exists() else "# BENCH\n"
+    head = existing.split(marker)[0]
     bench_md.write_text(
-        f"""# BENCH — measured throughput + scaling efficiency
-
-## Scaling: N vs 4N parallelism (north_rule criterion)
+        head
+        + f"""{marker}
 
 Sandbox stand-in for N vs 4N executors (no real cluster here): the
 identical flag+rollup job (synthetic transcript table, {summary['local8']['n_turns']:,}

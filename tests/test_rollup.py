@@ -74,3 +74,27 @@ def test_retention_expiry(tmp_path, spark):
     assert all(str(r.day) >= cutoff for r in remaining)
     # manifest recorded the expiry
     assert any(s["operation"] == "drop_partitions" for s in table.snapshots)
+
+
+def test_hll_sketches_cascade(spark):
+    """Mergeable distinct sketches: the 1d tier's unioned sketch estimates
+    the same distinct count as direct aggregation from raw."""
+    from rove_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_from_raw,
+        with_sketch_estimates,
+    )
+
+    df = synthetic_transcripts(spark, n_conv=40, avg_turns=60)
+    t1m = rollup_from_raw(df, "1m", role_col=None, sketch_cols={"tools": "tool"})
+    t1h = rollup_cascade(t1m, "1h", role_col=None)
+    t1d = rollup_cascade(t1h, "1d", role_col=None)
+    est = with_sketch_estimates(t1d).select("conv_id", "bucket_ts", "tools_distinct")
+    direct = df.groupBy(
+        "conv_id", F.date_trunc("day", "ts").alias("bucket_ts")
+    ).agg(F.count_distinct("tool").alias("true_distinct"))
+    joined = est.join(direct, on=["conv_id", "bucket_ts"])
+    rows = joined.collect()
+    assert rows
+    # HLL is exact at these tiny cardinalities (≤ 8 tool names)
+    assert all(r.tools_distinct == r.true_distinct for r in rows)
