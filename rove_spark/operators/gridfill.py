@@ -104,6 +104,35 @@ def snap_to_grid(
     )
 
 
+def find_misaligned(
+    df: DataFrame,
+    period: Duration,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Quarantine report for the reference's two hard errors
+    (``fetch.rs:104-107,115-119,133-137``): rows off the grid and
+    duplicate (series, grid-slot) observations. Returns the offending rows
+    with a ``reason`` column — callers route them to an INVALID sink
+    instead of aborting (SPEC.md divergence note). Run it BEFORE
+    ``grid_fill``: duplicates would otherwise fan out the spine join."""
+    snapped = snap_to_grid(df, period, ts_col=ts_col)
+    off_grid = snapped.filter(~F.col("on_grid")).select(
+        series_col, ts_col, F.lit("off_grid").alias("reason")
+    )
+    dupes = (
+        snapped.groupBy(series_col, "grid_ts")
+        .count()
+        .filter(F.col("count") > 1)
+        .select(
+            series_col,
+            F.col("grid_ts").alias(ts_col),
+            F.lit("duplicate_slot").alias("reason"),
+        )
+    )
+    return off_grid.unionByName(dupes)
+
+
 def fill_forward(
     df: DataFrame,
     value_col: str,

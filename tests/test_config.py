@@ -85,3 +85,15 @@ def test_load_dir(tmp_path):
     ps = load_pipelines(tmp_path)
     assert set(ps) == {"a", "b"}
     assert ps["b"].steps == ()
+
+
+def test_ta_pt1h_parity_pipeline():
+    """The shipped TA_PT1H twin loads with the reference's derived
+    (leading, trailing) = (10, 1) and 7 steps."""
+    ps = load_pipelines("pipelines")
+    ta = ps["ta_pt1h"]
+    assert len(ta.steps) == 7
+    assert ta.steps[2].name == "climate_range_check"
+    assert ta.steps[2].check == "range_check_dynamic"
+    assert ta.num_leading_required == 10
+    assert ta.num_trailing_required == 1

@@ -1,0 +1,121 @@
+"""Cross-engine property fuzzing: random series (gaps, ties, edge values)
+→ Spark check operators vs the DuckDB oracle SQL — semantics must agree on
+EVERY row, not just the fixed driver tables. Catches edge-case divergence
+(NULL handling, tie ordering, boundary comparisons) that golden fixtures
+can miss."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from rove_spark.operators import checks
+
+STEP_MAX, STEP_HIGH = 5.0, 2.0
+FLAT_MAX = 2
+
+
+def _random_series(seed: int, n_series: int = 6, n_rows: int = 220) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    sid = rng.integers(0, n_series, n_rows)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 5000, n_rows), unit="m"
+    )
+    # quantized values → ties and flatline runs; ~12% NULLs → gaps
+    vals = np.round(rng.normal(10, 4, n_rows) / 2) * 2.0
+    vals[rng.random(n_rows) < 0.12] = np.nan
+    df = pd.DataFrame(
+        {
+            "sid": [f"s{i}" for i in sid],
+            "row_id": np.arange(n_rows),
+            "ts": ts,
+            # real NULLs (not NaN) so the DATA_MISSING path is exercised
+            "value": pd.array(vals, dtype="Float64"),
+        }
+    )
+    return df
+
+
+def _duck(pdf: pd.DataFrame, sql: str) -> dict:
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return {r[0]: r[1] for r in con.execute(sql).fetchall()}
+
+
+SQL_STEP = f"""
+SELECT row_id,
+       CASE WHEN prow IS NULL THEN 3
+            WHEN value IS NULL OR pv IS NULL THEN 5
+            WHEN abs(value - pv) >= {STEP_MAX} THEN 1
+            WHEN abs(value - pv) >= {STEP_HIGH} THEN 2
+            ELSE 0 END AS flag
+FROM (SELECT row_id, value,
+             lag(value) OVER w AS pv, lag(row_id) OVER w AS prow
+      FROM t WINDOW w AS (PARTITION BY sid ORDER BY ts, row_id))
+"""
+
+SQL_SPIKE = f"""
+SELECT row_id,
+       CASE WHEN prow IS NULL OR nrow IS NULL THEN 3
+            WHEN value IS NULL OR pv IS NULL OR nv IS NULL THEN 5
+            WHEN (value-pv)*(value-nv) > 0
+                 AND least(abs(value-pv), abs(value-nv)) >= {STEP_MAX} THEN 1
+            WHEN (value-pv)*(value-nv) > 0
+                 AND least(abs(value-pv), abs(value-nv)) >= {STEP_HIGH} THEN 2
+            ELSE 0 END AS flag
+FROM (SELECT row_id, value,
+             lag(value) OVER w AS pv, lead(value) OVER w AS nv,
+             lag(row_id) OVER w AS prow, lead(row_id) OVER w AS nrow
+      FROM t WINDOW w AS (PARTITION BY sid ORDER BY ts, row_id))
+"""
+
+SQL_FLATLINE = f"""
+WITH lagged AS (
+  SELECT row_id, sid, ts, value,
+         CASE WHEN value IS DISTINCT FROM lag(value) OVER w THEN 1 ELSE 0 END AS ch,
+         row_number() OVER w AS rn
+  FROM t WINDOW w AS (PARTITION BY sid ORDER BY ts, row_id)
+), g AS (
+  SELECT *, sum(ch) OVER (PARTITION BY sid ORDER BY ts, row_id
+                          ROWS UNBOUNDED PRECEDING) AS grp
+  FROM lagged
+), r AS (
+  SELECT row_id, value, rn,
+         row_number() OVER (PARTITION BY sid, grp ORDER BY ts, row_id) AS run_len
+  FROM g
+)
+SELECT row_id,
+       CASE WHEN value IS NULL THEN 5
+            WHEN run_len >= {FLAT_MAX + 1} THEN 1
+            WHEN rn <= {FLAT_MAX} THEN 3
+            ELSE 0 END AS flag
+FROM r
+"""
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_checks_vs_duckdb(spark, seed):
+    pdf = _random_series(seed)
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "value", __import__("pyspark.sql.functions", fromlist=["col"]).col("value")
+    )
+    order = ("ts", "row_id")
+    out = checks.step_check(
+        sdf, "value", max_=STEP_MAX, high=STEP_HIGH, series_col="sid", order_cols=order
+    )
+    out = checks.spike_check(
+        out, "value", max_=STEP_MAX, high=STEP_HIGH, series_col="sid", order_cols=order
+    )
+    out = checks.flatline_check(out, "value", max_=FLAT_MAX, series_col="sid", order_cols=order)
+    rows = out.select(
+        "row_id", "flag_step_check", "flag_spike_check", "flag_flatline_check"
+    ).collect()
+    got_step = {r.row_id: r.flag_step_check for r in rows}
+    got_spike = {r.row_id: r.flag_spike_check for r in rows}
+    got_flat = {r.row_id: r.flag_flatline_check for r in rows}
+
+    assert got_step == _duck(pdf, SQL_STEP), "step divergence"
+    assert got_spike == _duck(pdf, SQL_SPIKE), "spike divergence"
+    assert got_flat == _duck(pdf, SQL_FLATLINE), "flatline divergence"

@@ -106,3 +106,20 @@ def test_calendar_month_grid(spark):
     out = grid_fill(df, parse_iso8601("P1M")).orderBy("ts").collect()
     assert [r.ts.month for r in out] == [1, 2, 3, 4]
     assert [r.is_gap for r in out] == [False, True, True, False]
+
+
+def test_find_misaligned(spark):
+    from rove_spark.operators.gridfill import find_misaligned
+
+    rows = [
+        ("s1", T0, 1.0),
+        ("s1", T0 + dt.timedelta(seconds=90), 2.0),  # off grid
+        ("s2", T0, 3.0),
+        ("s2", T0 + dt.timedelta(seconds=10), 4.0),  # off grid AND same slot as prev
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value float")
+    got = {(r.conv_id, r.reason) for r in find_misaligned(df, PT1M).collect()}
+    assert ("s1", "off_grid") in got
+    assert ("s2", "off_grid") in got
+    assert ("s2", "duplicate_slot") in got
+    assert ("s1", "duplicate_slot") not in got
