@@ -75,6 +75,17 @@ _STEP_STATE = StructType(
     [StructField("last_ts", DoubleType()), StructField("last_value", DoubleType())]
 )
 
+# spike needs one row of lookahead: state buffers the not-yet-emittable
+# latest point (cur) plus its predecessor (prev)
+_SPIKE_STATE = StructType(
+    [
+        StructField("prev_ts", DoubleType()),
+        StructField("prev_value", DoubleType()),
+        StructField("cur_ts", DoubleType()),
+        StructField("cur_value", DoubleType()),
+    ]
+)
+
 _STEP_OUT = StructType(
     [
         StructField("series_id", StringType()),
@@ -146,4 +157,93 @@ def stream_step_check(
     )
     return prepped.groupBy("_sid").applyInPandasWithState(
         fn, _STEP_OUT, _STEP_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_SPIKE_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("flag_spike_check", LongType()),
+    ]
+)
+
+
+def stream_spike_check(
+    stream_df: DataFrame,
+    value_col: str,
+    max_: float,
+    high: float = 2.0,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming spike_check: the 3-point window needs one row of
+    LOOKAHEAD, so each point is emitted when its successor arrives; state
+    buffers (prev, cur) per series across micro-batches. The stream's
+    final point stays pending until more data arrives — exactly the batch
+    operator's trailing-context INCONCLUSIVE, deferred instead of
+    emitted."""
+    import math
+
+    import pandas as pd
+
+    def _flag(prev, cur, nxt):
+        vals = (prev[1], cur[1], nxt[1])
+        if any(v is None or (isinstance(v, float) and math.isnan(v)) for v in vals):
+            return int(Flag.DATA_MISSING)
+        d1, d2 = cur[1] - prev[1], cur[1] - nxt[1]
+        if d1 * d2 > 0:
+            m = min(abs(d1), abs(d2))
+            if m >= max_:
+                return int(Flag.FAIL)
+            if m >= high:
+                return int(Flag.WARN)
+        return int(Flag.PASS)
+
+    def fn(key, pdf_iter, state: GroupState):
+        prev = cur = None
+        if state.exists:
+            p_ts, p_v, c_ts, c_v = state.get
+            if p_ts is not None and not math.isnan(p_ts):
+                prev = (p_ts, None if math.isnan(p_v) else p_v)
+            if c_ts is not None and not math.isnan(c_ts):
+                cur = (c_ts, None if math.isnan(c_v) else c_v)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("_epoch")
+            for ts_e, v in zip(pdf["_epoch"], pdf["_v"]):
+                nxt = (float(ts_e), None if pd.isna(v) else float(v))
+                if cur is not None:
+                    if prev is None:
+                        out.append((key[0], cur[0], cur[1], int(Flag.INCONCLUSIVE)))
+                    else:
+                        out.append((key[0], cur[0], cur[1], _flag(prev, cur, nxt)))
+                prev, cur = cur, nxt
+        state.update(
+            (
+                prev[0] if prev else float("nan"),
+                prev[1] if prev and prev[1] is not None else float("nan"),
+                cur[0] if cur else float("nan"),
+                cur[1] if cur and cur[1] is not None else float("nan"),
+            )
+        )
+        if out:
+            df = pd.DataFrame(out, columns=["series_id", "ts", "value", "flag_spike_check"])
+            df["ts"] = pd.to_datetime(df["ts"], unit="s")
+            yield df
+        else:
+            yield pd.DataFrame(columns=[f.name for f in _SPIKE_OUT])
+
+    prepped = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.col(series_col).cast("string").alias("_sid"),
+            F.unix_timestamp(F.col(ts_col)).cast("double").alias("_epoch"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+    )
+    return prepped.groupBy("_sid").applyInPandasWithState(
+        fn, _SPIKE_OUT, _SPIKE_STATE, "append", GroupStateTimeout.NoTimeout
     )

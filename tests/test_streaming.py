@@ -102,3 +102,41 @@ def test_stream_rollup_is_streaming_plan(spark, tmp_path, mode):
     stream = spark.readStream.schema(SCHEMA).parquet(str(src))
     rolled = stream_rollup(stream)
     assert rolled.isStreaming
+
+
+def test_stream_spike_check_lookahead_across_restarts(tmp_path, spark):
+    """Spike needs one row of lookahead: a point is emitted when its
+    successor arrives — even when the successor comes in a later
+    micro-batch run (state carries prev+cur)."""
+    from rove_spark.streaming.rollup_stream import stream_spike_check
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(rows, "conv_id string, ts timestamp, value double")  # noqa: E731
+
+    def run(rows):
+        mk(rows).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema("conv_id string, ts timestamp, value double").parquet(str(src))
+        flagged = stream_spike_check(stream, "value", max_=50.0, high=10.0)
+        q = (
+            flagged.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run([("c1", t0 + dt.timedelta(minutes=i), 10.0) for i in range(3)])  # batch 1
+    # batch 2: big spike at minute 3, successor at minute 4 in batch 3
+    run([("c1", t0 + dt.timedelta(minutes=3), 100.0)])
+    run([("c1", t0 + dt.timedelta(minutes=4), 10.5)])
+
+    got = {r.ts: r.flag_spike_check for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    # minutes 0..3 emitted (4 stays pending until a successor arrives)
+    assert set(got) == {t0 + dt.timedelta(minutes=i) for i in range(4)}
+    assert got[t0] == Flag.INCONCLUSIVE  # stream head: no predecessor
+    assert got[t0 + dt.timedelta(minutes=1)] == Flag.PASS
+    assert got[t0 + dt.timedelta(minutes=2)] == Flag.PASS
+    assert got[t0 + dt.timedelta(minutes=3)] == Flag.FAIL  # deviates from both
