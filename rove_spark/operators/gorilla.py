@@ -104,18 +104,32 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     # a batch engine must not crash on pathological input)
     out.write(int(deltas[0]) & 0xFFFFFFFFFFFFFFFF, 64)
     dod = np.diff(deltas)
+    # hot loop with inlined accumulator (cf. encode_values)
+    acc, nbits = out.acc, out.nbits
+    chunks = out.chunks
     for d in dod.tolist():
         if d == 0:
-            out.write(0, 1)
-            continue
-        for lo, hi, prefix, plen, vbits in _TS_CLASSES:
-            if lo <= d <= hi:
-                out.write(prefix, plen)
-                out.write(d - lo, vbits)  # bias to unsigned
-                break
+            acc <<= 1
+            nbits += 1
+        elif -63 <= d <= 64:
+            acc = (((acc << 2) | 0b10) << 7) | (d + 63)
+            nbits += 9
+        elif -255 <= d <= 256:
+            acc = (((acc << 3) | 0b110) << 9) | (d + 255)
+            nbits += 12
+        elif -2047 <= d <= 2048:
+            acc = (((acc << 4) | 0b1110) << 12) | (d + 2047)
+            nbits += 16
         else:
-            out.write(0b1111, 4)
-            out.write(d & 0xFFFFFFFFFFFFFFFF, 64)
+            acc = (((acc << 4) | 0b1111) << 64) | (d & 0xFFFFFFFFFFFFFFFF)
+            nbits += 68
+        if nbits >= 4096:
+            spill = nbits % 8
+            take = nbits - spill
+            chunks.append((acc >> spill).to_bytes(take // 8, "big"))
+            acc &= (1 << spill) - 1
+            nbits = spill
+    out.acc, out.nbits = acc, nbits
     return out.getvalue()
 
 
@@ -167,25 +181,40 @@ def encode_values(values: np.ndarray) -> bytes:
     lead = np.where(nz, 31 - np.floor(np.log2(np.maximum(xors, 1)).astype(np.int64)), 32)
     low = (xors & (~xors + np.uint32(1))).astype(np.uint64)  # lowest set bit
     trail = np.where(nz, np.round(np.log2(np.maximum(low, 1))).astype(np.int64), 32)
+    # hot loop: accumulator inlined (method-call overhead is ~40% of encode
+    # time otherwise); flushed back into the writer at the end
+    xs = xors.tolist()
+    ld = lead.astype(np.int64).tolist()
+    tr = trail.astype(np.int64).tolist()
+    acc, nbits = out.acc, out.nbits
+    chunks = out.chunks
     prev_lead, prev_mlen = -1, -1
-    for i in range(len(xors)):
-        x = int(xors[i])
+    for i, x in enumerate(xs):
         if x == 0:
-            out.write(0, 1)
-            continue
-        lz, tz = int(lead[i]), int(trail[i])
-        if lz > 31:
-            lz = 31  # 5-bit field
-        mlen = 32 - lz - tz
-        if prev_lead >= 0 and lz >= prev_lead and (32 - prev_lead - prev_mlen) <= tz:
-            out.write(0b10, 2)
-            out.write(x >> (32 - prev_lead - prev_mlen), prev_mlen)
+            acc <<= 1
+            nbits += 1
         else:
-            out.write(0b11, 2)
-            out.write(lz, 5)
-            out.write(mlen - 1, 6)  # mlen in 1..32 → 0..31
-            out.write(x >> tz, mlen)
-            prev_lead, prev_mlen = lz, mlen
+            lz = ld[i]
+            if lz > 31:
+                lz = 31  # 5-bit field
+            tz = tr[i]
+            mlen = 32 - lz - tz
+            if prev_lead >= 0 and lz >= prev_lead and (32 - prev_lead - prev_mlen) <= tz:
+                acc = (acc << 2) | 0b10
+                acc = (acc << prev_mlen) | (x >> (32 - prev_lead - prev_mlen))
+                nbits += 2 + prev_mlen
+            else:
+                acc = (((acc << 2) | 0b11) << 11) | (lz << 6) | (mlen - 1)
+                acc = (acc << mlen) | (x >> tz)
+                nbits += 13 + mlen
+                prev_lead, prev_mlen = lz, mlen
+        if nbits >= 4096:
+            spill = nbits % 8
+            take = nbits - spill
+            chunks.append((acc >> spill).to_bytes(take // 8, "big"))
+            acc &= (1 << spill) - 1
+            nbits = spill
+    out.acc, out.nbits = acc, nbits
     return out.getvalue()
 
 
@@ -197,20 +226,46 @@ def decode_values(blob: bytes) -> np.ndarray:
         return out.view(np.float32)
     cur = r.read(32)
     out[0] = cur
+    # hot loop: bit reader inlined (same rationale as the encoder)
+    data = r.data
+    byte_pos, acc, acc_bits = r.byte_pos, r.acc, r.acc_bits
     lead, mlen = 0, 0
+    vals = out
     for i in range(1, n):
-        if r.read(1) == 0:
-            out[i] = cur
+        if acc_bits < 1:
+            acc = (acc << 8) | data[byte_pos]
+            byte_pos += 1
+            acc_bits += 8
+        top = (acc >> (acc_bits - 1)) & 1
+        acc_bits -= 1
+        if top == 0:
+            acc &= (1 << acc_bits) - 1  # keep the accumulator bounded
+            vals[i] = cur
             continue
-        if r.read(1) == 0:  # reuse window
-            bits = r.read(mlen)
-            cur ^= bits << (32 - lead - mlen)
-        else:
-            lead = r.read(5)
-            mlen = r.read(6) + 1
-            bits = r.read(mlen)
-            cur ^= bits << (32 - lead - mlen)
-        out[i] = cur
+        if acc_bits < 1:
+            acc = (acc << 8) | data[byte_pos]
+            byte_pos += 1
+            acc_bits += 8
+        ctrl = (acc >> (acc_bits - 1)) & 1
+        acc_bits -= 1
+        if ctrl == 1:  # '11': new window
+            while acc_bits < 11:
+                acc = (acc << 8) | data[byte_pos]
+                byte_pos += 1
+                acc_bits += 8
+            acc_bits -= 11
+            hdr = (acc >> acc_bits) & 0x7FF
+            lead = hdr >> 6
+            mlen = (hdr & 0x3F) + 1
+        while acc_bits < mlen:
+            acc = (acc << 8) | data[byte_pos]
+            byte_pos += 1
+            acc_bits += 8
+        acc_bits -= mlen
+        bits = (acc >> acc_bits) & ((1 << mlen) - 1)
+        acc &= (1 << acc_bits) - 1
+        cur ^= bits << (32 - lead - mlen)
+        vals[i] = cur
     return out.view(np.float32)
 
 
