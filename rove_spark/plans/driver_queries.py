@@ -857,7 +857,8 @@ def q_sct(spark, sf):
         F.avg("value").alias("dv")
     )
     located = with_synthetic_coords(daily, series_col="user_id")
-    out = sct(located, "dv", series_col="user_id", num_min=3, pos=3.0, neg=3.0)
+    # cell-bucketed box OI (the scale path): bounded groups + halo context
+    out = sct(located, "dv", series_col="user_id", num_min=3, pos=3.0, neg=3.0, cell_deg=0.7)
     return out.select(
         F.col("series_id").alias("user_id"),
         "ts",
