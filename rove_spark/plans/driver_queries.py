@@ -438,6 +438,57 @@ FROM events GROUP BY 1, 2
 """
 
 
+Z_WINDOW, Z_THRESHOLD, Z_MIN_HIST = 12, 6.0, 4
+
+
+def q_zscore_check(spark, sf):
+    """Rolling z-score anomaly check (self-adaptive thresholding):
+    trailing-window moments in an exact integer domain → identical
+    doubles on both engines."""
+    from rove_spark.operators.rolling import zscore_check
+
+    ev = _events(spark, sf)
+    out = zscore_check(
+        ev,
+        "value",
+        window_rows=Z_WINDOW,
+        threshold=Z_THRESHOLD,
+        min_history=Z_MIN_HIST,
+        series_col="user_id",
+        order_cols=_EV_ORDER,
+    )
+    return out.select("event_id", F.col("flag_zscore_check").cast("int").alias("flag_z"))
+
+
+SQL_ZSCORE = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT event_id, value,
+         count(cents) OVER w AS n,
+         sum(cents) OVER w AS s,
+         sum(cents * cents) OVER w AS s2
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {Z_WINDOW} PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_id, value, n,
+         CAST(s AS DOUBLE) / n / 100 AS mean,
+         greatest((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  / n / 10000, 0.0) AS var
+  FROM m
+)
+SELECT event_id,
+       CAST(CASE WHEN value IS NULL THEN 5
+                 WHEN n IS NULL OR n < {Z_MIN_HIST} THEN 3
+                 WHEN abs(value - mean) / greatest(sqrt(var), 1e-9) > {Z_THRESHOLD} THEN 1
+                 ELSE 0 END AS INT) AS flag_z
+FROM z
+"""
+
+
 SAMPLE_FRACTION = 0.2
 STRATA_FRACTIONS = {"error": 1.0, "purchase": 0.1, "click": 0.05}
 
@@ -943,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_rollup": q_cube_rollup,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "zscore_check": q_zscore_check,
     }
 
 
@@ -975,4 +1027,5 @@ def oracle_sql() -> dict[str, str]:
         "cube_rollup": SQL_CUBE,
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": _sql_stratified(),
+        "zscore_check": SQL_ZSCORE,
     }

@@ -247,3 +247,82 @@ def stream_spike_check(
     return prepped.groupBy("_sid").applyInPandasWithState(
         fn, _SPIKE_OUT, _SPIKE_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_FLAT_STATE = StructType(
+    [
+        StructField("last_value", DoubleType()),
+        StructField("run_len", LongType()),
+        StructField("rn", LongType()),
+    ]
+)
+
+_FLAT_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("flag_flatline_check", LongType()),
+    ]
+)
+
+
+def stream_flatline_check(
+    stream_df: DataFrame,
+    value_col: str,
+    max_: int,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming flatline_check (SPEC.md semantics): state carries
+    (last_value, current run length, rows seen) per series — constant
+    memory, exact continuity across micro-batches."""
+    import math
+
+    import pandas as pd
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            lv, run_len, rn = state.get
+            last = None if lv is None or math.isnan(lv) else lv
+        else:
+            last, run_len, rn = None, 0, 0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("_epoch")
+            for ts_e, v in zip(pdf["_epoch"], pdf["_v"]):
+                val = None if pd.isna(v) else float(v)
+                rn += 1
+                if val is None:
+                    run_len = 0
+                    flag = int(Flag.DATA_MISSING)
+                else:
+                    run_len = run_len + 1 if (last is not None and val == last) else 1
+                    if run_len >= max_ + 1:
+                        flag = int(Flag.FAIL)
+                    elif rn <= max_:
+                        flag = int(Flag.INCONCLUSIVE)
+                    else:
+                        flag = int(Flag.PASS)
+                out.append((key[0], float(ts_e), val, flag))
+                last = val
+        state.update((last if last is not None else float("nan"), run_len, rn))
+        if out:
+            df = pd.DataFrame(out, columns=["series_id", "ts", "value", "flag_flatline_check"])
+            df["ts"] = pd.to_datetime(df["ts"], unit="s")
+            yield df
+        else:
+            yield pd.DataFrame(columns=[f.name for f in _FLAT_OUT])
+
+    prepped = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.col(series_col).cast("string").alias("_sid"),
+            F.unix_timestamp(F.col(ts_col)).cast("double").alias("_epoch"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+    )
+    return prepped.groupBy("_sid").applyInPandasWithState(
+        fn, _FLAT_OUT, _FLAT_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -140,3 +140,36 @@ def test_stream_spike_check_lookahead_across_restarts(tmp_path, spark):
     assert got[t0 + dt.timedelta(minutes=1)] == Flag.PASS
     assert got[t0 + dt.timedelta(minutes=2)] == Flag.PASS
     assert got[t0 + dt.timedelta(minutes=3)] == Flag.FAIL  # deviates from both
+
+
+def test_stream_flatline_check(tmp_path, spark):
+    from rove_spark.streaming.rollup_stream import stream_flatline_check
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(rows, "conv_id string, ts timestamp, value double")  # noqa: E731
+
+    def run(rows):
+        mk(rows).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema("conv_id string, ts timestamp, value double").parquet(str(src))
+        flagged = stream_flatline_check(stream, "value", max_=3)
+        q = (
+            flagged.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run of 5s split across two batches: the FAIL threshold (run ≥ 4)
+    # is crossed by a row in the SECOND batch via carried state
+    run([("c1", t0 + dt.timedelta(minutes=i), 5.0) for i in range(3)])
+    run([("c1", t0 + dt.timedelta(minutes=3), 5.0), ("c1", t0 + dt.timedelta(minutes=4), 7.0)])
+
+    got = {r.ts: r.flag_flatline_check for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got[t0] == Flag.INCONCLUSIVE
+    assert got[t0 + dt.timedelta(minutes=2)] == Flag.INCONCLUSIVE  # rn <= max
+    assert got[t0 + dt.timedelta(minutes=3)] == Flag.FAIL  # 4th equal value
+    assert got[t0 + dt.timedelta(minutes=4)] == Flag.PASS  # run broken
