@@ -167,26 +167,33 @@ def minhash_dedup(
     return jaccard_verify(cands, sh, id_col=id_col, threshold=threshold)
 
 
-def dedup_components(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Duplicate clusters via iterative label propagation (min-id
-    convergence — a bounded loop of joins, no driver-side graph). Returns
-    (id, cluster_id); singletons map to themselves.
-
-    Iterations are O(log(diameter)); near-dup clusters are tiny in
-    practice, so 5 rounds is plenty (asserted converged in tests)."""
+def dedup_components(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Duplicate clusters via min-label propagation TO CONVERGENCE: each
+    round pushes the minimum label one hop, and the loop stops when a
+    round changes nothing (checked with a cheap xor-of-hashes aggregate), so chains of
+    any diameter ≤ max_rounds resolve fully. Labels are checkpointed via
+    persist each round to keep the plan linear. Raises if not converged
+    within max_rounds (pathological mega-chain — raise the cap)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = all_ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
-    for _ in range(5):
+    labels = all_ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id")).persist()
+    prev_sum = labels.agg(F.bit_xor(F.xxhash64("src", "cluster_id"))).first()[0]
+    for _ in range(max_rounds):
         prop = (
             edges.join(labels, on="src")
             .groupBy(F.col("dst").alias("src"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        labels = (
+        new_labels = (
             labels.join(prop, on="src", how="left")
             .select(
                 "src",
@@ -194,7 +201,17 @@ def dedup_components(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id
                     "cluster_id"
                 ),
             )
+            .persist()
         )
+        new_sum = new_labels.agg(F.bit_xor(F.xxhash64("src", "cluster_id"))).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # fixed point: labels identical
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+    edges.unpersist()
     return labels.withColumnRenamed("src", id_col)
 
 

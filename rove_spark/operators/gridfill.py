@@ -68,6 +68,19 @@ def grid_fill(
     bounds = obs.groupBy(series_col).agg(
         F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
     )
+    # anchor the spine on the epoch-aligned grid (same convention as
+    # snap_to_grid): a series whose first obs sits off-grid must not
+    # define a shifted grid that silently drops every on-grid observation.
+    # Off-grid obs are the find_misaligned pre-pass's job; on-grid data is
+    # unaffected (floor of an on-grid min_ts is itself).
+    if period.is_calendar:
+        bounds = bounds.withColumn("_min_ts", F.date_trunc("month", "_min_ts"))
+    else:
+        sec = period.seconds
+        epoch = F.unix_timestamp("_min_ts")
+        bounds = bounds.withColumn(
+            "_min_ts", F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(sec)))
+        )
     if num_leading:
         bounds = bounds.withColumn("_min_ts", F.col("_min_ts") - interval * num_leading)
     if num_trailing:

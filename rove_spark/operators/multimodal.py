@@ -97,6 +97,10 @@ def decode_assets(
             "container — the deterministic stub is the supported path here"
         )
 
+    from rove_spark.operators.util import parallel_groups
+
+    df = parallel_groups(df, "asset_id")
+
     def run(batches):
         for pdf in batches:
             decoded = [
@@ -121,6 +125,10 @@ def extract_features(
 
     if decode_real:
         raise NotImplementedError("real feature extraction is stubbed in this container")
+
+    from rove_spark.operators.util import parallel_groups
+
+    df = parallel_groups(df, "asset_id")
 
     def run(batches):
         for pdf in batches:

@@ -21,6 +21,25 @@ from pyspark.sql import functions as F
 from rove_spark.model import Flag
 
 
+def _window_moments(df, value_col, frame_lo, frame_hi, series_col, order_cols, scale):
+    """Shared exact-integer rolling moments over a ROWS frame: returns
+    (df_with_cents, n, mean, var) — the single source of the cross-engine
+    exactness-critical arithmetic."""
+    w = Window.partitionBy(series_col).orderBy(*order_cols).rowsBetween(frame_lo, frame_hi)
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    df2 = df.withColumn("_c", cents)
+    n = F.count("_c").over(w)
+    s = F.sum("_c").over(w)
+    s2 = F.sum(F.col("_c") * F.col("_c")).over(w)
+    mean = s.cast("double") / n / scale
+    var = (
+        (s2.cast("double") - s.cast("double") * s.cast("double") / n)
+        / n
+        / (scale * scale)
+    )
+    return df2, n, mean, var
+
+
 def with_rolling_stats(
     df: DataFrame,
     value_col: str,
@@ -32,21 +51,8 @@ def with_rolling_stats(
 ) -> DataFrame:
     """Trailing-window (current row + ``window_rows-1`` predecessors)
     count/mean/variance via exact integer sums of scaled values."""
-    w = (
-        Window.partitionBy(series_col)
-        .orderBy(*order_cols)
-        .rowsBetween(-(window_rows - 1), 0)
-    )
-    cents = F.round(F.col(value_col) * scale).cast("long")
-    df2 = df.withColumn("_c", cents)
-    n = F.count("_c").over(w)
-    s = F.sum("_c").over(w)
-    s2 = F.sum(F.col("_c") * F.col("_c")).over(w)
-    mean = s.cast("double") / n / scale
-    var = (
-        (s2.cast("double") - s.cast("double") * s.cast("double") / n)
-        / n
-        / (scale * scale)
+    df2, n, mean, var = _window_moments(
+        df, value_col, -(window_rows - 1), 0, series_col, order_cols, scale
     )
     return (
         df2.withColumn(f"{prefix}n", n)
@@ -72,22 +78,8 @@ def zscore_check(
     Fewer than ``min_history`` predecessors ⇒ INCONCLUSIVE; NULL ⇒
     DATA_MISSING."""
     min_history = min_history if min_history is not None else max(2, window_rows // 2)
-    w = (
-        Window.partitionBy(series_col)
-        .orderBy(*order_cols)
-        .rowsBetween(-window_rows, -1)
-    )
-    scale = 100
-    cents = F.round(F.col(value_col) * scale).cast("long")
-    df2 = df.withColumn("_c", cents)
-    n = F.count("_c").over(w)
-    s = F.sum("_c").over(w)
-    s2 = F.sum(F.col("_c") * F.col("_c")).over(w)
-    mean = s.cast("double") / n / scale
-    var = (
-        (s2.cast("double") - s.cast("double") * s.cast("double") / n)
-        / n
-        / (scale * scale)
+    df2, n, mean, var = _window_moments(
+        df, value_col, -window_rows, -1, series_col, order_cols, scale=100
     )
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     z = F.abs(F.col(value_col) - mean) / F.greatest(std, F.lit(min_std))

@@ -36,13 +36,18 @@ TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
 CASCADE_ORDER = ["1m", "1h", "1d"]
 
 
-def _base_aggs(text_len_col: str, tool_col: str) -> list:
+def _base_aggs(text_len_col: str, tool_col: str | None) -> list:
+    tool_calls = (
+        F.sum(F.col(tool_col).isNotNull().cast("long"))
+        if tool_col
+        else F.sum(F.lit(0).cast("long"))
+    )
     return [
         F.count(F.lit(1)).alias("n_turns"),
         F.sum(F.col(text_len_col).cast("long")).alias("text_len_sum"),
         F.min(F.col(text_len_col).cast("long")).alias("text_len_min"),
         F.max(F.col(text_len_col).cast("long")).alias("text_len_max"),
-        F.sum(F.col(tool_col).isNotNull().cast("long")).alias("n_tool_calls"),
+        tool_calls.alias("n_tool_calls"),
     ]
 
 

@@ -105,7 +105,9 @@ def buddy_check_kernel(
         std = np.maximum(np.sqrt(var), min_std)
         z = np.abs(values - mean) / std
         newly_failed = present & (cnt >= num_min) & (z > threshold) & ~excluded
-        isolated = present & check & (cnt < num_min)
+        # never overwrite a FAIL: a station whose buddies all failed out of
+        # the pool must stay FAIL, not flip to ISOLATED in a later round
+        isolated = present & check & ~excluded & (cnt < num_min) & (flags != int(Flag.FAIL))
         flags[isolated] = int(Flag.ISOLATED)
         # halo rows leave the buddy pool when bad but are flagged at home
         flags[newly_failed & check] = int(Flag.FAIL)
@@ -243,11 +245,26 @@ def _grouped_spatial(
         grouped = base.withColumn("cell", F.lit(0)).withColumn("is_halo", F.lit(False))
         group_keys = ["ts"]
     else:
-        # home cell + 8 neighbors (halo rows give full context at borders;
-        # halo width must cover the check radius)
+        # home cell + as many neighbor rings as the check radius needs:
+        # a station can influence checks up to halo_deg away, so the halo
+        # must span ceil(halo_deg / cell_deg) rings — one ring would
+        # silently drop in-radius neighbors when cell_deg < halo_deg
+        import math
+
+        rings = max(1, math.ceil(halo_deg / cell_deg))
+        if rings > 3:
+            raise ValueError(
+                f"cell_deg={cell_deg} needs {rings} halo rings for a "
+                f"{halo_deg:.2f}-degree check radius — duplication cost "
+                f"explodes; use cell_deg >= {halo_deg / 3:.2f}"
+            )
         cell_x = F.floor(F.col("lon") / cell_deg).cast("int")
         cell_y = F.floor(F.col("lat") / cell_deg).cast("int")
-        offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        offsets = [
+            (dx, dy)
+            for dx in range(-rings, rings + 1)
+            for dy in range(-rings, rings + 1)
+        ]
         off_df = df.sparkSession.createDataFrame(offsets, "dx int, dy int")
         grouped = (
             base.withColumn("cx", cell_x)
@@ -257,7 +274,6 @@ def _grouped_spatial(
             .withColumn("is_halo", (F.col("dx") != 0) | (F.col("dy") != 0))
             .drop("cx", "cy", "dx", "dy")
         )
-        _ = halo_deg
         group_keys = ["ts", "cell"]
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":

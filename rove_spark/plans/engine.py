@@ -17,6 +17,7 @@ materialization (see checkpoint.py).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from datetime import datetime, timedelta
 from pathlib import Path
 from time import time
 
@@ -196,12 +197,33 @@ class Engine:
         if not todo:
             return result
 
-        work = df.withColumn("day", day).filter(F.col("day").isin(todo))
+        # context widening: window checks need neighboring rows, so a
+        # resumed run must see one day of context on each side of the todo
+        # set — otherwise flags at day boundaries differ from a from-scratch
+        # run (lag rows missing ⇒ spurious INCONCLUSIVE/DATA_MISSING).
+        # One day covers any sane leading/trailing requirement (≤ minutes
+        # of context at PT1M); flagged rows outside todo are dropped again
+        # before the rollup so tiers cover exactly the todo partitions.
+        ctx_days = set(todo)
+        for d in todo:
+            base = datetime.strptime(d, "%Y-%m-%d")
+            ctx_days.add((base - timedelta(days=1)).strftime("%Y-%m-%d"))
+            ctx_days.add((base + timedelta(days=1)).strftime("%Y-%m-%d"))
+        work = df.withColumn("day", day).filter(F.col("day").isin(sorted(ctx_days)))
         flagged = self.run_pipeline(work, pipeline_name, value_col, series_col, (ts_col,))
+        flagged = flagged.filter(F.col("day").isin(todo))
         check_names = [s.name for s in pipe.steps]
         t0 = time()
+        # tier text stats follow the frame's columns: use real text when
+        # present, otherwise the checked signal; tool column is optional
         tiers = build_tiers(
-            flagged, series_col=series_col, ts_col=ts_col, checks=check_names
+            flagged,
+            series_col=series_col,
+            ts_col=ts_col,
+            checks=check_names,
+            text_len_source="text" if "text" in df.columns else value_col,
+            tool_col="tool" if "tool" in df.columns else None,
+            role_col="role" if "role" in df.columns else None,
         )
         metrics: dict[str, dict] = {d: {} for d in todo}
         for tier_name, tier_df in tiers.items():
@@ -222,6 +244,7 @@ class Engine:
             for r in stats:
                 if str(r.day) in metrics:
                     metrics[str(r.day)][f"rows_{tier_name}"] = r.rows
+        tiers["1m"].unpersist()  # build_tiers persists it; this job owns it
         elapsed = time() - t0
         for d in todo:
             metrics[d]["elapsed_job_sec"] = round(elapsed, 3)

@@ -138,7 +138,7 @@ def stream_step_check(
                 pd.DataFrame(
                     {
                         "series_id": key[0],
-                        "ts": pd.to_datetime(pdf["_epoch"], unit="s"),
+                        "ts": pd.to_datetime((pdf["_epoch"] * 1e6).round().astype("int64"), unit="us"),
                         "value": pdf["_v"],
                         "flag_step_check": flags,
                     }
@@ -151,7 +151,7 @@ def stream_step_check(
         stream_df.withWatermark(ts_col, watermark)
         .select(
             F.col(series_col).cast("string").alias("_sid"),
-            F.unix_timestamp(F.col(ts_col)).cast("double").alias("_epoch"),
+            (F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / 1e6).alias("_epoch"),
             F.col(value_col).cast("double").alias("_v"),
         )
     )
@@ -231,7 +231,7 @@ def stream_spike_check(
         )
         if out:
             df = pd.DataFrame(out, columns=["series_id", "ts", "value", "flag_spike_check"])
-            df["ts"] = pd.to_datetime(df["ts"], unit="s")
+            df["ts"] = pd.to_datetime((df["ts"] * 1e6).round().astype("int64"), unit="us")
             yield df
         else:
             yield pd.DataFrame(columns=[f.name for f in _SPIKE_OUT])
@@ -240,7 +240,7 @@ def stream_spike_check(
         stream_df.withWatermark(ts_col, watermark)
         .select(
             F.col(series_col).cast("string").alias("_sid"),
-            F.unix_timestamp(F.col(ts_col)).cast("double").alias("_epoch"),
+            (F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / 1e6).alias("_epoch"),
             F.col(value_col).cast("double").alias("_v"),
         )
     )
@@ -310,7 +310,7 @@ def stream_flatline_check(
         state.update((last if last is not None else float("nan"), run_len, rn))
         if out:
             df = pd.DataFrame(out, columns=["series_id", "ts", "value", "flag_flatline_check"])
-            df["ts"] = pd.to_datetime(df["ts"], unit="s")
+            df["ts"] = pd.to_datetime((df["ts"] * 1e6).round().astype("int64"), unit="us")
             yield df
         else:
             yield pd.DataFrame(columns=[f.name for f in _FLAT_OUT])
@@ -319,7 +319,7 @@ def stream_flatline_check(
         stream_df.withWatermark(ts_col, watermark)
         .select(
             F.col(series_col).cast("string").alias("_sid"),
-            F.unix_timestamp(F.col(ts_col)).cast("double").alias("_epoch"),
+            (F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / 1e6).alias("_epoch"),
             F.col(value_col).cast("double").alias("_v"),
         )
     )
