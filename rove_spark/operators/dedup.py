@@ -175,10 +175,13 @@ def dedup_components(
 ) -> DataFrame:
     """Duplicate clusters via min-label propagation TO CONVERGENCE: each
     round pushes the minimum label one hop, and the loop stops when a
-    round changes nothing (checked with a cheap xor-of-hashes aggregate), so chains of
-    any diameter ≤ max_rounds resolve fully. Labels are checkpointed via
-    persist each round to keep the plan linear. Raises if not converged
-    within max_rounds (pathological mega-chain — raise the cap)."""
+    round changes nothing (checked with a cheap xor-of-hashes aggregate),
+    so chains of diameter < max_rounds resolve fully. Labels are persisted
+    each round to keep the plan linear; intermediates and edges are
+    unpersisted on every path. The RETURNED frame is persisted (it has no
+    other lineage) — the caller owns its unpersist. Raises if not
+    converged within max_rounds (pathological mega-chain — raise the
+    cap)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -186,33 +189,36 @@ def dedup_components(
         .persist()
     )
     labels = all_ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id")).persist()
-    prev_sum = labels.agg(F.bit_xor(F.xxhash64("src", "cluster_id"))).first()[0]
-    for _ in range(max_rounds):
-        prop = (
-            edges.join(labels, on="src")
-            .groupBy(F.col("dst").alias("src"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(prop, on="src", how="left")
-            .select(
-                "src",
-                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
-                    "cluster_id"
-                ),
+    try:
+        prev_sum = labels.agg(F.bit_xor(F.xxhash64("src", "cluster_id"))).first()[0]
+        for _ in range(max_rounds):
+            prop = (
+                edges.join(labels, on="src")
+                .groupBy(F.col("dst").alias("src"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            .persist()
-        )
-        new_sum = new_labels.agg(F.bit_xor(F.xxhash64("src", "cluster_id"))).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:  # fixed point: labels identical
-            break
-        prev_sum = new_sum
-    else:
-        raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
-    edges.unpersist()
-    return labels.withColumnRenamed("src", id_col)
+            new_labels = (
+                labels.join(prop, on="src", how="left")
+                .select(
+                    "src",
+                    F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+                .persist()
+            )
+            new_sum = new_labels.agg(F.bit_xor(F.xxhash64("src", "cluster_id"))).first()[0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:  # fixed point: labels identical
+                break
+            prev_sum = new_sum
+        else:
+            labels.unpersist()
+            raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+        return labels.withColumnRenamed("src", id_col)
+    finally:
+        edges.unpersist()
 
 
 # --------------------------------------------------------------- simhash --

@@ -227,6 +227,7 @@ def _grouped_spatial(
     ts_col: str,
     cell_deg: float | None,
     halo_deg: float,
+    ref_lat: float = 60.0,
 ) -> DataFrame:
     """Shared driver for spatial checks: optional cell bucketing + halo
     duplication, grouped pandas UDF, one flag row per (series, ts)."""
@@ -245,12 +246,18 @@ def _grouped_spatial(
         grouped = base.withColumn("cell", F.lit(0)).withColumn("is_halo", F.lit(False))
         group_keys = ["ts"]
     else:
-        # home cell + as many neighbor rings as the check radius needs:
-        # a station can influence checks up to halo_deg away, so the halo
-        # must span ceil(halo_deg / cell_deg) rings — one ring would
-        # silently drop in-radius neighbors when cell_deg < halo_deg
+        # km-consistent cells: longitude is scaled by cos(ref_lat) so a
+        # cell spans ~cell_deg·111 km on BOTH axes — otherwise the lon
+        # direction covers only cos(lat) of the intended radius and
+        # in-radius neighbors are silently dropped. ref_lat is a regional
+        # assumption (our synthetic domain is 58-61N); at global scale the
+        # bucketing key would be a proper equal-area cell (S2/H3-style),
+        # same join shape.
         import math
 
+        cos_ref = math.cos(math.radians(ref_lat))
+        # home cell + as many neighbor rings as the check radius needs:
+        # a station can influence checks up to halo_deg (lat-degrees) away
         rings = max(1, math.ceil(halo_deg / cell_deg))
         if rings > 3:
             raise ValueError(
@@ -258,7 +265,7 @@ def _grouped_spatial(
                 f"{halo_deg:.2f}-degree check radius — duplication cost "
                 f"explodes; use cell_deg >= {halo_deg / 3:.2f}"
             )
-        cell_x = F.floor(F.col("lon") / cell_deg).cast("int")
+        cell_x = F.floor(F.col("lon") * cos_ref / cell_deg).cast("int")
         cell_y = F.floor(F.col("lat") / cell_deg).cast("int")
         offsets = [
             (dx, dy)
@@ -315,6 +322,7 @@ def buddy_check(
     series_col: str = "conv_id",
     ts_col: str = "ts",
     cell_deg: float | None = None,
+    ref_lat: float = 60.0,
 ) -> DataFrame:
     """Neighborhood-consistency check (titanlib-style; call-site surface at
     ``harness.rs:102-114``). Returns (series_id, ts, flag_buddy_check)."""
@@ -336,6 +344,7 @@ def buddy_check(
         ts_col,
         cell_deg,
         halo_deg=radius / 111_000.0,
+        ref_lat=ref_lat,
     )
 
 
@@ -345,6 +354,7 @@ def sct(
     series_col: str = "conv_id",
     ts_col: str = "ts",
     cell_deg: float | None = None,
+    ref_lat: float = 60.0,
     **params,
 ) -> DataFrame:
     """Spatial Consistency Test (call-site surface ``harness.rs:143-161``,
@@ -359,4 +369,5 @@ def sct(
         ts_col,
         cell_deg,
         halo_deg=params.get("outer_radius", 150_000.0) / 111_000.0,
+        ref_lat=ref_lat,
     )

@@ -193,7 +193,24 @@ class Engine:
         all_days = {r.d for r in df.select(day.alias("d")).distinct().collect()}
         done = manifest.done_partitions(fp)
         todo = sorted(all_days - done)
-        result = {"all": sorted(all_days), "skipped": sorted(done & all_days), "computed": todo}
+        # a done day adjacent to new data gets RE-materialized: forward-
+        # looking checks (spike's lookahead) at its trailing edge only
+        # become decidable once the next day's rows exist, so its flags
+        # must be refreshed for resumed ≡ from-scratch to hold both ways
+        reflag = sorted(
+            {
+                (datetime.strptime(d, "%Y-%m-%d") - timedelta(days=1)).strftime("%Y-%m-%d")
+                for d in todo
+            }
+            & done
+        )
+        todo = sorted(set(todo) | set(reflag))
+        result = {
+            "all": sorted(all_days),
+            "skipped": sorted((done & all_days) - set(reflag)),
+            "computed": todo,
+            "recomputed_context": reflag,
+        }
         if not todo:
             return result
 

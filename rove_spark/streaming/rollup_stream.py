@@ -149,6 +149,7 @@ def stream_step_check(
 
     prepped = (
         stream_df.withWatermark(ts_col, watermark)
+        .filter(F.col(ts_col).isNotNull())  # unordered rows cannot be checked
         .select(
             F.col(series_col).cast("string").alias("_sid"),
             (F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / 1e6).alias("_epoch"),
@@ -238,6 +239,7 @@ def stream_spike_check(
 
     prepped = (
         stream_df.withWatermark(ts_col, watermark)
+        .filter(F.col(ts_col).isNotNull())  # unordered rows cannot be checked
         .select(
             F.col(series_col).cast("string").alias("_sid"),
             (F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / 1e6).alias("_epoch"),
@@ -317,6 +319,7 @@ def stream_flatline_check(
 
     prepped = (
         stream_df.withWatermark(ts_col, watermark)
+        .filter(F.col(ts_col).isNotNull())  # unordered rows cannot be checked
         .select(
             F.col(series_col).cast("string").alias("_sid"),
             (F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / 1e6).alias("_epoch"),

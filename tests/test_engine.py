@@ -144,10 +144,13 @@ def test_run_job_checkpoint_resume(tmp_path, spark):
     r1 = eng.run_job(part, "ta", tmp_path / "out", input_fingerprint="fp1")
     assert r1["computed"] == days[:2]
 
-    # resume with the full input: only the remaining days are computed
+    # resume with the full input: the remaining days are computed, plus
+    # the adjacent done day is re-materialized (its trailing-edge flags
+    # only become decidable now that the next day exists)
     r2 = eng.run_job(df, "ta", tmp_path / "out", input_fingerprint="fp1")
-    assert r2["skipped"] == days[:2]
-    assert r2["computed"] == days[2:]
+    assert r2["computed"] == days[1:]
+    assert r2["recomputed_context"] == [days[1]]
+    assert r2["skipped"] == [days[0]]
 
     # third run: everything is done
     r3 = eng.run_job(df, "ta", tmp_path / "out", input_fingerprint="fp1")
