@@ -908,8 +908,10 @@ def q_sct(spark, sf):
         F.avg("value").alias("dv")
     )
     located = with_synthetic_coords(daily, series_col="user_id")
-    # cell-bucketed box OI (the scale path): bounded groups + halo context
-    out = sct(located, "dv", series_col="user_id", num_min=3, pos=3.0, neg=3.0, cell_deg=0.7)
+    # global box per day slice: at this density a 3-degree domain IS one
+    # box; cell bucketing (cell_deg) pays off only when the domain spans
+    # many multiples of outer_radius (halo duplication costs (2r+1)^2)
+    out = sct(located, "dv", series_col="user_id", num_min=3, pos=3.0, neg=3.0)
     return out.select(
         F.col("series_id").alias("user_id"),
         "ts",
