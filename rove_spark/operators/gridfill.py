@@ -39,8 +39,19 @@ def grid_fill(
     keep_cols: list[str] | None = None,
     num_leading: int = 0,
     num_trailing: int = 0,
+    anchor: str = "epoch",
 ) -> DataFrame:
     """Align each series onto its regular grid and materialize gaps.
+
+    ``anchor='epoch'`` (default) floors each series' grid origin to the
+    epoch-aligned slot (the snap_to_grid convention) — required for grids
+    comparable across series. A series whose points are *consistently
+    phase-offset* (e.g. hourly at :30) would match no epoch slot and lose
+    every row to gaps; such sources should pass ``anchor='series'`` to
+    grid from their own first timestamp (the reference's convention — its
+    grid starts at the first observation, ``fetch.rs:86-101``). Run
+    ``find_misaligned`` first either way: partially off-grid rows are
+    quarantine material, not silently droppable.
 
     Returns one row per (series, grid slot) with:
     - all ``keep_cols`` from the matching observation (NULL on gaps),
@@ -68,19 +79,21 @@ def grid_fill(
     bounds = obs.groupBy(series_col).agg(
         F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
     )
-    # anchor the spine on the epoch-aligned grid (same convention as
-    # snap_to_grid): a series whose first obs sits off-grid must not
-    # define a shifted grid that silently drops every on-grid observation.
-    # Off-grid obs are the find_misaligned pre-pass's job; on-grid data is
-    # unaffected (floor of an on-grid min_ts is itself).
-    if period.is_calendar:
-        bounds = bounds.withColumn("_min_ts", F.date_trunc("month", "_min_ts"))
-    else:
-        sec = period.seconds
-        epoch = F.unix_timestamp("_min_ts")
-        bounds = bounds.withColumn(
-            "_min_ts", F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(sec)))
-        )
+    # anchor the spine (see docstring): 'epoch' floors the origin to the
+    # shared grid so a stray off-grid first obs cannot shift the whole
+    # spine and silently drop on-grid observations; 'series' keeps the
+    # reference's first-observation origin for phase-offset sources.
+    if anchor == "epoch":
+        if period.is_calendar:
+            bounds = bounds.withColumn("_min_ts", F.date_trunc("month", "_min_ts"))
+        else:
+            sec = period.seconds
+            epoch = F.unix_timestamp("_min_ts")
+            bounds = bounds.withColumn(
+                "_min_ts", F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(sec)))
+            )
+    elif anchor != "series":
+        raise ValueError(f"anchor must be 'epoch' or 'series', got {anchor!r}")
     if num_leading:
         bounds = bounds.withColumn("_min_ts", F.col("_min_ts") - interval * num_leading)
     if num_trailing:

@@ -102,3 +102,18 @@ def test_gridfill_epoch_anchor_keeps_on_grid_obs(spark):
     vals = [r.value for r in out]
     assert 2.0 in vals and 3.0 in vals  # on-grid obs survive
     assert out[0].ts == t0  # spine anchored at the epoch-aligned floor
+
+
+def test_gridfill_series_anchor_for_phase_offset(spark):
+    """A consistently phase-offset series (hourly at :30) keeps all rows
+    with anchor='series' (reference convention); with the default epoch
+    anchor it would match no slot."""
+    from rove_spark.functions.durations import parse_iso8601
+    from rove_spark.operators.gridfill import grid_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [("s1", t0 + dt.timedelta(hours=k), float(k)) for k in (0, 1, 3)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value float")
+    out = grid_fill(df, parse_iso8601("PT1H"), anchor="series").orderBy("ts").collect()
+    assert [r.value for r in out] == [0.0, 1.0, None, 3.0]
+    assert out[0].ts == t0
