@@ -261,6 +261,54 @@ def with_simhash(
     return df.withColumn(out_col, simhash(F.col(text_col)))
 
 
+def with_simhash_portable(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """Cross-engine-reproducible 64-bit SimHash built entirely from
+    JVM-side column expressions: distinct lowercase whitespace tokens →
+    md5 hex → per-token 64-bit value → per-bit majority vote. A DuckDB
+    twin can recompute the identical signature (md5 + hex-digit
+    arithmetic), which is what makes the driver's simhash query exactly
+    oracle-able — ``with_simhash`` (blake2b UDF) stays the fast default
+    where no oracle is needed.
+
+    Per CLAUDE.md: Catalyst does not CSE across array-lambda expressions,
+    so the token-hash array and the 64 bit-majority columns are
+    materialized as real columns before the signature is assembled."""
+    from functools import reduce
+
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0)
+    )
+
+    def tok_long(h):
+        # big-endian md5 hex → int64 (bit b lives in hex digit 16 - b//4)
+        hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    d = df.withColumn("_th", F.transform(words, lambda w: tok_long(F.md5(w)))).withColumn(
+        "_n", F.size("_th")
+    )
+
+    def bit(b: int):
+        ones = F.aggregate(
+            F.col("_th"),
+            F.lit(0),
+            lambda acc, v: acc + F.shiftrightunsigned(v, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        return F.when(ones * 2 > F.col("_n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    d = d.withColumn("_bits", F.array(*[bit(b) for b in range(64)]))
+    sig = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [F.shiftleft(F.element_at("_bits", b + 1), b) for b in range(64)],
+    )
+    return d.withColumn(out_col, sig).drop("_th", "_n", "_bits")
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -271,7 +319,19 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by Hamming distance ≤ max_hamming: block the 64-bit
     hash into ``blocks`` chunks (pigeonhole: any pair within distance
     max_hamming < blocks shares ≥1 exact chunk), bucket-join on chunks,
-    verify with bit_count(xor)."""
+    verify with bit_count(xor).
+
+    The pigeonhole guarantee requires ``max_hamming < blocks`` — with
+    distance ≥ blocks, every chunk can differ and the candidate set is
+    silently incomplete, so that combination is rejected outright."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming < blocks; got "
+            f"max_hamming={max_hamming}, blocks={blocks} — raise blocks to "
+            f"≥ {max_hamming + 1} (completeness) or lower max_hamming"
+        )
+    if 64 % blocks != 0:
+        raise ValueError(f"blocks={blocks} must divide 64")
     width = 64 // blocks
     blocked = df.select(
         F.col(id_col).alias("_id"),

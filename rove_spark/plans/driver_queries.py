@@ -830,12 +830,49 @@ def q_minhash_neardup(spark, sf):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+SIMHASH_MAX_HAMMING = 3  # < blocks=4: pigeonhole completeness holds
+
+
 def q_simhash_neardup(spark, sf):
-    from rove_spark.operators.dedup import simhash_near_dup_pairs, with_simhash
+    """SimHash near-dup pairs with the portable (md5-derived) signature so
+    DuckDB can recompute it exactly; blocked candidate join is provably
+    complete for hamming ≤ 3 with 4 blocks (pigeonhole), so the output is
+    EXACTLY the brute-force pair set the oracle computes."""
+    from rove_spark.operators.dedup import simhash_near_dup_pairs, with_simhash_portable
 
     _utc(spark)
     docs = read_table(spark, sf, "documents")
-    return simhash_near_dup_pairs(with_simhash(docs), max_hamming=16)
+    pairs = simhash_near_dup_pairs(
+        with_simhash_portable(docs), max_hamming=SIMHASH_MAX_HAMMING, blocks=4
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# brute-force oracle: recompute the identical md5-based signature per doc
+# (as a 64-char bitstring, bit b at string position b+1), then all-pairs
+# Hamming ≤ max — candidate blocking on the Spark side must reproduce this
+# EXACTLY or the hash check fails (this is the round-1 recall-bug gate).
+SQL_SIMHASH = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         [md5(w) for w in list_distinct(list_filter(
+            string_split_regex(lower(text), '\s+'), x -> len(x) > 0))] AS hs
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         list_aggregate([CASE WHEN coalesce(list_sum(
+             [2*(((strpos('0123456789abcdef', substr(h, CAST(16 - (b // 4) AS INT), 1)) - 1)
+                  >> (b % 4)) & 1) - 1 for h in hs]), 0) > 0
+           THEN '1' ELSE '0' END for b in range(0, 64)], 'string_agg', '') AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_filter(range(1, 65),
+            i -> substr(a.s, CAST(i AS INT), 1) != substr(b.s, CAST(i AS INT), 1))) AS INT)
+         AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
 
 
 def q_ivf_knn(spark, sf):
@@ -1020,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": SQL_LANGID,
         "quality_score": _sql_quality(),
         "knn_cosine": SQL_KNN,
+        "simhash_neardup": SQL_SIMHASH,
         "polygon_filter": _sql_polygon(),
         "fill_forward": SQL_FILL_FORWARD,
         "rollup_flag_density": SQL_ROLLUP_FLAGS,

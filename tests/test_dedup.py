@@ -63,11 +63,74 @@ def test_minhash_deterministic(spark, docs):
 
 def test_simhash_near_dups(spark, docs):
     sh = dedup.with_simhash(docs)
-    pairs = dedup.simhash_near_dup_pairs(sh, max_hamming=10).collect()
+    # max_hamming=10 needs ≥11 blocks for pigeonhole completeness → 16
+    pairs = dedup.simhash_near_dup_pairs(sh, max_hamming=10, blocks=16).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert (200, 201) in got  # identical text → hamming 0
     assert (100, 101) in got  # one-word change → small hamming
     assert all(a >= 100 for a, _ in got)
+
+
+def test_simhash_blocking_contract_enforced(spark, docs):
+    sh = dedup.with_simhash(docs)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_dup_pairs(sh, max_hamming=16, blocks=4)
+
+
+def test_simhash_blocking_complete_vs_brute_force(spark, docs):
+    """Pigeonhole completeness: blocked candidate join finds EXACTLY the
+    brute-force Hamming-≤h pair set (the round-1 silent-recall bug)."""
+    sh = dedup.with_simhash_portable(docs).select("doc_id", "simhash")
+    for h, blocks in [(3, 4), (7, 8)]:
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_near_dup_pairs(sh, max_hamming=h, blocks=blocks).collect()
+        }
+        a, b = sh.alias("a"), sh.alias("b")
+        brute = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= h)
+            .collect()
+        }
+        assert got == brute
+
+
+def test_simhash_portable_matches_duckdb(spark, docs):
+    """The portable simhash is bit-identical to an independent DuckDB
+    recomputation (md5 + hex-digit arithmetic) — the oracle contract."""
+    import duckdb
+
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    duck = dict(
+        con.execute(
+            r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     [md5(w) for w in list_distinct(list_filter(
+                        string_split_regex(lower(text), '\s+'), x -> len(x) > 0))] AS hs
+              FROM docs
+            )
+            SELECT doc_id,
+                   list_aggregate([CASE WHEN coalesce(list_sum(
+                       [2*(((strpos('0123456789abcdef', substr(h, CAST(16 - (b // 4) AS INT), 1)) - 1)
+                            >> (b % 4)) & 1) - 1 for h in hs]), 0) > 0
+                     THEN '1' ELSE '0' END for b in range(0, 64)], 'string_agg', '') AS s
+            FROM toks
+            """
+        ).fetchall()
+    )
+    got = dedup.with_simhash_portable(docs).select("doc_id", "simhash").collect()
+    for r in got:
+        bits = "".join(str((r.simhash >> b) & 1) for b in range(64))
+        assert bits == duck[r.doc_id], r.doc_id
 
 
 def test_dedup_components(spark, docs):
