@@ -12,7 +12,9 @@ Engine extras for training-data pipelines:
   from |table| into |table|·n_probe/n_centroids.
 
 Recall note: IVF is approximate — tests measure recall vs brute force and
-assert ≥0.9 at n_probe=4/16 lists on clustered data.
+assert ≥0.8 at n_probe=4 of 8 lists on the testdata embeddings; probing
+all lists reproduces brute force exactly (asserted, and the driver query
+runs full-probe against the exact-KNN DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -75,28 +77,73 @@ def build_ivf_centroids(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_size: int = 4096,
+    lloyd_iters: int = 5,
+    seed: int = 17,
 ) -> DataFrame:
-    """Deterministic coarse centroids: one averaging round (k-means step)
-    seeded by hash-bucketing vectors into n_centroids groups. No RNG, no
-    iteration-to-convergence — stability across runs beats the last bit of
-    quantizer quality for a reproducible pipeline."""
-    assigned = vectors.select(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)).alias("centroid_id"),
-        F.col(vec_col).alias("_v"),
+    """Deterministic spherical k-means quantizer, trained on a bounded
+    hash-ordered sample.
+
+    Round-1 version averaged hash-RANDOM buckets once — every centroid
+    landed near the global mean and list assignment was arbitrary. Now:
+    k-means++ D²-seeding + ``lloyd_iters`` Lloyd rounds (cosine metric,
+    centroids renormalized each round; empty clusters reseeded from the
+    worst-served point), all on a driver-side numpy sample.
+
+    Scale shape: the sample is a TakeOrdered over xxhash64(id) — a
+    bounded, deterministic ~sample_size·dim·8-byte pull regardless of
+    table size (the standard way IVF quantizers are trained: on a sample,
+    not the corpus). Everything downstream (assignment, probing) stays
+    distributed. Determinism: seeded RNG + hash-ordered sample with id
+    tiebreak — identical centroids across runs and cluster sizes."""
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+        .orderBy("_h", "_id")
+        .limit(sample_size)
+        .collect()
     )
-    # element-wise mean via posexplode + groupBy (scales to any dim)
-    exploded = assigned.select("centroid_id", F.posexplode("_v").alias("pos", "x"))
-    means = (
-        exploded.groupBy("centroid_id", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("centroid_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            "centroid_id",
-            F.transform("pm", lambda s: s.getField("m").cast("float")).alias("centroid"),
-        )
-    )
-    return means
+    X = np.asarray([list(r._v) for r in rows], dtype=np.float64)
+    if len(X) < n_centroids:
+        raise ValueError(f"need ≥ {n_centroids} vectors to build {n_centroids} centroids")
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on the unit sphere (D² = 1 - cosine)
+    first = int(rng.integers(len(Xn)))
+    C = [Xn[first]]
+    d2 = 1.0 - Xn @ C[0]
+    for _ in range(1, n_centroids):
+        p = np.maximum(d2, 0.0)
+        tot = float(p.sum())
+        nxt = int(np.argmax(p)) if tot <= 0 else int(rng.choice(len(Xn), p=p / tot))
+        C.append(Xn[nxt])
+        d2 = np.minimum(d2, 1.0 - Xn @ C[-1])
+    C = np.stack(C)
+
+    for _ in range(max(0, lloyd_iters)):
+        sims = Xn @ C.T
+        assign = sims.argmax(axis=1)
+        newC = np.zeros_like(C)
+        for c in range(n_centroids):
+            members = Xn[assign == c]
+            if len(members) == 0:
+                # reseed from the globally worst-served point
+                worst = int(np.argmin(sims.max(axis=1)))
+                newC[c] = Xn[worst]
+            else:
+                m = members.mean(axis=0)
+                newC[c] = m / max(float(np.linalg.norm(m)), 1e-12)
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+
+    spark = vectors.sparkSession
+    data = [(i, [float(x) for x in C[i]]) for i in range(n_centroids)]
+    return spark.createDataFrame(data, "centroid_id int, centroid array<double>")
 
 
 def assign_to_centroids(

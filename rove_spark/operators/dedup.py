@@ -379,32 +379,73 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 16,
+    bands: int = 12,
+    planes_per_band: int = 4,
     seed: int = 29,
     dim: int | None = None,
 ) -> DataFrame:
-    """Cosine near-dup via random-hyperplane LSH: sign-bit sketch from
-    ``num_planes`` broadcast hyperplanes (JVM-side dot products), bucket
-    on the sketch, verify exact cosine within buckets.
+    """Cosine near-dup via random-hyperplane LSH with OR-amplification:
+    ``bands`` independent sketches of ``planes_per_band`` sign bits each;
+    a pair is a candidate if ANY band matches, then verified with exact
+    cosine. Same banding structure as the MinHash path.
 
-    Deterministic hyperplanes derive from (seed, plane, dim-index) hashes
-    — no RNG state, identical across runs/cluster sizes."""
+    Recall math (sign-LSH collision prob p = 1 − θ/π): a single 16-bit
+    sketch at cosine 0.95 collides with prob p^16 ≈ 0.18 — the round-1
+    bug. With b bands of r planes the candidate prob is 1 − (1 − p^r)^b:
+    defaults (b=12, r=4) give ≈ 0.99999 at cosine 0.95 and still prune
+    cheaply (p^4 ≈ 0.03 per band for random pairs).
+
+    Plan shape: the banded table is narrow (id, band, sketch) — vectors
+    are NOT duplicated per band; exact cosine joins vectors onto the
+    (small) distinct candidate pair set only, like jaccard_verify.
+    Deterministic hyperplanes from a seeded RNG — identical across runs
+    and cluster sizes."""
     import numpy as np
 
     if dim is None:
         first = df.select(F.size(vec_col)).first()
         dim = int(first[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
+    planes = rng.standard_normal((bands * planes_per_band, dim))
 
     def _dot_with(plane_idx: int):
         lit_plane = F.array(*[F.lit(float(x)) for x in planes[plane_idx]])
         prods = F.zip_with(F.col(vec_col), lit_plane, lambda x, y: x * y)
         return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
-    sketch = F.concat(
-        *[F.when(_dot_with(i) >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(num_planes)]
+    def _band_sketch(b: int):
+        return F.concat(
+            *[
+                F.when(_dot_with(b * planes_per_band + p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for p in range(planes_per_band)
+            ]
+        )
+
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_sketch(b).alias("sk"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("_id", F.col("bs.band").alias("band"), F.col("bs.sk").alias("sk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.sk") == F.col("b.sk"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
+
     norm = F.sqrt(
         F.aggregate(
             F.zip_with(F.col(vec_col), F.col(vec_col), lambda x, y: x * y),
@@ -412,17 +453,27 @@ def embedding_near_dup_pairs(
             lambda acc, x: acc + x,
         )
     )
-    sk = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), norm.alias("_n"), sketch.alias("_b"))
-    a, b = sk.alias("a"), sk.alias("b")
+    vs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"), norm.alias("_n"))
     dot = F.aggregate(
-        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.join(b, on=[F.col("a._b") == F.col("b._b"), F.col("a._id") < F.col("b._id")])
-        .withColumn("cosine", dot / (F.col("a._n") * F.col("b._n")))
+        cand.join(
+            vs.select(
+                F.col("_vid").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+            ),
+            "id_a",
+        )
+        .join(
+            vs.select(
+                F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+            ),
+            "id_b",
+        )
+        .withColumn("cosine", dot / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )
     return pairs

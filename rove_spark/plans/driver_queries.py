@@ -876,6 +876,11 @@ WHERE hamming <= {SIMHASH_MAX_HAMMING}
 
 
 def q_ivf_knn(spark, sf):
+    """IVF search at FULL probe (n_probe = n_centroids): exercises the
+    whole index machinery — k-means quantizer, inverted-list assignment,
+    probe ranking, per-list scan — while remaining exactly equal to brute
+    force, so the exact-KNN DuckDB oracle gates it (partial-probe recall
+    is covered by tests/test_ann.py)."""
     from rove_spark.operators.ann import ivf_topk
 
     _utc(spark)
@@ -885,8 +890,12 @@ def q_ivf_knn(spark, sf):
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, q, k=10, n_centroids=8, n_probe=4).select(
-        "query_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    out = ivf_topk(emb, q, k=10, n_centroids=8, n_probe=8)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -1058,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _sql_quality(),
         "knn_cosine": SQL_KNN,
         "simhash_neardup": SQL_SIMHASH,
+        "ivf_knn": SQL_KNN,
         "polygon_filter": _sql_polygon(),
         "fill_forward": SQL_FILL_FORWARD,
         "rollup_flag_density": SQL_ROLLUP_FLAGS,

@@ -54,7 +54,7 @@ def test_ivf_recall(spark, vecs):
     for r in ivf:
         ivf_sets.setdefault(r.query_id, set()).add(r.vec_id)
     recalls = [len(bf_sets[q_] & ivf_sets.get(q_, set())) / 10 for q_ in bf_sets]
-    assert sum(recalls) / len(recalls) >= 0.5  # half the lists probed
+    assert sum(recalls) / len(recalls) >= 0.8  # k-means quantizer, half probed
     # probing all lists ⇒ exact
     ivf_all = ann.ivf_topk(vecs, q, k=10, n_centroids=8, n_probe=8).collect()
     all_sets = {}
