@@ -117,6 +117,30 @@ def buddy_check_kernel(
     return flags
 
 
+def _kd_boxes(idx: np.ndarray, lat: np.ndarray, lon: np.ndarray, num_max: int) -> list:
+    """Recursively split a station index set into spatial boxes of at most
+    ``num_max`` members (median cut on the wider-spread coordinate) — the
+    titanlib/reference box-splitting bound (``harness.rs:143-161`` passes
+    num_max through to titanlib's sct, which subdivides its domain until
+    each box holds ≤ num_max stations). Deterministic: argsort on
+    (coordinate, original index)."""
+    out = []
+    stack = [np.asarray(idx)]
+    while stack:
+        box = stack.pop()
+        if len(box) <= num_max:
+            if len(box) > 0:
+                out.append(box)
+            continue
+        la, lo = lat[box], lon[box]
+        coord = la if (la.max() - la.min()) >= (lo.max() - lo.min()) else lo
+        order = np.lexsort((box, coord))  # stable, deterministic
+        half = len(box) // 2
+        stack.append(box[order[:half]])
+        stack.append(box[order[half:]])
+    return out
+
+
 def sct_kernel(
     values: np.ndarray,
     lat: np.ndarray,
@@ -147,8 +171,13 @@ def sct_kernel(
     cv_i = (B⁻¹d)_i / B⁻¹_ii, normalized by the box residual scale
     σ² = dᵀB⁻¹d / k; z outside (−neg, pos) → FAIL, iterated with FAILed
     stations removed from the pool (≤ num_iterations rounds).
-    ``outer_radius``/``num_max`` box capping is delegated to the upstream
-    cell bucketing (cell_deg), which bounds group size at scale.
+
+    ``num_max`` is honored by KD-subdividing the usable set into spatial
+    boxes of ≤ num_max stations before the OI solve (reference bound:
+    ``harness.rs:143-161``) — every factorization is O(num_max³)
+    regardless of group size, so a dense cell can't explode one Python
+    worker. Cross-cell context is the upstream cell bucketing's job
+    (cell_deg + halo); isolation counts always use the FULL group.
     """
     n = len(values)
     flags = np.full(n, int(Flag.PASS), dtype=np.int8)
@@ -159,7 +188,6 @@ def sct_kernel(
     dist = _haversine_matrix(lat, lon)
     check = np.ones(n, dtype=bool) if check_mask is None else np.asarray(check_mask, bool)
     excluded = np.zeros(n, dtype=bool)
-    _ = num_max  # box size is bounded by upstream bucketing (cell_deg)
 
     for _ in range(max(1, num_iterations)):
         usable = present & ~excluded
@@ -169,35 +197,42 @@ def sct_kernel(
         flags[isolated & (flags != int(Flag.FAIL))] = int(Flag.ISOLATED)
 
         idx = np.where(usable & (inner_counts >= num_min))[0]
-        k = len(idx)
-        if k < num_min:
+        if len(idx) < num_min:
             break
-        # one box-OI factorization for the whole group (titanlib operates
-        # on boxes; per-station k³ solves would be O(n·k³) per slice)
-        d_h = dist[np.ix_(idx, idx)]
-        d_v = elev[idx][:, None] - elev[idx][None, :]
-        S = np.exp(
-            -0.5 * (d_h / min_horizontal_scale) ** 2
-            - 0.5 * (d_v / vertical_scale) ** 2
-        )
-        v = values[idx].astype(np.float64)
-        innov = v - v.mean()
-        try:
-            Binv = np.linalg.inv(S + eps2 * np.eye(k))
-        except np.linalg.LinAlgError:
+        any_bad = False
+        # one OI factorization per ≤num_max box (titanlib operates on
+        # boxes; per-station k³ solves would be O(n·k³) per slice)
+        for box in _kd_boxes(idx, lat, lon, num_max):
+            k = len(box)
+            if k < num_min:
+                continue
+            d_h = dist[np.ix_(box, box)]
+            d_v = elev[box][:, None] - elev[box][None, :]
+            S = np.exp(
+                -0.5 * (d_h / min_horizontal_scale) ** 2
+                - 0.5 * (d_v / vertical_scale) ** 2
+            )
+            v = values[box].astype(np.float64)
+            innov = v - v.mean()
+            try:
+                Binv = np.linalg.inv(S + eps2 * np.eye(k))
+            except np.linalg.LinAlgError:
+                continue
+            A = Binv @ innov
+            # leave-one-out residual: (innov − S·A)/(1−W_ii) = A_i / Binv_ii
+            cv = A / np.maximum(np.diag(Binv), 1e-12)
+            sigma2 = max(1e-9, float(innov @ A) / k)
+            z = cv / math.sqrt(sigma2 * (1.0 + eps2))
+            bad = (z > pos) | (z < -neg)
+            if not bad.any():
+                continue
+            any_bad = True
+            # halo rows (check=False) are excluded from the pool when bad,
+            # but flagged only in their home bucket
+            flags[box[bad & check[box]]] = int(Flag.FAIL)
+            excluded[box[bad]] = True
+        if not any_bad:
             break
-        A = Binv @ innov
-        # leave-one-out residual: (innov − S·A)/(1−W_ii) = A_i / Binv_ii
-        cv = A / np.maximum(np.diag(Binv), 1e-12)
-        sigma2 = max(1e-9, float(innov @ A) / k)
-        z = cv / math.sqrt(sigma2 * (1.0 + eps2))
-        bad = (z > pos) | (z < -neg)
-        if not bad.any():
-            break
-        # halo rows (check=False) are excluded from the pool when bad, but
-        # flagged only in their home bucket
-        flags[idx[bad & check[idx]]] = int(Flag.FAIL)
-        excluded[idx[bad]] = True
     return flags
 
 
@@ -215,6 +250,58 @@ def with_synthetic_coords(
     ) * box_deg
     elev = (F.pmod(F.xxhash64(F.lit(seed + 2), F.col(series_col)), 500)).cast("double")
     return df.withColumns({"lat": lat, "lon": lon, "elev": elev})
+
+
+def with_synthetic_coords_portable(
+    df: DataFrame, series_col: str = "conv_id", box_deg: float = 3.0
+) -> DataFrame:
+    """Cross-engine-reproducible synthetic coordinates: md5-derived
+    uniform u32 → [0,1) → same ≈330×330 km box as
+    ``with_synthetic_coords``, but recomputable exactly in DuckDB (see
+    ``synthetic_coords_sql``) so spatial driver queries can carry full
+    value oracles. u/2³² and the affine map are exact-dominated double
+    ops with identical operand trees on both engines."""
+
+    def u32(tag: str):
+        h = F.md5(F.concat(F.lit(tag + "|"), F.col(series_col).cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+    lat = F.lit(58.0) + (u32("lat") / F.lit(4294967296.0)) * F.lit(box_deg)
+    lon = F.lit(8.0) + (u32("lon") / F.lit(4294967296.0)) * F.lit(box_deg)
+    elev = (u32("elev") % 500).cast("double")
+    return df.withColumns({"lat": lat, "lon": lon, "elev": elev})
+
+
+def synthetic_coords_sql(series_expr: str, box_deg: float = 3.0) -> dict[str, str]:
+    """DuckDB twins of ``with_synthetic_coords_portable`` columns, as SQL
+    snippets over ``series_expr`` (a VARCHAR-castable column). The u32 is
+    rebuilt from the first 8 md5 hex digits with a strpos polynomial —
+    no hex-parse builtin needed."""
+
+    def u32(tag: str) -> str:
+        s = f"md5('{tag}|' || CAST({series_expr} AS VARCHAR))"
+        terms = " + ".join(
+            f"(strpos('0123456789abcdef', substr({s}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        return f"({terms})"
+
+    return {
+        "lat": f"(58.0 + ({u32('lat')} / 4294967296.0) * {box_deg})",
+        "lon": f"(8.0 + ({u32('lon')} / 4294967296.0) * {box_deg})",
+        "elev": f"CAST({u32('elev')} % 500 AS DOUBLE)",
+    }
+
+
+def haversine_sql(lat_a: str, lon_a: str, lat_b: str, lon_b: str) -> str:
+    """DuckDB twin of ``_haversine_matrix``'s formula (same operand tree:
+    2·R·asin(sqrt(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))))."""
+    return (
+        f"(2.0 * {EARTH_RADIUS_M} * asin(sqrt("
+        f"pow(sin((radians({lat_a}) - radians({lat_b})) / 2), 2) "
+        f"+ cos(radians({lat_a})) * cos(radians({lat_b})) "
+        f"* pow(sin((radians({lon_a}) - radians({lon_b})) / 2), 2))))"
+    )
 
 
 def _grouped_spatial(

@@ -919,50 +919,167 @@ def q_multimodal_features(spark, sf):
     )
 
 
-# ---------------------------------------------- non-SQL-expressible ops --
-# (no oracle entry → driver records a rows-only check; correctness is
-# pinned by golden kernel fixtures in tests/test_spatial.py /
-# tests/test_gorilla.py instead)
+# ------------------------------------------------------- spatial checks --
+
+BUDDY_RADIUS, BUDDY_NUM_MIN, BUDDY_THRESHOLD, BUDDY_MIN_STD = 200_000.0, 2, 2.0, 1.0
+BUDDY_CELL_DEG = 2.0  # ≥ radius/111km → 1 halo ring; bounded groups at 100×
+SCT_CELL_DEG = 1.5  # ≥ outer_radius/111km → 1 halo ring
+SCT_NUM_MIN = 3
 
 
 def q_buddy_check(spark, sf):
-    """Cross-series buddy check per hourly slice, synthetic coords per
-    user (the transcript-domain neighborhood, SURVEY §1.4)."""
-    from rove_spark.operators.spatial import buddy_check, with_synthetic_coords
+    """Cross-series buddy check per hourly slice, portable synthetic
+    coords per user (the transcript-domain neighborhood, SURVEY §1.4).
+    Bucketed (cell_deg) + single iteration → the flags are EXACTLY the
+    global haversine/mean/std computation the DuckDB oracle performs."""
+    from rove_spark.operators.spatial import buddy_check, with_synthetic_coords_portable
 
     ev = _events(spark, sf)
     hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts")).agg(
         F.avg("value").alias("hv")
     )
-    located = with_synthetic_coords(hourly, series_col="user_id")
+    located = with_synthetic_coords_portable(hourly, series_col="user_id")
     out = buddy_check(
-        located, "hv", radius=200_000.0, num_min=2, threshold=2.0,
+        located,
+        "hv",
+        radius=BUDDY_RADIUS,
+        num_min=BUDDY_NUM_MIN,
+        threshold=BUDDY_THRESHOLD,
+        min_std=BUDDY_MIN_STD,
+        num_iterations=1,
         series_col="user_id",
+        cell_deg=BUDDY_CELL_DEG,
     )
     return out.select(
-        F.col("series_id").alias("user_id"),
+        F.col("series_id").cast("bigint").alias("user_id"),
         "ts",
         F.col("flag_buddy_check").cast("int").alias("flag_buddy"),
     )
 
 
+def _sql_buddy() -> str:
+    """Independent single-iteration buddy check (reference semantics
+    ``harness.rs:102-114``): biased neighbor variance, min_std floor,
+    ISOLATED below num_min buddies — full value oracle."""
+    from rove_spark.operators.spatial import haversine_sql, synthetic_coords_sql
+
+    c = synthetic_coords_sql("user_id")
+    dist = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+WITH hv AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts, avg(value) AS hv
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT user_id, {c["lat"]} AS lat, {c["lon"]} AS lon
+  FROM (SELECT DISTINCT user_id FROM events)
+), h AS (
+  SELECT hv.user_id, hv.ts, hv.hv, c.lat, c.lon FROM hv JOIN c USING (user_id)
+), nbr AS (
+  SELECT a.user_id, a.ts, b.hv AS bv
+  FROM h a JOIN h b
+    ON a.ts = b.ts AND a.user_id != b.user_id AND b.hv IS NOT NULL
+   AND {dist} <= {BUDDY_RADIUS}
+), m AS (
+  SELECT user_id, ts, count(*) AS cnt, avg(bv) AS mean FROM nbr GROUP BY 1, 2
+), s AS (
+  SELECT n.user_id, n.ts, sum((n.bv - m.mean) * (n.bv - m.mean)) / m.cnt AS var
+  FROM nbr n JOIN m USING (user_id, ts) GROUP BY n.user_id, n.ts, m.cnt
+)
+SELECT h.user_id, h.ts,
+       CAST(CASE WHEN h.hv IS NULL THEN 5
+                 WHEN m.cnt IS NOT NULL AND m.cnt >= {BUDDY_NUM_MIN}
+                      AND abs(h.hv - m.mean) / greatest(sqrt(s.var), {BUDDY_MIN_STD})
+                          > {BUDDY_THRESHOLD} THEN 1
+                 WHEN m.cnt IS NULL OR m.cnt < {BUDDY_NUM_MIN} THEN 6
+                 ELSE 0 END AS INT) AS flag_buddy
+FROM h LEFT JOIN m USING (user_id, ts) LEFT JOIN s USING (user_id, ts)
+"""
+
+
 def q_sct(spark, sf):
-    from rove_spark.operators.spatial import sct, with_synthetic_coords
+    """Full SCT (box OI, 5 iterations, num_max-bounded solves) — the OI
+    partition is not SQL-expressible (rows-only here); the geometric
+    ISOLATED/PASS partition is oracled exactly by ``sct_isolated``."""
+    from rove_spark.operators.spatial import sct, with_synthetic_coords_portable
 
     ev = _events(spark, sf)
     daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("ts")).agg(
         F.avg("value").alias("dv")
     )
-    located = with_synthetic_coords(daily, series_col="user_id")
-    # global box per day slice: at this density a 3-degree domain IS one
-    # box; cell bucketing (cell_deg) pays off only when the domain spans
-    # many multiples of outer_radius (halo duplication costs (2r+1)^2)
-    out = sct(located, "dv", series_col="user_id", num_min=3, pos=3.0, neg=3.0)
+    located = with_synthetic_coords_portable(daily, series_col="user_id")
+    out = sct(
+        located,
+        "dv",
+        series_col="user_id",
+        num_min=SCT_NUM_MIN,
+        pos=3.0,
+        neg=3.0,
+        cell_deg=SCT_CELL_DEG,
+    )
     return out.select(
-        F.col("series_id").alias("user_id"),
+        F.col("series_id").cast("bigint").alias("user_id"),
         "ts",
         F.col("flag_sct").cast("int").alias("flag_sct"),
     )
+
+
+def q_sct_isolated(spark, sf):
+    """SCT isolation partition: thresholds pushed to ±∞ so no station can
+    FAIL — the output is exactly the geometric predicate 'fewer than
+    num_min present stations (incl. self) within inner_radius', which the
+    oracle recomputes with a haversine self-join. Gates the bucketing +
+    halo machinery (counts must equal the global computation)."""
+    from rove_spark.operators.spatial import sct, with_synthetic_coords_portable
+
+    ev = _events(spark, sf)
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("ts")).agg(
+        F.avg("value").alias("dv")
+    )
+    located = with_synthetic_coords_portable(daily, series_col="user_id")
+    out = sct(
+        located,
+        "dv",
+        series_col="user_id",
+        num_min=SCT_NUM_MIN,
+        pos=1e18,
+        neg=1e18,
+        num_iterations=1,
+        cell_deg=SCT_CELL_DEG,
+    )
+    return out.select(
+        F.col("series_id").cast("bigint").alias("user_id"),
+        "ts",
+        F.col("flag_sct").cast("int").alias("flag_iso"),
+    )
+
+
+def _sql_sct_isolated() -> str:
+    from rove_spark.operators.spatial import haversine_sql, synthetic_coords_sql
+
+    c = synthetic_coords_sql("user_id")
+    dist = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    inner_radius = 50_000.0  # sct_kernel default
+    return f"""
+WITH dv AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, avg(value) AS dv
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT user_id, {c["lat"]} AS lat, {c["lon"]} AS lon
+  FROM (SELECT DISTINCT user_id FROM events)
+), h AS (
+  SELECT dv.user_id, dv.ts, dv.dv, c.lat, c.lon FROM dv JOIN c USING (user_id)
+), cnt AS (
+  SELECT a.user_id, a.ts, count(*) AS n_inner
+  FROM h a JOIN h b
+    ON a.ts = b.ts AND b.dv IS NOT NULL AND {dist} <= {inner_radius}
+  GROUP BY 1, 2
+)
+SELECT h.user_id, h.ts,
+       CAST(CASE WHEN h.dv IS NULL THEN 5
+                 WHEN coalesce(cnt.n_inner, 0) < {SCT_NUM_MIN} THEN 6
+                 ELSE 0 END AS INT) AS flag_iso
+FROM h LEFT JOIN cnt USING (user_id, ts)
+"""
 
 
 def q_gorilla_roundtrip(spark, sf):
@@ -1025,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "buddy_check": q_buddy_check,
         "sct": q_sct,
+        "sct_isolated": q_sct_isolated,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "langid": q_langid,
         "quality_score": q_quality,
@@ -1068,6 +1186,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": SQL_KNN,
         "simhash_neardup": SQL_SIMHASH,
         "ivf_knn": SQL_KNN,
+        "buddy_check": _sql_buddy(),
+        "sct_isolated": _sql_sct_isolated(),
         "polygon_filter": _sql_polygon(),
         "fill_forward": SQL_FILL_FORWARD,
         "rollup_flag_density": SQL_ROLLUP_FLAGS,

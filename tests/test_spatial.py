@@ -181,3 +181,74 @@ def test_synthetic_coords_deterministic(spark):
     rows = a.collect()
     assert len(rows) == 10
     assert all(58.0 <= r.lat <= 61.0 and 8.0 <= r.lon <= 11.0 for r in rows)
+
+
+def test_kd_boxes_bounds_and_partition():
+    """num_max subdivision: every box ≤ num_max, boxes partition the input
+    exactly, deterministic across calls."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n = 437
+    lat = 58 + rng.uniform(0, 3, n)
+    lon = 8 + rng.uniform(0, 3, n)
+    idx = np.arange(n)
+    for num_max in (10, 100, 500):
+        boxes = spatial._kd_boxes(idx, lat, lon, num_max)
+        assert all(len(b) <= num_max for b in boxes)
+        allv = np.concatenate(boxes)
+        assert sorted(allv.tolist()) == idx.tolist()
+    a = [b.tolist() for b in spatial._kd_boxes(idx, lat, lon, 50)]
+    b = [b.tolist() for b in spatial._kd_boxes(idx, lat, lon, 50)]
+    assert a == b
+
+
+def test_sct_kernel_honors_num_max():
+    """A 300-station group with num_max=40 must still flag the planted
+    outlier and never build a matrix larger than num_max (reference bound
+    harness.rs:143-161)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    n = 300
+    lat = 58 + rng.uniform(0, 0.5, n)
+    lon = 8 + rng.uniform(0, 0.5, n)
+    elev = np.zeros(n)
+    values = 10 + rng.standard_normal(n) * 0.1
+    values[17] = 80.0  # gross outlier
+    seen = []
+    orig_inv = np.linalg.inv
+
+    def spy(m, *a, **k):
+        seen.append(m.shape[0])
+        return orig_inv(m, *a, **k)
+
+    np.linalg.inv = spy
+    try:
+        flags = spatial.sct_kernel(values, lat, lon, elev, num_min=3, num_max=40, pos=3.0, neg=3.0)
+    finally:
+        np.linalg.inv = orig_inv
+    assert flags[17] == Flag.FAIL
+    assert seen and max(seen) <= 40
+
+
+def test_portable_coords_match_duckdb(spark):
+    """with_synthetic_coords_portable ≡ the DuckDB SQL twin, bit-exact —
+    the contract that makes the buddy/sct oracles possible."""
+    import duckdb
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "user_id long")
+    got = {
+        r.user_id: (r.lat, r.lon, r.elev)
+        for r in spatial.with_synthetic_coords_portable(df, series_col="user_id").collect()
+    }
+    c = spatial.synthetic_coords_sql("user_id")
+    con = duckdb.connect()
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT user_id, {c['lat']}, {c['lon']}, {c['elev']} "
+            "FROM (SELECT unnest(range(50)) AS user_id)"
+        ).fetchall()
+    }
+    assert got == duck  # exact double equality, no tolerance
