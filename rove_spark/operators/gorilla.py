@@ -5,9 +5,11 @@ plain ``Vec<Option<f32>>`` in memory, ``/root/reference/src/data_switch.rs:
 141-145``). Implements the Facebook Gorilla paper's encodings
 (Pelkonen et al., VLDB 2015, §4.1/4.2 — public algorithm):
 
-- timestamps: header t0 (64b) + first delta (32b), then delta-of-delta D in
+- timestamps: header t0 (64b) + first delta (64b), then delta-of-delta D in
   variable-length classes: ``0`` (D=0), ``10``+7b (−63..64), ``110``+9b
-  (−255..256), ``1110``+12b (−2047..2048), ``1111``+32b;
+  (−255..256), ``1110``+12b (−2047..2048), ``1111``+64b (the paper uses
+  32-bit for the first delta and the fallback; this codec widens both to
+  64 so it is total over int64 timestamps — see encode_timestamps);
 - float32 values: XOR with the previous value; ``0`` (xor=0), ``10`` +
   meaningful bits when they fit the previous leading/length window,
   ``11`` + 5b leading + 6b length + meaningful bits;

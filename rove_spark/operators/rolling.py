@@ -30,7 +30,14 @@ def _window_moments(df, value_col, frame_lo, frame_hi, series_col, order_cols, s
     df2 = df.withColumn("_c", cents)
     n = F.count("_c").over(w)
     s = F.sum("_c").over(w)
-    s2 = F.sum(F.col("_c") * F.col("_c")).over(w)
+    # squares accumulate in decimal(38,0): long·long overflows at
+    # |value| ≳ 3e7 with scale=100 (Spark 4 ANSI mode throws) while the
+    # decimal domain stays EXACT — same integers as DuckDB's HUGEINT, so
+    # the double cast below is still bit-identical cross-engine. Bound:
+    # exact up to |scaled value| < ~1e18 per point (square < 1e37, well
+    # inside 38 digits with headroom for any sane window length).
+    sq = F.col("_c").cast("decimal(19,0)") * F.col("_c").cast("decimal(19,0)")
+    s2 = F.sum(sq).over(w)
     mean = s.cast("double") / n / scale
     var = (
         (s2.cast("double") - s.cast("double") * s.cast("double") / n)

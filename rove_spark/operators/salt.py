@@ -62,10 +62,20 @@ def with_salt(
 ) -> DataFrame:
     """Append a salt column: pmod(xxhash64(sub_key), n_salt) for hot keys,
     0 for everything else (cold keys keep a single group — no extra
-    shuffle fan-out where it isn't needed)."""
-    sub = F.col(sub_key) if isinstance(sub_key, str) else (
-        sub_key if sub_key is not None else F.monotonically_increasing_id()
-    )
+    shuffle fan-out where it isn't needed).
+
+    ``sub_key`` MUST be a deterministic row expression (e.g. turn_idx, a
+    timestamp, an id column). A non-deterministic source such as
+    monotonically_increasing_id() feeding a shuffle key is a silent
+    row-loss/duplication hazard under task retry — Spark may recompute the
+    stage and assign rows to different salt partitions. The old default
+    did exactly that; now the caller must choose."""
+    if sub_key is None:
+        raise ValueError(
+            "with_salt requires a deterministic sub_key column/expression; "
+            "non-deterministic salts corrupt results under task retry"
+        )
+    sub = F.col(sub_key) if isinstance(sub_key, str) else sub_key
     salted = F.pmod(F.xxhash64(sub), F.lit(n_salt)).cast("int")
     if hot_keys is None:
         expr = salted
@@ -94,7 +104,8 @@ def salted_agg(
 
     Phase 1 groups by (keys…, salt) — the hot key's rows spread across
     ``n_salt`` reducers; phase 2 merges the ≤ n_salt partials per key
-    (count partials merge by sum)."""
+    (count partials merge by sum). ``sub_key`` must be a deterministic
+    row expression (see ``with_salt``)."""
     merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
     partial = with_salt(df, keys[0], n_salt, hot_keys=hot_keys, sub_key=sub_key)
     p_aggs = [

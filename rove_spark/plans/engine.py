@@ -193,17 +193,19 @@ class Engine:
         all_days = {r.d for r in df.select(day.alias("d")).distinct().collect()}
         done = manifest.done_partitions(fp)
         todo = sorted(all_days - done)
-        # a done day adjacent to new data gets RE-materialized: forward-
-        # looking checks (spike's lookahead) at its trailing edge only
-        # become decidable once the next day's rows exist, so its flags
-        # must be refreshed for resumed ≡ from-scratch to hold both ways
-        reflag = sorted(
-            {
-                (datetime.strptime(d, "%Y-%m-%d") - timedelta(days=1)).strftime("%Y-%m-%d")
-                for d in todo
-            }
-            & done
-        )
+        # a done day adjacent to new data gets RE-materialized, in BOTH
+        # directions: forward-looking checks (spike's lookahead) at a done
+        # day's trailing edge only become decidable once the next day's
+        # rows exist (d-1 case), and lag-based checks (step/spike/flatline)
+        # at a done day's head only become decidable once the PREVIOUS
+        # day's rows exist — out-of-order backfill (d+1 case). Both are
+        # required for resumed ≡ from-scratch to hold on any arrival order.
+        adjacent = set()
+        for d in todo:
+            base = datetime.strptime(d, "%Y-%m-%d")
+            adjacent.add((base - timedelta(days=1)).strftime("%Y-%m-%d"))
+            adjacent.add((base + timedelta(days=1)).strftime("%Y-%m-%d"))
+        reflag = sorted(adjacent & done)
         todo = sorted(set(todo) | set(reflag))
         result = {
             "all": sorted(all_days),

@@ -178,6 +178,39 @@ def test_run_job_checkpoint_resume(tmp_path, spark):
     assert any_rec["metrics"]["rows_1m"] > 0
 
 
+def test_run_job_backfill_reflags_following_day(tmp_path, spark):
+    """Out-of-order arrival: run the LATER days first, then backfill the
+    first day. The already-done following day must be re-materialized
+    (its head-of-day lag flags were INCONCLUSIVE without day 1) and the
+    final tiers must equal a from-scratch run — the round-1 advice gap."""
+    eng = _engine(spark)
+    df = _signals(spark)
+    dcol = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    days = sorted(r.d for r in df.select(dcol.alias("d")).distinct().collect())
+    assert len(days) >= 3
+
+    # later days arrive first
+    late = df.filter(dcol.isin(days[1:]))
+    r1 = eng.run_job(late, "ta", tmp_path / "out", input_fingerprint="fp1")
+    assert r1["computed"] == days[1:]
+
+    # day 1 backfills: day 2 (done, following) must be recomputed too
+    r2 = eng.run_job(df, "ta", tmp_path / "out", input_fingerprint="fp1")
+    assert days[1] in r2["recomputed_context"]
+    assert sorted(r2["computed"]) == sorted({days[0], days[1]})
+
+    # resumed-out-of-order ≡ from-scratch, byte-identical tier contents
+    r_fresh = eng.run_job(df, "ta", tmp_path / "fresh", input_fingerprint="fp1")
+    assert r_fresh["computed"] == days
+    for tier in ("1m", "1h", "1d"):
+        a = spark.read.parquet(str(tmp_path / "out" / f"tier_{tier}"))
+        b = spark.read.parquet(str(tmp_path / "fresh" / f"tier_{tier}"))
+        cols = sorted(a.columns)
+        ca = sorted(tuple(str(x) for x in r) for r in a.select(*cols).collect())
+        cb = sorted(tuple(str(x) for x in r) for r in b.select(*cols).collect())
+        assert ca == cb, tier
+
+
 def test_run_job_param_change_invalidates(tmp_path, spark):
     df = _signals(spark)
     eng1 = _engine(spark)

@@ -57,3 +57,16 @@ def test_plan_jvm_side(spark):
     df = _series(spark, [1.0, 2.0, 3.0])
     out = zscore_check(df, "value", window_rows=3, threshold=3.0)
     assert "EvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_zscore_large_values_no_ansi_overflow(spark):
+    """|value| ~ 3e7 squares past Long.MAX at scale=100 — the decimal
+    accumulation domain must stay exact instead of throwing (ANSI mode)."""
+    rows = [("s", i, 3.0e7 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "conv_id string, ts long, value double")
+    out = zscore_check(
+        df, "value", window_rows=8, threshold=4.0, series_col="conv_id", order_cols=("ts",)
+    ).collect()
+    assert len(out) == 20
+    flags = {r.ts: r.flag_zscore_check for r in out}
+    assert flags[19] in (0, 1)  # decided, not an exception

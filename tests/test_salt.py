@@ -3,6 +3,7 @@ and group-size bounding for grouped-UDF stages."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from rove_spark.operators.salt import chunk_key, detect_hot_keys, salted_agg, with_salt
@@ -63,3 +64,11 @@ def test_chunk_key_bounds_groups(spark):
     )
     # one hour of PT1M turns ≤ 60 rows per group regardless of skew
     assert sizes <= 60
+
+
+def test_with_salt_rejects_missing_sub_key(spark):
+    """Non-deterministic default salts (monotonically_increasing_id) are a
+    row-loss hazard under task retry — sub_key is now mandatory."""
+    df = spark.createDataFrame([("a", 1)], "conv_id string, turn_idx int")
+    with pytest.raises(ValueError, match="deterministic sub_key"):
+        with_salt(df, "conv_id", n_salt=4, sub_key=None)

@@ -95,3 +95,34 @@ def test_time_pushdown_reaches_parquet(tmp_path, spark):
     out = sw.fetch("t", time_spec=TimeSpec(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "ts" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_declared_resolution_filter(spark):
+    """P4 (fetch.rs:31-37): series declaring a resolution different from
+    the requested grid are dropped; equivalence is semantic (PT1H ==
+    PT60M); unparseable or NULL declarations are mismatches; sources
+    without the metadata column are untouched."""
+    src = synthetic_transcripts(spark, n_conv=8, avg_turns=20)
+    declared = (
+        F.when(F.col("conv_id").isin("conv-0", "conv-1"), F.lit("PT1H"))
+        .when(F.col("conv_id") == "conv-2", F.lit("PT60M"))  # equivalent
+        .when(F.col("conv_id") == "conv-3", F.lit("PT10M"))  # mismatch
+        .when(F.col("conv_id") == "conv-4", F.lit("garbage"))  # unparseable
+        .otherwise(F.lit(None).cast("string"))  # undeclared
+    )
+    tagged = src.withColumn("declared_resolution", declared)
+    sw = DataSwitch()
+    sw.register("t", lambda: tagged)
+    lo, hi = tagged.agg(F.min("ts"), F.max("ts")).first()
+    spec = TimeSpec(lo, hi, parse_iso8601("PT1H"))
+    got = {
+        r.conv_id
+        for r in sw.fetch("t", time_spec=spec).select("conv_id").distinct().collect()
+    }
+    assert got == {"conv-0", "conv-1", "conv-2"}
+    # no resolution requested -> no filtering
+    all_ids = sw.fetch("t", time_spec=TimeSpec(lo, hi)).select("conv_id").distinct().count()
+    assert all_ids == 8
+    # source without the metadata column -> untouched
+    sw.register("bare", lambda: src)
+    assert sw.fetch("bare", time_spec=spec).select("conv_id").distinct().count() == 8
