@@ -1121,6 +1121,153 @@ GROUP BY s.user_id
 """
 
 
+# ------------------------------------------------- relational join surface --
+# Exercises the TPC-H-ish tables (lineitem/orders/customer/supplier/
+# nation/region) with the three join shapes that matter at 100 TB:
+# broadcast dim joins, a large-×-large shuffle (SMJ) join, and an
+# explicitly salted skewed aggregation. Revenue math runs in an exact
+# integer domain: price_cents · (1-discount)·100 — both factors are
+# 2-decimal-exact in the data — so sums are order-independent bigints.
+
+TPCH_CUTOFF = "1998-01-01"
+
+
+def _rev_c4():
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+
+
+def q_tpch_shipping(spark, sf):
+    """TPC-H Q3 shape: broadcast the filtered customer dim; orders ⋈
+    lineitem is the large shuffle join; top-10 open orders by revenue."""
+    _utc(spark)
+    cust = read_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = read_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit(TPCH_CUTOFF))
+    )
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit(TPCH_CUTOFF))
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_rev_c4()).alias("revenue_c4"), F.count(F.lit(1)).alias("n_items")
+    )
+    w = Window.orderBy(F.desc("revenue_c4"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            "revenue_c4",
+            "n_items",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+SQL_TPCH_SHIPPING = f"""
+WITH agg AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '{TPCH_CUTOFF}'
+    AND l.l_shipdate > TIMESTAMP '{TPCH_CUTOFF}'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_c4, n_items,
+       CAST(row_number() OVER (ORDER BY revenue_c4 DESC, l_orderkey) AS INT) AS rank
+FROM agg QUALIFY rank <= 10
+"""
+
+
+def q_tpch_region_volume(spark, sf):
+    """Star-schema rollup: lineitem against three broadcast dims
+    (supplier → nation → region); per-(region, nation) revenue."""
+    _utc(spark)
+    li = read_table(spark, sf, "lineitem")
+    sup = read_table(spark, sf, "supplier")
+    nat = read_table(spark, sf, "nation")
+    reg = read_table(spark, sf, "region")
+    j = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.sum(_rev_c4()).alias("revenue_c4"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.count_distinct("s_suppkey").alias("n_suppliers"),
+    )
+
+
+SQL_TPCH_REGION = """
+SELECT r.r_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_skew_salted_agg(spark, sf):
+    """Explicit two-phase salted aggregation over a pathologically skewed
+    key (l_returnflag: 3 values, ~20k rows each at sf0.01) — the phase-1
+    (key, salt) partials spread each hot key over 16 reducers; dedup'd by
+    the exact plain-GROUP-BY oracle. sub_key is deterministic
+    (l_orderkey), per the task-retry safety contract."""
+    from rove_spark.operators.salt import salted_agg
+
+    _utc(spark)
+    li = read_table(spark, sf, "lineitem").withColumn(
+        "price_c", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": ("price_c", "count"),
+            "sum_price_c": ("price_c", "sum"),
+            "min_price_c": ("price_c", "min"),
+            "max_price_c": ("price_c", "max"),
+        },
+        n_salt=16,
+        hot_keys=["A", "N", "R"],
+        sub_key="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_items").cast("long").alias("n_items"),
+        "sum_price_c",
+        "min_price_c",
+        "max_price_c",
+    )
+
+
+SQL_SKEW_SALTED = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS min_price_c,
+       CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS max_price_c
+FROM lineitem GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- registry --
 
 
@@ -1161,6 +1308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "zscore_check": q_zscore_check,
+        "tpch_shipping": q_tpch_shipping,
+        "tpch_region_volume": q_tpch_region_volume,
+        "skew_salted_agg": q_skew_salted_agg,
     }
 
 
@@ -1198,4 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": SQL_HASH_SAMPLE,
         "stratified_sample": _sql_stratified(),
         "zscore_check": SQL_ZSCORE,
+        "tpch_shipping": SQL_TPCH_SHIPPING,
+        "tpch_region_volume": SQL_TPCH_REGION,
+        "skew_salted_agg": SQL_SKEW_SALTED,
     }

@@ -125,3 +125,39 @@ def test_bucketed_layout_eliminates_exchange(spark, parquet_transcripts, tmp_pat
     got_p = {key(r): r.flag_step_check for r in out_p.collect()}
     assert got_b == got_p
     spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
+
+
+def test_tpch_shipping_join_shapes(spark):
+    """With auto-broadcast OFF (as it effectively is when the tables are
+    100 TB), the EXPLICIT broadcast hint on the customer dim must survive,
+    and the large orders ⋈ lineitem join must be a shuffle join — i.e. we
+    hinted the dim and correctly left the fact join to the planner."""
+    from rove_spark.plans.driver_queries import q_tpch_shipping
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(q_tpch_shipping(spark, "/root/testdata/sf0.001"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan  # explicit hint on customer
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_tpch_region_volume_all_dims_broadcast(spark):
+    """Star rollup: every dim join broadcasts; the fact table never
+    shuffles for a join (the only exchange is the final groupBy)."""
+    from rove_spark.plans.driver_queries import q_tpch_region_volume
+
+    plan = _plan(q_tpch_region_volume(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_skew_salted_agg_two_phase(spark):
+    """Salted agg: phase 1 partial-aggregates on (key, salt) — the plan
+    must show an exchange keyed by BOTH before the final de-salt agg."""
+    from rove_spark.plans.driver_queries import q_skew_salted_agg
+
+    plan = _plan(q_skew_salted_agg(spark, "/root/testdata/sf0.001"))
+    assert "salt" in plan and plan.count("HashAggregate") >= 4  # partial+final × 2 phases
