@@ -33,9 +33,13 @@ class Duration:
         return self.months != 0
 
     def interval_sql(self) -> str:
-        """Spark SQL INTERVAL literal usable inside ``sequence()``."""
+        """Spark SQL interval expression usable inside ``sequence()``.
+        Mixed month+second periods compose via make_interval — the
+        RelativeDuration semantics of the reference parser
+        (``frost/duration.rs:67-69``): step = +months calendar shift,
+        then +seconds."""
         if self.months and self.seconds:
-            raise ValueError("mixed month+second grid periods are not supported")
+            return f"make_interval(0, {self.months}, 0, 0, 0, 0, {self.seconds})"
         if self.months:
             return f"INTERVAL {self.months} MONTH"
         return f"INTERVAL {self.seconds} SECOND"

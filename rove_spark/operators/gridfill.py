@@ -62,8 +62,14 @@ def grid_fill(
     max_ts with context slots (reference pads leading/trailing ``None``s,
     ``fetch.rs:102-122,140-144``).
     """
-    if period.is_calendar and period.seconds:
-        raise ValueError("mixed month+second periods unsupported")
+    if period.is_calendar and period.seconds and anchor == "epoch":
+        # a mixed step has no well-defined epoch-aligned slot (the k-th
+        # slot depends on the whole walk, not a modulus); the reference's
+        # own convention for these grids is first-observation origin
+        raise ValueError(
+            "mixed month+second periods have no epoch anchor; pass "
+            "anchor='series' (the reference's first-observation origin)"
+        )
     keep_cols = keep_cols if keep_cols is not None else [
         c for c in df.columns if c not in (series_col, ts_col)
     ]
@@ -119,6 +125,11 @@ def snap_to_grid(
     are flaggable as INVALID downstream (divergence from the reference's
     hard Misalignment error, ``fetch.rs:133-137`` — documented in SPEC.md).
     """
+    if period.is_calendar and period.seconds:
+        raise ValueError(
+            "snap_to_grid needs a modulus; mixed month+second grids have "
+            "none — validate such sources against an explicit grid_fill spine"
+        )
     if period.is_calendar:
         grid_ts = F.date_trunc("month", F.col(ts_col))
     else:

@@ -77,8 +77,13 @@ def synthetic_assets(
 
 def _fake_decode_bytes(payload: bytes, n_out: int) -> np.ndarray:
     """STUB for media decode: deterministic pseudo-pixels from the payload
-    digest. Replace with a real decoder off-sandbox."""
-    d = hashlib.sha256(payload).digest()
+    digest. Replace with a real decoder off-sandbox.
+
+    The digest is sha256 of the LOWERCASE-HEX payload (not the raw bytes):
+    DuckDB's sha256 is VARCHAR-only, and hashing the hex form lets the
+    driver's multimodal query carry an exact cross-engine oracle
+    (sha256(lower(hex(payload))) reproduces this in SQL)."""
+    d = hashlib.sha256(payload.hex().encode()).digest()
     reps = n_out // len(d) + 1
     return np.frombuffer((d * reps)[:n_out], dtype=np.uint8)
 

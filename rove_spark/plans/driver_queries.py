@@ -820,14 +820,38 @@ FROM r WHERE rank <= 10
 
 
 def q_minhash_neardup(spark, sf):
-    """MinHash+LSH near-dup pairs on documents (rows-only: hash chain not
-    SQL-portable; exactness pinned by tests/test_dedup.py goldens)."""
+    """MinHash+LSH near-dup pairs on documents, gated by a brute-force
+    all-pairs n-gram-Jaccard DuckDB oracle. The oracle is exact (string
+    3-gram sets); the Spark side must therefore prove BOTH perfect LSH
+    recall at this threshold (the data's true pairs sit at j ≥ 0.9, where
+    16-band/4-row recall is 1 − 4e-8) and exact-verify precision. The
+    exact Jaccard value matches because |∩|/|∪| over 64-bit-hashed shingle
+    sets equals the string-set ratio barring xxhash64 collisions."""
     from rove_spark.operators.dedup import minhash_dedup
 
     _utc(spark)
     docs = read_table(spark, sf, "documents")
     out = minhash_dedup(docs, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_MINHASH = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents)
+)
+, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(list_distinct(a.s || b.s)) > 0
+              THEN len(list_intersect(a.s, b.s)) * 1.0
+                   / len(list_distinct(a.s || b.s))
+              ELSE 1.0 END AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5
+"""
 
 
 SIMHASH_MAX_HAMMING = 3  # < blocks=4: pigeonhole completeness holds
@@ -899,9 +923,15 @@ def q_ivf_knn(spark, sf):
     )
 
 
+MM_QUERY_IDS = ("asset-0", "asset-1", "asset-2")
+
+
 def q_multimodal_features(spark, sf):
-    """Synthetic asset table → stub feature extraction → self-NN check
-    via the ANN operator (rows-only; media libs are stubbed)."""
+    """Synthetic asset table → stub feature extraction (mapInPandas, the
+    real Arrow batch plumbing) → top-3 cosine via the ANN operator. The
+    stub chain is pure hash arithmetic, so a DuckDB oracle recomputes the
+    ENTIRE pipeline — payload synthesis, sha256 digest, uint32 unpack,
+    normalize, float32 quantize, cosine ranking — independently."""
     from rove_spark.operators.ann import brute_force_topk
     from rove_spark.operators.multimodal import extract_features, synthetic_assets
 
@@ -909,14 +939,68 @@ def q_multimodal_features(spark, sf):
     assets = synthetic_assets(spark, n=100)
     feats = extract_features(assets)
     vec_tbl = feats.select(
-        F.col("asset_id").alias("vec_id"), F.col("feature").alias("embedding")
+        F.col("asset_id").alias("vec_id"),
+        F.transform("feature", lambda x: x.cast("double")).alias("embedding"),
     )
-    q = vec_tbl.limit(3).select(
+    q = vec_tbl.filter(F.col("vec_id").isin(*MM_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return brute_force_topk(vec_tbl, q, k=3, id_col="vec_id").select(
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank")
     )
+
+
+def _sql_multimodal() -> str:
+    """DuckDB twin of the full multimodal stub pipeline (see
+    multimodal.synthetic_assets / _fake_decode_bytes / extract_features):
+    payload = first 256 bytes of sha256(asset_id || i) for i in 0..8;
+    digest = sha256(lowercase-hex payload); features = little-endian
+    uint32s of the repeated digest → /(2³²−1) − 0.5 → unit-norm →
+    float32; top-3 cosine with asset-{0,1,2} as queries."""
+    hexv = "(strpos('0123456789abcdef', substr(dd, {c}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return (
+            "("
+            + hexv.format(c=2 * k + 1)
+            + " * 16 + "
+            + hexv.format(c=2 * k + 2)
+            + ")"
+        )
+
+    def u32(j: int) -> str:
+        return "(" + " + ".join(f"{byte(4 * j + b)} * {256 ** b}" for b in range(4)) + ")"
+
+    vals = ", ".join(u32(j) for j in range(32))
+    ph = " || ".join(f"sha256(asset_id || '{i}')" for i in range(9))
+    qids = ", ".join(f"'{q}'" for q in MM_QUERY_IDS)
+    return f"""
+WITH ids AS (
+  SELECT 'asset-' || CAST(i AS VARCHAR) AS asset_id FROM range(100) t(i)
+), p AS (
+  SELECT asset_id, substr({ph}, 1, 512) AS ph FROM ids
+), d AS (
+  SELECT asset_id, repeat(sha256(ph), 4) AS dd FROM p
+), u AS (
+  SELECT asset_id, [{vals}] AS raw FROM d
+), vv AS (
+  SELECT asset_id, [x / 4294967295.0 - 0.5 for x in raw] AS v FROM u
+), n AS (
+  SELECT asset_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM vv
+), feat AS (
+  SELECT asset_id, [CAST(CAST(x / nrm AS REAL) AS DOUBLE) for x in v] AS f FROM n
+), q AS (
+  SELECT asset_id AS query_id, f AS qf FROM feat WHERE asset_id IN ({qids})
+), s AS (
+  SELECT q.query_id, feat.asset_id, list_cosine_similarity(q.qf, feat.f) AS c
+  FROM q CROSS JOIN feat
+), r AS (
+  SELECT query_id, asset_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, asset_id) AS rank
+  FROM s
+)
+SELECT query_id, asset_id AS vec_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+"""
 
 
 # ------------------------------------------------------- spatial checks --
@@ -1121,6 +1205,47 @@ GROUP BY s.user_id
 """
 
 
+def q_gapfill_mixed(spark, sf):
+    """Mixed month+second grid (P1MT1H — RelativeDuration composition,
+    ``duration.rs:67-69``): 50 deterministic series with observations at
+    walk positions {0,1,3} of their own first-observation grid; slot 2 is
+    a gap. The oracle derives the expected spine independently with
+    DuckDB's calendar arithmetic. Dates sit mid-month so iterative vs
+    direct month-adds cannot diverge via end-of-month clamping."""
+    from rove_spark.operators.gridfill import grid_fill
+
+    _utc(spark)
+    base = spark.range(50).select(F.col("id").alias("user_id"))
+    obs = base.select(
+        "user_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(3))).alias("k")
+    )
+    ts = F.expr(
+        "timestamp'2024-01-15 06:00:00'"
+        " + make_interval(0, 0, 0, 0, user_id, 0, 0)"  # stagger per series
+        " + make_interval(0, k, 0, 0, k, 0, 0)"  # k steps of 1 month + 1 hour
+    )
+    df = obs.select("user_id", ts.alias("ts"), (F.col("k") * 1.0).alias("v"))
+    g = grid_fill(
+        df, parse_iso8601("P1MT1H"), series_col="user_id", anchor="series", keep_cols=["v"]
+    )
+    return g.select(
+        "user_id", "ts", F.col("slot_idx").cast("int").alias("slot_idx"), "is_gap", "v"
+    )
+
+
+SQL_GAPFILL_MIXED = """
+WITH u AS (SELECT i AS user_id FROM range(50) t(i)),
+s AS (SELECT user_id, unnest([0, 1, 2, 3]) AS k FROM u)
+SELECT user_id,
+       TIMESTAMP '2024-01-15 06:00:00' + to_hours(user_id)
+         + to_months(k) + to_hours(k) AS ts,
+       CAST(k AS INT) AS slot_idx,
+       k = 2 AS is_gap,
+       CASE WHEN k = 2 THEN NULL ELSE CAST(k AS DOUBLE) END AS v
+FROM s
+"""
+
+
 # ------------------------------------------------- relational join surface --
 # Exercises the TPC-H-ish tables (lineitem/orders/customer/supplier/
 # nation/region) with the three join shapes that matter at 100 TB:
@@ -1281,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_check_dynamic": q_range_check_dynamic,
         "model_consistency_check": q_model_consistency,
         "gapfill": q_gapfill,
+        "gapfill_mixed": q_gapfill_mixed,
         "asof_join": q_asof_join,
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
@@ -1324,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "range_check_dynamic": SQL_RANGE_DYNAMIC,
         "model_consistency_check": SQL_MODEL,
         "gapfill": SQL_GAPFILL,
+        "gapfill_mixed": SQL_GAPFILL_MIXED,
         "asof_join": SQL_ASOF,
         "rollup_1m": _sql_rollup("minute"),
         "rollup_1h": _sql_rollup("hour"),
@@ -1337,6 +1464,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": SQL_SIMHASH,
         "ivf_knn": SQL_KNN,
         "buddy_check": _sql_buddy(),
+        "minhash_neardup": SQL_MINHASH,
+        "multimodal_features": _sql_multimodal(),
         "sct_isolated": _sql_sct_isolated(),
         "polygon_filter": _sql_polygon(),
         "fill_forward": SQL_FILL_FORWARD,

@@ -123,3 +123,34 @@ def test_find_misaligned(spark):
     assert ("s2", "off_grid") in got
     assert ("s2", "duplicate_slot") in got
     assert ("s1", "duplicate_slot") not in got
+
+
+def test_mixed_calendar_grid(spark):
+    """P1MT1H: slots walk +1 month +1 hour from the first observation
+    (RelativeDuration composition, duration.rs:67-69). Observations on the
+    walk land in slots; off-walk months are gaps."""
+    import pytest
+
+    period = parse_iso8601("P1MT1H")
+    pts = [
+        dt.datetime(2024, 1, 15, 6, 0),   # slot 0
+        dt.datetime(2024, 2, 15, 7, 0),   # slot 1
+        # slot 2 (2024-03-15 08:00) missing → gap
+        dt.datetime(2024, 4, 15, 9, 0),   # slot 3
+    ]
+    rows = [("c1", t, float(i)) for i, t in enumerate(pts)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value float")
+    out = grid_fill(df, period, anchor="series").orderBy("ts").collect()
+    assert [r.ts for r in out] == [
+        dt.datetime(2024, 1, 15, 6, 0),
+        dt.datetime(2024, 2, 15, 7, 0),
+        dt.datetime(2024, 3, 15, 8, 0),
+        dt.datetime(2024, 4, 15, 9, 0),
+    ]
+    assert [r.is_gap for r in out] == [False, False, True, False]
+    assert [r.slot_idx for r in out] == [0, 1, 2, 3]
+    # epoch anchor is undefined for mixed steps: loud error, not silence
+    with pytest.raises(ValueError, match="epoch anchor"):
+        grid_fill(df, period)
+    with pytest.raises(ValueError, match="modulus"):
+        snap_to_grid(df, period)
