@@ -33,6 +33,21 @@ from rove_spark.plans.checkpoint import CheckpointManifest, params_hash
 from rove_spark.sources.tables import PartitionedTable
 
 
+def list_day_partitions(path: str | Path) -> set[str] | None:
+    """Day set from a hive-style ``day=YYYY-MM-DD`` directory layout —
+    the metadata-only analog of Iceberg's partition listing. Returns None
+    when the path has no day partitions (caller falls back to a scan)."""
+    root = Path(path)
+    if not root.is_dir():
+        return None
+    days = {
+        p.name.split("=", 1)[1]
+        for p in root.glob("day=*")
+        if p.is_dir() and "=" in p.name
+    }
+    return days or None
+
+
 class Engine:
     """Composes configured pipelines over series DataFrames.
 
@@ -170,6 +185,7 @@ class Engine:
         ts_col: str = "ts",
         input_fingerprint: str | None = None,
         retention: dict[str, str] | None = None,
+        input_path: str | Path | None = None,
     ) -> dict:
         """Flag + roll up + write all tiers, checkpointed by UTC day.
 
@@ -190,7 +206,15 @@ class Engine:
 
         manifest = CheckpointManifest(out_dir / "_checkpoint.json")
         day = F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
-        all_days = {r.d for r in df.select(day.alias("d")).distinct().collect()}
+        # day enumeration: with a day-partitioned input, the day set is a
+        # METADATA question — read it from the partition directory listing
+        # instead of scanning every row (at 100 TB the distinct() below is
+        # a full-table pass just to list ~365 strings). Fallback: scan.
+        all_days = None
+        if input_path is not None:
+            all_days = list_day_partitions(input_path)
+        if all_days is None:
+            all_days = {r.d for r in df.select(day.alias("d")).distinct().collect()}
         done = manifest.done_partitions(fp)
         todo = sorted(all_days - done)
         # a done day adjacent to new data gets RE-materialized, in BOTH

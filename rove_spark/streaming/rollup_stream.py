@@ -188,51 +188,77 @@ def stream_spike_check(
     emitted."""
     import math
 
+    import numpy as np
     import pandas as pd
 
-    def _flag(prev, cur, nxt):
-        vals = (prev[1], cur[1], nxt[1])
-        if any(v is None or (isinstance(v, float) and math.isnan(v)) for v in vals):
-            return int(Flag.DATA_MISSING)
-        d1, d2 = cur[1] - prev[1], cur[1] - nxt[1]
-        if d1 * d2 > 0:
-            m = min(abs(d1), abs(d2))
-            if m >= max_:
-                return int(Flag.FAIL)
-            if m >= high:
-                return int(Flag.WARN)
-        return int(Flag.PASS)
-
     def fn(key, pdf_iter, state: GroupState):
-        prev = cur = None
+        # vectorized lookahead: stitch (state.prev, state.cur) in front of
+        # the sorted micro-batch, then flag the interior points with the
+        # SAME vector arithmetic as the batch check's lag/lead frame —
+        # no per-row Python in the stream path.
+        prev_exists = False
+        pre_t: list[float] = []
+        pre_v: list[float] = []
         if state.exists:
             p_ts, p_v, c_ts, c_v = state.get
             if p_ts is not None and not math.isnan(p_ts):
-                prev = (p_ts, None if math.isnan(p_v) else p_v)
+                prev_exists = True
+                pre_t.append(p_ts)
+                pre_v.append(p_v if p_v is not None else float("nan"))
             if c_ts is not None and not math.isnan(c_ts):
-                cur = (c_ts, None if math.isnan(c_v) else c_v)
-        out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("_epoch")
-            for ts_e, v in zip(pdf["_epoch"], pdf["_v"]):
-                nxt = (float(ts_e), None if pd.isna(v) else float(v))
-                if cur is not None:
-                    if prev is None:
-                        out.append((key[0], cur[0], cur[1], int(Flag.INCONCLUSIVE)))
-                    else:
-                        out.append((key[0], cur[0], cur[1], _flag(prev, cur, nxt)))
-                prev, cur = cur, nxt
-        state.update(
-            (
-                prev[0] if prev else float("nan"),
-                prev[1] if prev and prev[1] is not None else float("nan"),
-                cur[0] if cur else float("nan"),
-                cur[1] if cur and cur[1] is not None else float("nan"),
-            )
+                pre_t.append(c_ts)
+                pre_v.append(c_v if c_v is not None else float("nan"))
+        chunks = list(pdf_iter)
+        batch = (
+            pd.concat(chunks).sort_values("_epoch")
+            if chunks
+            else pd.DataFrame({"_epoch": [], "_v": []})
         )
-        if out:
-            df = pd.DataFrame(out, columns=["series_id", "ts", "value", "flag_spike_check"])
-            df["ts"] = pd.to_datetime((df["ts"] * 1e6).round().astype("int64"), unit="us")
+        T = np.concatenate([np.asarray(pre_t, float), batch["_epoch"].to_numpy(float)])
+        V = np.concatenate([np.asarray(pre_v, float), batch["_v"].to_numpy(float)])
+        n = len(T)
+
+        rows_t: list[np.ndarray] = []
+        rows_v: list[np.ndarray] = []
+        rows_f: list[np.ndarray] = []
+        if n >= 2:
+            if not prev_exists:
+                # seq[0] is the series' first-ever point: no predecessor
+                rows_t.append(T[0:1])
+                rows_v.append(V[0:1])
+                rows_f.append(np.array([int(Flag.INCONCLUSIVE)], dtype=np.int64))
+            if n >= 3:
+                a, b, c = V[:-2], V[1:-1], V[2:]
+                missing = np.isnan(a) | np.isnan(b) | np.isnan(c)
+                d1, d2 = b - a, b - c
+                with np.errstate(invalid="ignore"):
+                    same_side = d1 * d2 > 0
+                    m = np.minimum(np.abs(d1), np.abs(d2))
+                    flags = np.select(
+                        [missing, same_side & (m >= max_), same_side & (m >= high)],
+                        [int(Flag.DATA_MISSING), int(Flag.FAIL), int(Flag.WARN)],
+                        default=int(Flag.PASS),
+                    )
+                rows_t.append(T[1:-1])
+                rows_v.append(V[1:-1])
+                rows_f.append(flags.astype(np.int64))
+
+        new_prev_t = T[-2] if n >= 2 else float("nan")
+        new_prev_v = V[-2] if n >= 2 else float("nan")
+        new_cur_t = T[-1] if n >= 1 else float("nan")
+        new_cur_v = V[-1] if n >= 1 else float("nan")
+        state.update((float(new_prev_t), float(new_prev_v), float(new_cur_t), float(new_cur_v)))
+
+        if rows_t:
+            t_all = np.concatenate(rows_t)
+            df = pd.DataFrame(
+                {
+                    "series_id": key[0],
+                    "ts": pd.to_datetime((t_all * 1e6).round().astype("int64"), unit="us"),
+                    "value": np.concatenate(rows_v),
+                    "flag_spike_check": np.concatenate(rows_f),
+                }
+            )
             yield df
         else:
             yield pd.DataFrame(columns=[f.name for f in _SPIKE_OUT])

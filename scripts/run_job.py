@@ -63,7 +63,14 @@ def main() -> None:
     eng = Engine(spark, pipeline_dir=args.pipeline_dir)
     t0 = time.time()
     result = eng.run_job(
-        df, args.pipeline, args.out, value_col=args.value_col, input_fingerprint=fingerprint
+        df,
+        args.pipeline,
+        args.out,
+        value_col=args.value_col,
+        input_fingerprint=fingerprint,
+        # day-partitioned inputs enumerate days from the directory listing
+        # (metadata-only) instead of a full scan
+        input_path=args.input,
     )
     n_turns = df.count()
     elapsed = time.time() - t0

@@ -221,3 +221,31 @@ def test_run_job_param_change_invalidates(tmp_path, spark):
     r2 = eng2.run_job(df, "ta", tmp_path / "out", input_fingerprint="fp1")
     assert r2["computed"] == r1["computed"]
     assert r2["skipped"] == []
+
+
+def test_day_enumeration_from_partition_listing(tmp_path, spark):
+    """Day-partitioned input: run_job enumerates days from the directory
+    listing (metadata-only) and produces the same tiers as the scan path."""
+    from rove_spark.plans.engine import list_day_partitions
+
+    eng = _engine(spark)
+    df = _signals(spark)
+    dcol = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    inp = str(tmp_path / "inp")
+    df.withColumn("day", dcol).write.partitionBy("day").parquet(inp)
+    days = sorted(r.d for r in df.select(dcol.alias("d")).distinct().collect())
+    assert sorted(list_day_partitions(inp)) == days
+    assert list_day_partitions(str(tmp_path / "nope")) is None
+    assert list_day_partitions(str(tmp_path)) is None  # no day=* dirs
+
+    back = spark.read.parquet(inp).drop("day")
+    r1 = eng.run_job(back, "ta", tmp_path / "listed", input_fingerprint="fp1", input_path=inp)
+    assert r1["all"] == days
+    r2 = eng.run_job(df, "ta", tmp_path / "scanned", input_fingerprint="fp1")
+    for tier in ("1m", "1h", "1d"):
+        a = spark.read.parquet(str(tmp_path / "listed" / f"tier_{tier}"))
+        b = spark.read.parquet(str(tmp_path / "scanned" / f"tier_{tier}"))
+        cols = sorted(a.columns)
+        ca = sorted(tuple(str(x) for x in r) for r in a.select(*cols).collect())
+        cb = sorted(tuple(str(x) for x in r) for r in b.select(*cols).collect())
+        assert ca == cb, tier
