@@ -360,12 +360,28 @@ def _grouped_spatial(
             for dy in range(-rings, rings + 1)
         ]
         off_df = df.sparkSession.createDataFrame(offsets, "dx int, dy int")
+        # halo pruning: a halo copy only matters if the point can be
+        # within the check radius of SOME point in the target cell, i.e.
+        # its planar distance to the cell rectangle is ≤ halo_deg. The
+        # 1.25 margin covers equirectangular-vs-haversine and cos(ref_lat)
+        # distortion (<~10% on regional domains) — prune only what
+        # provably cannot contribute. Cuts the (2r+1)² duplication to the
+        # actual radius band (bucketed ≡ global stays exact; tested).
+        prune_deg = halo_deg * 1.25 + 1e-9
+        tx = (F.col("cx") + F.col("dx")).cast("double") * cell_deg
+        ty = (F.col("cy") + F.col("dy")).cast("double") * cell_deg
+        px = F.col("lon") * cos_ref
+        py = F.col("lat")
+        gap_x = F.greatest(F.lit(0.0), tx - px, px - (tx + cell_deg))
+        gap_y = F.greatest(F.lit(0.0), ty - py, py - (ty + cell_deg))
+        in_band = (gap_x * gap_x + gap_y * gap_y) <= F.lit(prune_deg * prune_deg)
         grouped = (
             base.withColumn("cx", cell_x)
             .withColumn("cy", cell_y)
             .crossJoin(F.broadcast(off_df))
-            .withColumn("cell", F.concat_ws(":", F.col("cx") + F.col("dx"), F.col("cy") + F.col("dy")))
             .withColumn("is_halo", (F.col("dx") != 0) | (F.col("dy") != 0))
+            .filter(~F.col("is_halo") | in_band)
+            .withColumn("cell", F.concat_ws(":", F.col("cx") + F.col("dx"), F.col("cy") + F.col("dy")))
             .drop("cx", "cy", "dx", "dy")
         )
         group_keys = ["ts", "cell"]

@@ -1205,6 +1205,46 @@ GROUP BY s.user_id
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Duplicate clustering: min-label propagation to convergence over the
+    minhash near-dup pair graph. Oracle = DuckDB recursive-CTE transitive
+    closure over the brute-force pair set — an independent derivation of
+    the same connected components (iterative Spark algorithm vs recursive
+    SQL, exact equality)."""
+    from rove_spark.operators.dedup import dedup_components, minhash_dedup
+
+    _utc(spark)
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_dedup(docs, threshold=0.5)
+    labels = dedup_components(pairs, docs.select("doc_id"))
+    return labels.select("doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents)
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(list_distinct(a.s || b.s)) > 0
+              THEN len(list_intersect(a.s, b.s)) * 1.0
+                   / len(list_distinct(a.s || b.s))
+              ELSE 1.0 END AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM p WHERE j >= 0.5
+  UNION SELECT id_b, id_a FROM p WHERE j >= 0.5
+), reach(s, d) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, CAST(min(d) AS BIGINT) AS cluster_id FROM reach GROUP BY s
+"""
+
+
 def q_gapfill_mixed(spark, sf):
     """Mixed month+second grid (P1MT1H — RelativeDuration composition,
     ``duration.rs:67-69``): 50 deterministic series with observations at
@@ -1412,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "token_stats": q_token_stats,
         "buddy_check": q_buddy_check,
         "sct": q_sct,
@@ -1456,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h": _sql_rollup("hour"),
         "rollup_1d": _sql_rollup("day"),
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "token_stats": SQL_TOKEN_STATS,
         "gorilla_roundtrip": SQL_GORILLA,
         "langid": SQL_LANGID,
