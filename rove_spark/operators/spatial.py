@@ -43,13 +43,29 @@ EARTH_RADIUS_M = 6_371_000.0
 # ------------------------------------------------------------- kernels --
 
 
+def _haversine_block(
+    lat_r: np.ndarray, lon_r: np.ndarray, lat_c: np.ndarray, lon_c: np.ndarray
+) -> np.ndarray:
+    """Rectangular great-circle distance block (meters): rows × cols.
+    Elementwise-identical arithmetic to the square matrix, so blockwise
+    processing is bit-identical to full-matrix processing."""
+    rlat_r, rlon_r = np.radians(lat_r)[:, None], np.radians(lon_r)[:, None]
+    rlat_c, rlon_c = np.radians(lat_c)[None, :], np.radians(lon_c)[None, :]
+    dlat = rlat_r - rlat_c
+    dlon = rlon_r - rlon_c
+    a = np.sin(dlat / 2) ** 2 + np.cos(rlat_r) * np.cos(rlat_c) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
 def _haversine_matrix(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
     """All-pairs great-circle distance (meters); vectorized numpy."""
-    rlat, rlon = np.radians(lat)[:, None], np.radians(lon)[:, None]
-    dlat = rlat - rlat.T
-    dlon = rlon - rlon.T
-    a = np.sin(dlat / 2) ** 2 + np.cos(rlat) * np.cos(rlat.T) * np.sin(dlon / 2) ** 2
-    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+    return _haversine_block(lat, lon, lat, lon)
+
+
+# row-block size for the memory-bounded kernel paths: peak temp memory is
+# O(block · n) doubles instead of O(n²) — a 150k-station cell costs
+# ~2.4 GB of transient blocks instead of a fatal 180 GB matrix
+KERNEL_BLOCK_ROWS = 4096
 
 
 def buddy_check_kernel(
@@ -70,6 +86,11 @@ def buddy_check_kernel(
 
     ``check_mask`` False rows (halo rows) contribute to statistics but
     keep flag PASS (they are flagged in their home bucket).
+
+    Memory shape: neighbor statistics are computed in row blocks of
+    ``KERNEL_BLOCK_ROWS`` — peak temp memory O(block·n), never O(n²), so
+    a dense cell cannot OOM the Python worker. Blockwise per-row
+    arithmetic is bit-identical to the full-matrix form (tested).
     """
     n = len(values)
     flags = np.full(n, int(Flag.PASS), dtype=np.int8)
@@ -77,33 +98,47 @@ def buddy_check_kernel(
     flags[~present] = int(Flag.DATA_MISSING)
     if n == 0:
         return flags
-    dist = _haversine_matrix(lat, lon)
-    in_radius = (dist <= radius) & ~np.eye(n, dtype=bool)
-    if max_elev_diff >= 0:
-        in_radius &= np.abs(elev[:, None] - elev[None, :]) <= max_elev_diff
+    B = KERNEL_BLOCK_ROWS
+    dist_full = _haversine_matrix(lat, lon) if n <= B else None
     check = np.ones(n, dtype=bool) if check_mask is None else np.asarray(check_mask, bool)
 
     excluded = np.zeros(n, dtype=bool)  # FAILed values leave the buddy pool
     for _ in range(max(1, num_iterations)):
         usable = present & ~excluded
-        buddy = in_radius & usable[None, :]
-        # elevation-adjusted buddy values per target row
-        if max_elev_diff >= 0 and elev_gradient != 0.0:
-            adj = values[None, :] + elev_gradient * (elev[:, None] - elev[None, :])
-        else:
-            adj = np.broadcast_to(values[None, :], (n, n))
-        vals = np.where(buddy, adj, np.nan)
-        cnt = buddy.sum(axis=1)
-        with np.errstate(invalid="ignore"):
-            mean = np.where(
-                cnt > 0, np.nansum(np.nan_to_num(vals), axis=1) / np.maximum(cnt, 1), np.nan
+        cnt = np.zeros(n, dtype=np.int64)
+        mean = np.full(n, np.nan)
+        var = np.zeros(n)
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            db = (
+                dist_full[s:e]
+                if dist_full is not None
+                else _haversine_block(lat[s:e], lon[s:e], lat, lon)
             )
-            var = (
-                np.nansum(np.nan_to_num((vals - mean[:, None]) ** 2 * buddy), axis=1)
-                / np.maximum(cnt, 1)
-            )
+            ir = db <= radius
+            ir[np.arange(e - s), np.arange(s, e)] = False  # not your own buddy
+            if max_elev_diff >= 0:
+                ir &= np.abs(elev[s:e, None] - elev[None, :]) <= max_elev_diff
+            buddy = ir & usable[None, :]
+            # elevation-adjusted buddy values per target row
+            if max_elev_diff >= 0 and elev_gradient != 0.0:
+                adj = values[None, :] + elev_gradient * (elev[s:e, None] - elev[None, :])
+            else:
+                adj = np.broadcast_to(values[None, :], buddy.shape)
+            vals = np.where(buddy, adj, np.nan)
+            cb = buddy.sum(axis=1)
+            with np.errstate(invalid="ignore"):
+                mb = np.where(
+                    cb > 0, np.nansum(np.nan_to_num(vals), axis=1) / np.maximum(cb, 1), np.nan
+                )
+                vb = (
+                    np.nansum(np.nan_to_num((vals - mb[:, None]) ** 2 * buddy), axis=1)
+                    / np.maximum(cb, 1)
+                )
+            cnt[s:e], mean[s:e], var[s:e] = cb, mb, vb
         std = np.maximum(np.sqrt(var), min_std)
-        z = np.abs(values - mean) / std
+        with np.errstate(invalid="ignore"):
+            z = np.abs(values - mean) / std
         newly_failed = present & (cnt >= num_min) & (z > threshold) & ~excluded
         # never overwrite a FAIL: a station whose buddies all failed out of
         # the pool must stay FAIL, not flip to ISOLATED in a later round
@@ -185,14 +220,24 @@ def sct_kernel(
     flags[~present] = int(Flag.DATA_MISSING)
     if n == 0:
         return flags
-    dist = _haversine_matrix(lat, lon)
+    B = KERNEL_BLOCK_ROWS
+    dist_full = _haversine_matrix(lat, lon) if n <= B else None
     check = np.ones(n, dtype=bool) if check_mask is None else np.asarray(check_mask, bool)
     excluded = np.zeros(n, dtype=bool)
 
     for _ in range(max(1, num_iterations)):
         usable = present & ~excluded
         # isolation: too few usable neighbors (incl. self) in inner radius
-        inner_counts = ((dist <= inner_radius) & usable[None, :]).sum(axis=1)
+        # — blockwise, O(block·n) temp memory like buddy_check_kernel
+        inner_counts = np.zeros(n, dtype=np.int64)
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            db = (
+                dist_full[s:e]
+                if dist_full is not None
+                else _haversine_block(lat[s:e], lon[s:e], lat, lon)
+            )
+            inner_counts[s:e] = ((db <= inner_radius) & usable[None, :]).sum(axis=1)
         isolated = present & check & ~excluded & (inner_counts < num_min)
         flags[isolated & (flags != int(Flag.FAIL))] = int(Flag.ISOLATED)
 
@@ -206,7 +251,11 @@ def sct_kernel(
             k = len(box)
             if k < num_min:
                 continue
-            d_h = dist[np.ix_(box, box)]
+            d_h = (
+                dist_full[np.ix_(box, box)]
+                if dist_full is not None
+                else _haversine_matrix(lat[box], lon[box])
+            )
             d_v = elev[box][:, None] - elev[box][None, :]
             S = np.exp(
                 -0.5 * (d_h / min_horizontal_scale) ** 2

@@ -252,3 +252,42 @@ def test_portable_coords_match_duckdb(spark):
         ).fetchall()
     }
     assert got == duck  # exact double equality, no tolerance
+
+
+def test_blockwise_kernels_bit_identical_to_full():
+    """The O(block·n)-memory path must produce EXACTLY the full-matrix
+    flags (per-row arithmetic is unchanged; only temp layout differs).
+    Forced by shrinking KERNEL_BLOCK_ROWS below n."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    n = 300
+    lat = 58 + rng.uniform(0, 0.4, n)
+    lon = 8 + rng.uniform(0, 0.4, n)
+    elev = rng.uniform(0, 500, n)
+    values = 10 + rng.standard_normal(n)
+    values[7] = 99.0
+    values[13] = np.nan
+    mask = rng.random(n) > 0.2
+
+    full_buddy = spatial.buddy_check_kernel(
+        values, lat, lon, elev, radius=30_000, num_min=2, threshold=2.0,
+        max_elev_diff=300.0, elev_gradient=-0.0065, num_iterations=3, check_mask=mask,
+    )
+    full_sct = spatial.sct_kernel(
+        values, lat, lon, elev, num_min=3, num_max=50, pos=3.0, neg=3.0, check_mask=mask
+    )
+    orig = spatial.KERNEL_BLOCK_ROWS
+    spatial.KERNEL_BLOCK_ROWS = 37  # force many ragged blocks
+    try:
+        blk_buddy = spatial.buddy_check_kernel(
+            values, lat, lon, elev, radius=30_000, num_min=2, threshold=2.0,
+            max_elev_diff=300.0, elev_gradient=-0.0065, num_iterations=3, check_mask=mask,
+        )
+        blk_sct = spatial.sct_kernel(
+            values, lat, lon, elev, num_min=3, num_max=50, pos=3.0, neg=3.0, check_mask=mask
+        )
+    finally:
+        spatial.KERNEL_BLOCK_ROWS = orig
+    assert (full_buddy == blk_buddy).all()
+    assert (full_sct == blk_sct).all()
