@@ -167,6 +167,41 @@ def assign_to_centroids(
     )
 
 
+def persist_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    lloyd_iters: int = 5,
+    seed: int = 17,
+) -> None:
+    """Materialize the IVF index on disk: inverted lists PARTITIONED BY
+    centroid_id + a tiny centroid table. Probing a persisted index reads
+    ONLY the probed lists' partitions — the probe→list join is a
+    broadcast on centroid_id, so dynamic partition pruning turns
+    n_probe/n_centroids into a physical scan reduction, not just a row
+    filter. This is the realistic shape at 100 TB: the quantizer trains
+    once, assignment is one pass, and every query batch afterwards is a
+    pruned scan + per-list exact scoring."""
+    centroids = build_ivf_centroids(
+        vectors, n_centroids, id_col, vec_col, sample_size, lloyd_iters, seed
+    )
+    assigned = assign_to_centroids(vectors, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/lists")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned) from a persisted index — pass both to
+    ``ivf_topk`` to skip the build."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/lists"),
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

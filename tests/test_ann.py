@@ -74,3 +74,23 @@ def test_deterministic(spark, vecs):
     a = sorted(map(tuple, ann.ivf_topk(vecs, q, k=5).collect()))
     b = sorted(map(tuple, ann.ivf_topk(vecs, q, k=5).collect()))
     assert a == b
+
+
+def test_persisted_index_matches_fresh(spark, vecs, tmp_path):
+    """Persisted inverted lists + centroids reproduce the on-the-fly IVF
+    result exactly, and the probed scan prunes list partitions (dynamic
+    partition pruning on centroid_id)."""
+    from rove_spark.operators.ann import ivf_topk, load_ivf_index, persist_ivf_index
+
+    path = str(tmp_path / "ivf")
+    persist_ivf_index(vecs, path, n_centroids=8)
+    centroids, assigned = load_ivf_index(spark, path)
+    q = _queries(spark, vecs, n=5)
+    fresh = sorted(map(tuple, ivf_topk(vecs, q, k=10, n_centroids=8, n_probe=4).collect()))
+    loaded_df = ivf_topk(
+        vecs, q, k=10, n_centroids=8, n_probe=4, centroids=centroids, assigned=assigned
+    )
+    loaded = sorted(map(tuple, loaded_df.collect()))
+    assert fresh == loaded
+    plan = loaded_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(centroid_id" in plan
