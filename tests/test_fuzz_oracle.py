@@ -119,3 +119,76 @@ def test_fuzz_checks_vs_duckdb(spark, seed):
     assert got_step == _duck(pdf, SQL_STEP), "step divergence"
     assert got_spike == _duck(pdf, SQL_SPIKE), "spike divergence"
     assert got_flat == _duck(pdf, SQL_FLATLINE), "flatline divergence"
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_fuzz_portable_simhash_cross_engine(spark, seed):
+    """Random unicode-ish texts (ties, repeats, empties, odd whitespace) →
+    the portable simhash must be bit-identical across Spark and DuckDB."""
+    import duckdb as _duckdb
+
+    from rove_spark.operators.dedup import with_simhash_portable
+
+    rng = np.random.default_rng(seed)
+    vocab = ["the", "fox", "Fox", "ÜBER", "naïve", "a", "9", "#!?", "x" * 40]
+    rows = []
+    for i in range(60):
+        k = int(rng.integers(0, 12))
+        toks = [vocab[int(j)] for j in rng.integers(0, len(vocab), k)]
+        sep = "  " if rng.random() < 0.3 else " "
+        text = sep.join(toks)
+        if rng.random() < 0.15:
+            text = " " + text + "\t"
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in with_simhash_portable(df).collect()}
+
+    con = _duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck = dict(
+        con.execute(
+            r"""
+            WITH toks AS (
+              SELECT doc_id, [md5(w) for w in list_distinct(list_filter(
+                 string_split_regex(lower(text), '\s+'), x -> len(x) > 0))] AS hs
+              FROM docs
+            )
+            SELECT doc_id,
+                   list_aggregate([CASE WHEN coalesce(list_sum(
+                       [2*(((strpos('0123456789abcdef', substr(h, CAST(16 - (b // 4) AS INT), 1)) - 1)
+                            >> (b % 4)) & 1) - 1 for h in hs]), 0) > 0
+                     THEN '1' ELSE '0' END for b in range(0, 64)], 'string_agg', '') AS s
+            FROM toks
+            """
+        ).fetchall()
+    )
+    for i, sig in got.items():
+        bits = "".join(str((sig >> b) & 1) for b in range(64))
+        assert bits == duck[i], (i, rows[i][1])
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+def test_fuzz_portable_coords_cross_engine(spark, seed):
+    """Synthetic-coordinate portability over arbitrary series ids
+    (negative, huge, stringy) — exact double equality."""
+    import duckdb as _duckdb
+
+    from rove_spark.operators.spatial import synthetic_coords_sql, with_synthetic_coords_portable
+
+    rng = np.random.default_rng(seed)
+    ids = [int(x) for x in rng.integers(-(2**40), 2**40, 40)]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    got = {
+        r.user_id: (r.lat, r.lon, r.elev)
+        for r in with_synthetic_coords_portable(df, series_col="user_id").collect()
+    }
+    c = synthetic_coords_sql("user_id")
+    con = _duckdb.connect()
+    con.register("u", pd.DataFrame({"user_id": ids}))
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT user_id, {c['lat']}, {c['lon']}, {c['elev']} FROM u"
+        ).fetchall()
+    }
+    assert got == duck
