@@ -1205,6 +1205,42 @@ GROUP BY s.user_id
 """
 
 
+RETENTION_WINDOWS = {"1m": 7, "1h": 14, "1d": 60}  # days kept per tier
+
+
+def q_retention_plan(spark, sf):
+    """Retention/downsample planning: which day partitions each tier's
+    policy would drop, relative to the newest day in the data — the
+    pure-relational plan that ``rollup.retention_expire`` executes as
+    partition-level deletes (no data rewrite). Tier windows broadcast."""
+    _utc(spark)
+    ev = _events(spark, sf)
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    mx = days.agg(F.max("day").alias("mx"))
+    tiers = spark.createDataFrame(
+        [(t, w) for t, w in RETENTION_WINDOWS.items()], "tier string, keep_days int"
+    )
+    plan = (
+        days.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(tiers))
+        .filter(F.col("day") < F.col("mx") - F.expr("make_interval(0,0,0,keep_days,0,0,0)"))
+    )
+    return plan.select("tier", F.date_format("day", "yyyy-MM-dd").alias("day"))
+
+
+def _sql_retention_plan() -> str:
+    values = ", ".join(f"('{t}', {w})" for t, w in RETENTION_WINDOWS.items())
+    return f"""
+WITH d AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+), mx AS (SELECT max(day) AS mx FROM d),
+t(tier, keep_days) AS (VALUES {values})
+SELECT tier, strftime(day, '%Y-%m-%d') AS day
+FROM d CROSS JOIN mx CROSS JOIN t
+WHERE day < mx - to_days(keep_days)
+"""
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate clustering: min-label propagation to convergence over the
     minhash near-dup pair graph. Oracle = DuckDB recursive-CTE transitive
@@ -1453,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d": q_rollup_1d,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
+        "retention_plan": q_retention_plan,
         "token_stats": q_token_stats,
         "buddy_check": q_buddy_check,
         "sct": q_sct,
@@ -1498,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d": _sql_rollup("day"),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "retention_plan": _sql_retention_plan(),
         "token_stats": SQL_TOKEN_STATS,
         "gorilla_roundtrip": SQL_GORILLA,
         "langid": SQL_LANGID,
