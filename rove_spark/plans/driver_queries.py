@@ -1391,6 +1391,73 @@ FROM agg QUALIFY rank <= 10
 """
 
 
+def q_tpch_pricing(spark, sf):
+    """TPC-H Q1 shape: full-scan aggregate in exact integer domains —
+    charge = price·(1−disc)·(1+tax) as cents·pct·pct (all three factors
+    2-decimal-exact), so sums are order-independent bigints; averages are
+    derived read-time from exact sums."""
+    _utc(spark)
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit(TPCH_CUTOFF))
+    )
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    tax_pct = F.round((1 + F.col("l_tax")) * 100).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty_c).alias("sum_qty_c"),
+        F.sum(price_c).alias("sum_price_c"),
+        F.sum(price_c * disc_pct).alias("sum_disc_price_c4"),
+        F.sum(price_c * disc_pct * tax_pct).alias("sum_charge_c6"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_TPCH_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c6,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{TPCH_CUTOFF}'
+GROUP BY 1, 2
+"""
+
+
+INACTIVE_SINCE = "2024-01-24"
+
+
+def q_inactive_users(spark, sf):
+    """Join-type breadth: LEFT ANTI join — users with no 'purchase' event
+    in the final week of data (churn-candidate shape)."""
+    _utc(spark)
+    ev = _events(spark, sf)
+    buyers = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.to_timestamp(F.lit(INACTIVE_SINCE)))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    users = ev.select("user_id").distinct()
+    return users.join(buyers, on="user_id", how="left_anti")
+
+
+SQL_INACTIVE_USERS = f"""
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (
+  SELECT user_id FROM events
+  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '{INACTIVE_SINCE}'
+)
+"""
+
+
 def q_tpch_region_volume(spark, sf):
     """Star-schema rollup: lineitem against three broadcast dims
     (supplier → nation → region); per-(region, nation) revenue."""
@@ -1513,6 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "zscore_check": q_zscore_check,
         "tpch_shipping": q_tpch_shipping,
+        "tpch_pricing": q_tpch_pricing,
+        "inactive_users": q_inactive_users,
         "tpch_region_volume": q_tpch_region_volume,
         "skew_salted_agg": q_skew_salted_agg,
     }
@@ -1558,6 +1627,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sql_stratified(),
         "zscore_check": SQL_ZSCORE,
         "tpch_shipping": SQL_TPCH_SHIPPING,
+        "tpch_pricing": SQL_TPCH_PRICING,
+        "inactive_users": SQL_INACTIVE_USERS,
         "tpch_region_volume": SQL_TPCH_REGION,
         "skew_salted_agg": SQL_SKEW_SALTED,
     }
