@@ -192,3 +192,59 @@ def test_fuzz_portable_coords_cross_engine(spark, seed):
         ).fetchall()
     }
     assert got == duck
+
+
+@pytest.mark.parametrize("seed", [7, 77, 777])
+def test_fuzz_buddy_kernel_vs_sql_twin(seed):
+    """The buddy_check DuckDB twin (haversine self-join + biased neighbor
+    variance + min_std floor) must reproduce the numpy kernel flag-for-flag
+    on random constellations — not just on the fixed driver table.
+    Single iteration, no elevation gating (the driver query's surface)."""
+    import duckdb as _duckdb
+
+    from rove_spark.operators.spatial import buddy_check_kernel, haversine_sql
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    lat = 58 + rng.uniform(0, 1.2, n)
+    lon = 8 + rng.uniform(0, 1.2, n)
+    vals = np.round(10 + rng.standard_normal(n) * 6, 3)
+    vals[rng.random(n) < 0.1] = np.nan  # DATA_MISSING path
+    radius, num_min, threshold, min_std = 40_000.0, 2, 2.0, 1.0
+
+    flags = buddy_check_kernel(
+        vals, lat, lon, np.zeros(n), radius=radius, num_min=num_min,
+        threshold=threshold, min_std=min_std, num_iterations=1,
+    )
+
+    pdf = pd.DataFrame(
+        {"i": np.arange(n), "lat": lat, "lon": lon,
+         "hv": pd.array(vals, dtype="Float64")}
+    )
+    dist = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    sql = f"""
+    WITH nbr AS (
+      SELECT a.i, b.hv AS bv
+      FROM t a JOIN t b ON a.i != b.i AND b.hv IS NOT NULL AND {dist} <= {radius}
+    ), m AS (
+      SELECT i, count(*) AS cnt, avg(bv) AS mean FROM nbr GROUP BY 1
+    ), s AS (
+      SELECT n.i, sum((n.bv - m.mean) * (n.bv - m.mean)) / m.cnt AS var
+      FROM nbr n JOIN m USING (i) GROUP BY n.i, m.cnt
+    )
+    SELECT t.i,
+           CASE WHEN t.hv IS NULL THEN 5
+                WHEN m.cnt IS NOT NULL AND m.cnt >= {num_min}
+                     AND abs(t.hv - m.mean) / greatest(sqrt(s.var), {min_std})
+                         > {threshold} THEN 1
+                WHEN m.cnt IS NULL OR m.cnt < {num_min} THEN 6
+                ELSE 0 END AS flag
+    FROM t LEFT JOIN m USING (i) LEFT JOIN s USING (i)
+    """
+    con = _duckdb.connect()
+    con.register("t", pdf)
+    duck = dict(con.execute(sql).fetchall())
+    mismatches = [
+        (i, int(flags[i]), duck[i]) for i in range(n) if int(flags[i]) != duck[i]
+    ]
+    assert not mismatches, mismatches[:5]
