@@ -365,7 +365,7 @@ def q_token_stats(spark, sf):
     )
 
 
-SQL_TOKEN_STATS = """
+SQL_TOKEN_STATS = r"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS text_chars,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,

@@ -132,7 +132,10 @@ def main() -> None:
         f"- local[{c}]: {[r['turns_per_sec'] for r in samples[c]]}" for c in sizes
     )
     bench_md = REPO / "BENCH.md"
-    marker = "## Scaling: N vs 4N parallelism (north_rule criterion)"
+    # own a clearly-delimited section at the END of BENCH.md: re-runs
+    # replace only this section and never clobber the hand-written
+    # analysis above it
+    marker = "## Scaling re-measurement (scripts/scaling_bench.py)"
     existing = bench_md.read_text() if bench_md.exists() else "# BENCH\n"
     head = existing.split(marker)[0]
     bench_md.write_text(
@@ -140,7 +143,7 @@ def main() -> None:
         + f"""{marker}
 
 Sandbox stand-in for N vs 4N executors (no real cluster here): the
-identical flag+rollup job (synthetic transcript table, {summary['local8']['n_turns']:,}
+identical flag+rollup job (synthetic transcript table, {summary[f'local{sizes[0]}']['n_turns']:,}
 turns; step/spike/range checks; 1m→1h→1d cascading tiers) on `local[8]`
 vs `local[32]`, fresh JVM each, best of {repeats}:
 
@@ -163,11 +166,6 @@ JVM-internal gap under co-tenant noise is environmental, not architectural
 
 Reproduce: `python scripts/scaling_bench.py`
 (env: ROVE_SCALING_N_CONV, ROVE_SCALING_AVG_TURNS, ROVE_SCALING_REPEATS).
-
-## Query-suite bench
-
-`python bench.py` runs the full operator suite at sf0.1 plus the rollup
-throughput measurement; the driver records the JSON line as BENCH_r{{N}}.json.
 """
     )
 
