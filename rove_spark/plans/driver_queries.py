@@ -1205,6 +1205,70 @@ GROUP BY s.user_id
 """
 
 
+CSV_SNAPSHOT_TS = "2024-01-15 12:00:00"
+
+
+def q_csv_snapshot(spark, sf):
+    """LustreNetatmo CSV connector (S4/S5, ``lustre_netatmo/mod.rs:28-74``)
+    end-to-end: events are materialized once as a ``;``-CSV snapshot
+    (lat/lon from portable coords, prid/dqc from event_id), read back
+    through read_csv_snapshot (schema'd scan + pushed prid/dqc predicates
+    + float32 value contract), and emitted row-level. The oracle NEVER
+    sees the CSV — it recomputes the expected survivors from the parquet
+    source, so the whole CSV round trip is what's being checked."""
+    import datetime as dt
+    import os
+
+    from rove_spark.operators.spatial import with_synthetic_coords_portable
+    from rove_spark.sources.csv_snapshot import read_csv_snapshot
+
+    _utc(spark)
+    ev = _events(spark, sf)
+    sf_tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/rove_csv_snapshot_{sf_tag}"
+    if not os.path.exists(path):
+        coords = with_synthetic_coords_portable(
+            ev.select("user_id").distinct(), series_col="user_id"
+        )
+        src = ev.join(coords, "user_id").select(
+            "lat",
+            "lon",
+            "elev",
+            "value",
+            F.pmod("event_id", F.lit(5)).cast("int").alias("prid"),
+            F.when(F.pmod("event_id", F.lit(7)) == 0, 1).otherwise(0).alias("dqc"),
+        )
+        src.write.mode("overwrite").csv(path, header=True, sep=";")
+    snap = read_csv_snapshot(
+        spark, path, ts=dt.datetime(2024, 1, 15, 12), provider_id=3, require_dqc_pass=True
+    )
+    return snap.select(
+        "lat",
+        "lon",
+        "ts",
+        F.round(F.col("value").cast("double") * 100).cast("long").alias("value_cents"),
+    )
+
+
+def _sql_csv_snapshot() -> str:
+    from rove_spark.operators.spatial import synthetic_coords_sql
+
+    c = synthetic_coords_sql("user_id")
+    return f"""
+WITH c AS (
+  SELECT user_id, {c["lat"]} AS lat, {c["lon"]} AS lon
+  FROM (SELECT DISTINCT user_id FROM events)
+), kept AS (
+  SELECT c.lat, c.lon, e.value
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_id % 5 = 3 AND e.event_id % 7 != 0
+)
+SELECT lat, lon, TIMESTAMP '{CSV_SNAPSHOT_TS}' AS ts,
+       CAST(round(CAST(CAST(value AS REAL) AS DOUBLE) * 100) AS BIGINT) AS value_cents
+FROM kept
+"""
+
+
 RETENTION_WINDOWS = {"1m": 7, "1h": 14, "1d": 60}  # days kept per tier
 
 
@@ -1557,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "retention_plan": q_retention_plan,
+        "csv_snapshot": q_csv_snapshot,
         "token_stats": q_token_stats,
         "buddy_check": q_buddy_check,
         "sct": q_sct,
@@ -1605,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "retention_plan": _sql_retention_plan(),
+        "csv_snapshot": _sql_csv_snapshot(),
         "token_stats": SQL_TOKEN_STATS,
         "gorilla_roundtrip": SQL_GORILLA,
         "langid": SQL_LANGID,
