@@ -291,3 +291,23 @@ def test_blockwise_kernels_bit_identical_to_full():
         spatial.KERNEL_BLOCK_ROWS = orig
     assert (full_buddy == blk_buddy).all()
     assert (full_sct == blk_sct).all()
+
+
+def test_kd_boxes_degenerate_colocated_stations():
+    """All stations at ONE point (median cut has zero spread): the index
+    tiebreak must still terminate with bounded boxes, and the co-located
+    outlier must still FAIL through the subdivided OI."""
+    import numpy as np
+
+    n = 300
+    lat, lon = np.full(n, 59.0), np.full(n, 9.0)
+    boxes = spatial._kd_boxes(np.arange(n), lat, lon, 40)
+    assert max(len(b) for b in boxes) <= 40
+    assert sorted(np.concatenate(boxes).tolist()) == list(range(n))
+    vals = np.full(n, 10.0)
+    vals[5] = 99.0
+    flags = spatial.sct_kernel(
+        vals, lat, lon, np.zeros(n), num_min=3, num_max=40, pos=3.0, neg=3.0
+    )
+    assert flags[5] == Flag.FAIL
+    assert set(flags[np.arange(n) != 5].tolist()) == {int(Flag.PASS)}
