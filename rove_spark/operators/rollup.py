@@ -161,6 +161,66 @@ def build_tiers(
     return {"1m": t1m, "1h": t1h, "1d": t1d}
 
 
+def histogram_bin(value_col: str, lo: float, hi: float, n_bins: int):
+    """Bin index expression: clamp(floor((v − lo)/width), 0, n_bins−1);
+    NULL for NULL values. Width derives from an exact (lo, hi, n_bins)
+    triple so every engine computes identical bins."""
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    return F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int"),
+    )
+
+
+def histogram_agg(value_col: str, lo: float, hi: float, n_bins: int):
+    """Aggregate expression: value histogram as an array<long> of bin
+    counts — the MERGEABLE quantile-sketch tier stat. Counts are exact
+    integers, so coarser tiers merge finer ones by element-wise addition
+    with zero drift (same exactness contract as every other tier stat);
+    approximate quantiles derive from the stored histogram at read time."""
+    b = histogram_bin(value_col, lo, hi, n_bins)
+    return F.array(*[F.sum((b == i).cast("long")).alias(f"_b{i}") for i in range(n_bins)])
+
+
+def merge_histograms(df: DataFrame, keys: Sequence[str], hist_col: str = "hist") -> DataFrame:
+    """Element-wise sum of histogram arrays per key group (posexplode →
+    sum per position → re-assemble ordered) — exact merge, any fan-in."""
+    n = df.select(F.size(hist_col)).first()[0]
+    exploded = df.select(*keys, F.posexplode(hist_col).alias("_pos", "_cnt"))
+    merged = (
+        exploded.groupBy(*keys, "_pos")
+        .agg(F.sum("_cnt").alias("_c"))
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_c"))).alias("_pc"))
+        .select(*keys, F.transform("_pc", lambda s: s.getField("_c")).alias(hist_col))
+    )
+    # guard: ragged inputs would silently mis-merge
+    return merged.withColumn(
+        "_ok", F.size(hist_col) == F.lit(n)
+    ).filter("_ok").drop("_ok")
+
+
+def histogram_quantile(hist_col: str, q: float, lo: float, hi: float, n_bins: int):
+    """Read-time approximate quantile from the stored histogram: the
+    midpoint of the bin where the cumulative count crosses q·total."""
+    width = (hi - lo) / n_bins
+    total = F.aggregate(F.col(hist_col), F.lit(0).cast("long"), lambda a, x: a + x)
+    target = (total.cast("double") * q).cast("double")
+    # running cumsum via transform over indices; first bin with cum ≥ target
+    idx = F.sequence(F.lit(0), F.lit(n_bins - 1))
+    cums = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(F.col(hist_col), F.lit(1), i + 1),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    pos = F.array_position(F.transform(cums, lambda c: c.cast("double") >= target), True)
+    return F.when(total > 0, F.lit(lo) + (pos.cast("double") - 0.5) * width)
+
+
 def with_sketch_estimates(tier_df: DataFrame) -> DataFrame:
     """Read-time distinct estimates from the stored HLL sketches."""
     out = tier_df

@@ -1205,6 +1205,53 @@ GROUP BY s.user_id
 """
 
 
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 160.0, 16
+
+
+def q_histogram_tier(spark, sf):
+    """Mergeable histogram tier stat: per-(user, hour) 16-bin value
+    histograms MERGED into the daily tier by exact element-wise addition
+    (the quantile-sketch analog of the integer-domain cascade). The
+    oracle computes the daily histogram directly from raw — passing
+    proves the merge is exactly associative cross-engine."""
+    from rove_spark.operators.rollup import histogram_agg, merge_histograms
+
+    ev = _events(spark, sf)
+    h1h = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bts")).agg(
+        histogram_agg("value", HIST_LO, HIST_HI, HIST_BINS).alias("hist")
+    )
+    daily = h1h.withColumn("bucket_ts", F.date_trunc("day", "bts")).drop("bts")
+    merged = merge_histograms(daily, ["user_id", "bucket_ts"], "hist")
+    # serialize the array for the driver's value hasher (scalar columns
+    # only across the rest of the contract; exact integer CSV is lossless)
+    return merged.select(
+        "user_id",
+        "bucket_ts",
+        F.concat_ws(",", F.transform("hist", lambda x: x.cast("string"))).alias("hist"),
+    )
+
+
+def _sql_histogram_tier() -> str:
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    bin_expr = (
+        f"CASE WHEN value IS NOT NULL THEN "
+        f"CAST(least(greatest(floor((value - {HIST_LO}) / {width}), 0), {HIST_BINS - 1}) AS INT) END"
+    )
+    cells = ", ".join(
+        f"CAST(sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT)" for i in range(HIST_BINS)
+    )
+    return f"""
+WITH b AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         {bin_expr} AS b
+  FROM events
+)
+SELECT user_id, bucket_ts,
+       array_to_string(list_value({cells}), ',') AS hist
+FROM b GROUP BY 1, 2
+"""
+
+
 CSV_SNAPSHOT_TS = "2024-01-15 12:00:00"
 
 
@@ -1622,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "retention_plan": q_retention_plan,
         "csv_snapshot": q_csv_snapshot,
+        "histogram_tier": q_histogram_tier,
         "token_stats": q_token_stats,
         "buddy_check": q_buddy_check,
         "sct": q_sct,
@@ -1671,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "retention_plan": _sql_retention_plan(),
         "csv_snapshot": _sql_csv_snapshot(),
+        "histogram_tier": _sql_histogram_tier(),
         "token_stats": SQL_TOKEN_STATS,
         "gorilla_roundtrip": SQL_GORILLA,
         "langid": SQL_LANGID,

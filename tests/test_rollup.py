@@ -98,3 +98,51 @@ def test_hll_sketches_cascade(spark):
     assert rows
     # HLL is exact at these tiny cardinalities (≤ 8 tool names)
     assert all(r.tools_distinct == r.true_distinct for r in rows)
+
+
+def test_histogram_merge_is_exact(spark):
+    """Histogram tier stat: hourly histograms merged into daily equal the
+    daily histogram built directly from raw — exact mergeable-sketch
+    semantics; read-time quantile lands in the right bin."""
+    from pyspark.sql import functions as F
+
+    from rove_spark.operators.rollup import (
+        histogram_agg,
+        histogram_quantile,
+        merge_histograms,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lo, hi, bins = 0.0, 160.0, 16
+    h1h = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bts")).agg(
+        histogram_agg("value", lo, hi, bins).alias("hist")
+    )
+    daily = h1h.withColumn("day", F.date_trunc("day", "bts")).drop("bts")
+    merged = {
+        (r.user_id, r.day): tuple(r.hist)
+        for r in merge_histograms(daily, ["user_id", "day"], "hist").collect()
+    }
+    direct = {
+        (r.user_id, r.day): tuple(r.hist)
+        for r in ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(histogram_agg("value", lo, hi, bins).alias("hist"))
+        .collect()
+    }
+    assert merged == direct
+
+    q = (
+        ev.groupBy("user_id")
+        .agg(histogram_agg("value", lo, hi, bins).alias("hist"))
+        .select("user_id", histogram_quantile("hist", 0.5, lo, hi, bins).alias("p50"))
+        .collect()
+    )
+    import numpy as np
+
+    vals = {}
+    for r in ev.select("user_id", "value").collect():
+        if r.value is not None:
+            vals.setdefault(r.user_id, []).append(r.value)
+    width = (hi - lo) / bins
+    for r in q:
+        true_med = float(np.median(vals[r.user_id]))
+        assert abs(r.p50 - true_med) <= width, (r.user_id, r.p50, true_med)
