@@ -18,8 +18,12 @@ Scale shape (the thing that matters at 100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------- exact --
 
@@ -34,6 +38,120 @@ def exact_dedup(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
     )
     return df.join(counts.select(id_col, "n_copies"), on=id_col, how="inner")
+
+
+def collapse_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a corpus into (reps, members) ahead of near-dup candidate
+    generation: ``reps`` keeps the full row of the canonical (min-id) doc
+    per DISTINCT text, ``members`` maps every id → its rep's id.
+
+    This is the structural defense against the exact-duplicate LSH
+    blowup: m identical copies of one document share EVERY band hash
+    deterministically, so an uncollapsed bucket self-join emits m(m−1)/2
+    candidate pairs from a single (band, hash) key — a straggler/OOM at
+    crawl scale where million-copy boilerplate is routine. Collapsing
+    first makes candidate generation linear in DISTINCT-text count; the
+    hash-random bucket-size bound then actually applies to what's joined.
+
+    Cost: one hash-groupBy on sha2(text) + one id join — the same shape
+    as exact_dedup. Texts never shuffle by value, only their 256-bit key.
+    """
+    key = F.sha2(F.col(text_col), 256).alias("_tk")
+    rep_map = (
+        df.select(key, F.col(id_col))
+        .groupBy("_tk")
+        .agg(F.min(id_col).alias("rep_id"))
+    )
+    members = (
+        df.select(key, F.col(id_col))
+        .join(rep_map, "_tk")
+        .select(id_col, "rep_id")
+    )
+    # min-id per distinct text is itself a distinct id set → selecting
+    # those rows yields exactly one full row per distinct text
+    reps = df.join(
+        rep_map.select(F.col("rep_id").alias(id_col)).distinct(), id_col, "inner"
+    )
+    return reps, members
+
+
+def _expand_member_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    score_col: str,
+    within_score,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Re-expand rep-level near-dup pairs to the full member-level pair
+    set: cross-cluster pairs inherit the rep pair's score (identical text
+    ⇒ identical shingle set / signature), within-cluster pairs get the
+    exact-duplicate score (jaccard 1.0 / hamming 0). Output cardinality
+    is the caller's contract — all near-dup pairs — so a mega-cluster
+    still yields m(m−1)/2 OUTPUT rows, but no shuffle key ever carries
+    them: cross pairs come from two rep-keyed joins, within pairs from a
+    self-join keyed on rep_id (skew there is output-bound, not an
+    intermediate). For cluster-level workflows pass expand_members=False
+    upstream and keep (rep_pairs, members)."""
+    ma = members.select(F.col("rep_id").alias("id_a"), F.col(id_col).alias("_ma"))
+    mb = members.select(F.col("rep_id").alias("id_b"), F.col(id_col).alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            F.col(score_col),
+        )
+    )
+    from pyspark.sql import Column
+
+    score = within_score if isinstance(within_score, Column) else F.lit(within_score)
+    w1 = members.select("rep_id", F.col(id_col).alias("_ma"))
+    w2 = members.select("rep_id", F.col(id_col).alias("_mb"))
+    within = (
+        w1.join(w2, "rep_id")
+        .filter(F.col("_ma") < F.col("_mb"))
+        .select(
+            F.col("_ma").alias("id_a"),
+            F.col("_mb").alias("id_b"),
+            score.alias(score_col),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _cap_buckets(
+    banded: DataFrame, key_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Defense-in-depth bucket cap for LSH candidate joins: drop buckets
+    larger than ``max_bucket_size`` WITH a logged drop count — never a
+    silent truncation. With exact duplicates pre-collapsed, oversized
+    buckets can only come from huge NEAR-duplicate clusters or adversarial
+    hash collisions; capping trades recall on those (logged) for bounded
+    worst-case join output. Costs one aggregate action when enabled."""
+    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    big = sizes.filter(F.col("_bsz") > max_bucket_size).persist()
+    try:
+        stats = big.agg(
+            F.count(F.lit(1)).alias("n_buckets"), F.sum("_bsz").alias("n_rows")
+        ).first()
+        if stats["n_buckets"]:
+            log.warning(
+                "LSH bucket cap %d dropped %d oversized buckets (%d banded rows) "
+                "— recall on those clusters is lost; collapse exact duplicates "
+                "or raise the cap",
+                max_bucket_size,
+                stats["n_buckets"],
+                stats["n_rows"],
+            )
+            return banded.join(
+                F.broadcast(big.select(*key_cols)), key_cols, "left_anti"
+            )
+        return banded
+    finally:
+        big.unpersist()
 
 
 # ---------------------------------------------------------- minhash/LSH --
@@ -82,10 +200,16 @@ def lsh_candidate_pairs(
     minhash_col: str = "minhash",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature and self-join per bucket → candidate id pairs
     (id_a < id_b, distinct). With k = bands·rows_per_band hashes, the match
-    probability is the usual S-curve 1 − (1 − s^r)^b."""
+    probability is the usual S-curve 1 − (1 − s^r)^b.
+
+    Bucket sizes are hash-random-bounded ONLY over distinct texts — feed
+    this collapsed reps (collapse_exact_duplicates), as minhash_dedup does
+    by default. ``max_bucket_size`` adds a logged cap as a second line of
+    defense (see _cap_buckets)."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = df.select(
         F.col(id_col).alias("_id"),
@@ -107,6 +231,8 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -157,14 +283,43 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
-) -> DataFrame:
-    """End-to-end near-dup pairs: shingle → minhash → LSH bands →
-    exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    collapse_exact: bool = True,
+    expand_members: bool = True,
+    max_bucket_size: int | None = None,
+):
+    """End-to-end near-dup pairs: collapse exact duplicates → shingle →
+    minhash → LSH bands → exact-Jaccard verify → re-expand membership.
+    Returns (id_a, id_b, jaccard).
+
+    ``collapse_exact`` (default ON) runs candidate generation over one
+    canonical doc per DISTINCT text, so an m-copy boilerplate document
+    contributes ONE row to every LSH bucket instead of m — candidate-pair
+    count is linear in distinct texts regardless of copy multiplicity
+    (the 100 TB crawl-corpus hazard). Identical texts have identical
+    shingle sets, so rep-level jaccard is exact for every member pair.
+    ``expand_members=False`` skips the (output-cardinality-bound) pair
+    expansion and returns (rep_pairs, members) for cluster workflows."""
     rows_per_band = num_hashes // bands
-    sh = with_shingles(df, text_col, n=shingle_n)
+    if collapse_exact:
+        reps, members = collapse_exact_duplicates(df, text_col, id_col)
+        base = reps
+    else:
+        base = df
+    sh = with_shingles(base, text_col, n=shingle_n)
     mh = with_minhash(sh, num_hashes=num_hashes)
-    cands = lsh_candidate_pairs(mh, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
-    return jaccard_verify(cands, sh, id_col=id_col, threshold=threshold)
+    cands = lsh_candidate_pairs(
+        mh,
+        id_col=id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
+    rep_pairs = jaccard_verify(cands, sh, id_col=id_col, threshold=threshold)
+    if not collapse_exact:
+        return rep_pairs
+    if not expand_members:
+        return rep_pairs, members
+    return _expand_member_pairs(rep_pairs, members, "jaccard", 1.0, id_col=id_col)
 
 
 def dedup_components(
@@ -324,6 +479,7 @@ def simhash_near_dup_pairs(
     simhash_col: str = "simhash",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming: block the 64-bit
     hash into ``blocks`` chunks (pigeonhole: any pair within distance
@@ -359,6 +515,8 @@ def simhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("_id", "_sh", F.col("bb.blk").alias("blk"), F.col("bb.bh").alias("bh"))
+    if max_bucket_size is not None:
+        blocked = _cap_buckets(blocked, ["blk", "bh"], max_bucket_size)
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
         a.join(
@@ -378,6 +536,49 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    portable: bool = False,
+    collapse_exact: bool = True,
+    expand_members: bool = True,
+    max_bucket_size: int | None = None,
+):
+    """End-to-end SimHash near-dup pairs with the same exact-duplicate
+    hardening as minhash_dedup: signatures and blocked candidate joins run
+    over one canonical doc per DISTINCT text (the signature is a pure
+    function of the text, so rep-level Hamming is exact for every member
+    pair), then membership is re-expanded — within-cluster pairs at
+    hamming 0, cross-cluster pairs at the rep distance. Returns
+    (id_a, id_b, hamming). ``portable=True`` uses the md5-derived
+    cross-engine signature (oracle-able); default is the faster blake2b
+    Arrow UDF."""
+    sig_fn = with_simhash_portable if portable else with_simhash
+    if collapse_exact:
+        reps, members = collapse_exact_duplicates(df, text_col, id_col)
+        base = reps
+    else:
+        base = df
+    signed = sig_fn(base, text_col=text_col)
+    rep_pairs = simhash_near_dup_pairs(
+        signed,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        blocks=blocks,
+        max_bucket_size=max_bucket_size,
+    )
+    if not collapse_exact:
+        return rep_pairs
+    if not expand_members:
+        return rep_pairs, members
+    return _expand_member_pairs(
+        rep_pairs, members, "hamming", F.lit(0).cast("int"), id_col=id_col
+    )
 
 
 # ------------------------------------------------------ embedding cosine --

@@ -221,3 +221,94 @@ def test_lsh_on_documents_table(spark):
     assert pairs.count() >= 0  # plan executes end-to-end
     if n_exact_dups:
         assert found > 0
+
+
+# ------------------------- exact-duplicate cluster hardening (round 3) --
+
+
+def test_collapse_exact_duplicates_structure(spark, docs):
+    reps, members = dedup.collapse_exact_duplicates(docs)
+    rep_rows = {r.doc_id for r in reps.select("doc_id").collect()}
+    mem = {r.doc_id: r.rep_id for r in members.collect()}
+    # one rep per distinct text; duplicates map to the min id
+    assert 200 in rep_rows and 201 not in rep_rows
+    assert mem[201] == 200 and mem[200] == 200
+    assert mem[100] == 100
+    assert len(mem) == docs.count()
+
+
+def test_candidate_pairs_linear_in_distinct_texts(spark):
+    """THE mega-cluster hazard test (round-2 verdict #1): planting m exact
+    copies of one document must leave LSH candidate generation linear in
+    DISTINCT-text count — not m(m-1)/2 pairs out of one bucket."""
+    m = 2000
+    rows = [(i, "common boilerplate license header repeated verbatim " * 5)
+            for i in range(m)]
+    for i in range(30):
+        rows.append((10_000 + i, f"unique doc {i} " + " ".join(f"w{i}_{j}" for j in range(25))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    reps, members = dedup.collapse_exact_duplicates(df)
+    assert reps.count() == 31
+    mh = dedup.with_minhash(dedup.with_shingles(reps))
+    cands = dedup.lsh_candidate_pairs(mh)
+    # ≤ C(31,2) = 465 candidate pairs — vs C(2000,2) ≈ 2.0M uncollapsed
+    assert cands.count() <= 465
+
+    # end-to-end pair set is still complete: the m-copy cluster expands to
+    # exactly m(m-1)/2 jaccard-1.0 OUTPUT pairs (output-bound, no hot key)
+    pairs = dedup.minhash_dedup(df, threshold=0.9)
+    assert pairs.filter((F.col("id_a") < m) & (F.col("id_b") < m)).count() == m * (m - 1) // 2
+
+
+def test_minhash_collapse_equals_direct(spark, docs):
+    """Collapse + re-expand must produce EXACTLY the pair set of the
+    direct (uncollapsed) path on a mixed corpus."""
+    direct = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_dedup(docs, threshold=0.5, collapse_exact=False).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_dedup(docs, threshold=0.5, collapse_exact=True).collect()
+    }
+    assert collapsed == direct
+
+
+def test_simhash_collapse_equals_direct(spark, docs):
+    direct = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_dedup(docs, max_hamming=3, blocks=4, collapse_exact=False).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_dedup(docs, max_hamming=3, blocks=4, collapse_exact=True).collect()
+    }
+    assert collapsed == direct
+
+
+def test_expand_members_false_returns_cluster_view(spark, docs):
+    rep_pairs, members = dedup.minhash_dedup(docs, threshold=0.5, expand_members=False)
+    assert set(rep_pairs.columns) == {"id_a", "id_b", "jaccard"}
+    assert set(members.columns) == {"doc_id", "rep_id"}
+    reps_in_pairs = {r.id_a for r in rep_pairs.collect()} | {
+        r.id_b for r in rep_pairs.collect()
+    }
+    assert 201 not in reps_in_pairs  # duplicates never reach the pair join
+
+
+def test_bucket_cap_drops_with_logged_count(spark, caplog):
+    """max_bucket_size is defense-in-depth: oversized NEAR-dup buckets are
+    dropped with a logged count, never silently."""
+    import logging
+
+    # 50 distinct-but-near-identical texts → one hot LSH bucket per band
+    rows = [(i, BASE + f" tail{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = dedup.with_minhash(dedup.with_shingles(df))
+    with caplog.at_level(logging.WARNING, logger="rove_spark.operators.dedup"):
+        capped = dedup.lsh_candidate_pairs(mh, max_bucket_size=10)
+        n_capped = capped.count()
+    full = dedup.lsh_candidate_pairs(mh).count()
+    assert n_capped < full
+    assert any("dropped" in r.message for r in caplog.records)
