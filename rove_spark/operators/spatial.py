@@ -176,6 +176,74 @@ def _kd_boxes(idx: np.ndarray, lat: np.ndarray, lon: np.ndarray, num_max: int) -
     return out
 
 
+def _small_box_z(
+    v: np.ndarray,
+    d_h: np.ndarray,
+    d_v: np.ndarray,
+    hs: float,
+    vs: float,
+    eps2: float,
+) -> np.ndarray:
+    """Closed-form leave-one-out OI residual z-scores for boxes of k ≤ 3:
+    adjugate/determinant inverse with a FIXED scalar operand tree, mirrored
+    token-for-token by the DuckDB oracle (driver_queries._sql_sct_small).
+    np.linalg.inv's LU pivoting rounds differently, which would break the
+    exact cross-engine hash; this path makes ``num_max=3`` SCT fully
+    oracle-able. Agrees with the LU path to ~1e-12 (tested)."""
+
+    def s(i: int, j: int) -> float:
+        return math.exp(
+            -0.5 * ((d_h[i, j] / hs) * (d_h[i, j] / hs))
+            - 0.5 * ((d_v[i, j] / vs) * (d_v[i, j] / vs))
+        )
+
+    k = len(v)
+    if k == 1:
+        return np.zeros(1)
+    bd = 1.0 + eps2  # S diagonal is exp(-0) = 1.0 exactly
+    if k == 2:
+        b01 = s(0, 1)
+        det = bd * bd - b01 * b01
+        i00 = bd / det
+        i01 = -b01 / det
+        m = (v[0] + v[1]) / 2.0
+        d0 = v[0] - m
+        d1 = v[1] - m
+        a0 = i00 * d0 + i01 * d1
+        a1 = i01 * d0 + i00 * d1
+        sigma2 = max(1e-9, (d0 * a0 + d1 * a1) / 2.0)
+        den = math.sqrt(sigma2 * (1.0 + eps2))
+        return np.array([(a0 / max(i00, 1e-12)) / den, (a1 / max(i00, 1e-12)) / den])
+    b01, b02, b12 = s(0, 1), s(0, 2), s(1, 2)
+    det = (
+        bd * (bd * bd - b12 * b12)
+        - b01 * (b01 * bd - b12 * b02)
+        + b02 * (b01 * b12 - bd * b02)
+    )
+    i00 = (bd * bd - b12 * b12) / det
+    i01 = (b02 * b12 - b01 * bd) / det
+    i02 = (b01 * b12 - b02 * bd) / det
+    i11 = (bd * bd - b02 * b02) / det
+    i12 = (b02 * b01 - bd * b12) / det
+    i22 = (bd * bd - b01 * b01) / det
+    m = (v[0] + v[1] + v[2]) / 3.0
+    d0 = v[0] - m
+    d1 = v[1] - m
+    d2 = v[2] - m
+    a0 = i00 * d0 + i01 * d1 + i02 * d2
+    a1 = i01 * d0 + i11 * d1 + i12 * d2
+    a2 = i02 * d0 + i12 * d1 + i22 * d2
+    sigma2 = max(1e-9, (d0 * a0 + d1 * a1 + d2 * a2) / 3.0)
+    den = math.sqrt(sigma2 * (1.0 + eps2))
+    return np.array(
+        [
+            (a0 / max(i00, 1e-12)) / den,
+            (a1 / max(i11, 1e-12)) / den,
+            (a2 / max(i22, 1e-12)) / den,
+        ]
+    )
+
+
 def sct_kernel(
     values: np.ndarray,
     lat: np.ndarray,
@@ -248,6 +316,11 @@ def sct_kernel(
         # one OI factorization per ≤num_max box (titanlib operates on
         # boxes; per-station k³ solves would be O(n·k³) per slice)
         for box in _kd_boxes(idx, lat, lon, num_max):
+            # canonical order (ascending group index = series_id string
+            # order): solve arithmetic becomes independent of KD split
+            # order, and the sct_small oracle can reproduce it by ranking
+            # on CAST(user_id AS VARCHAR)
+            box = np.sort(box)
             k = len(box)
             if k < num_min:
                 continue
@@ -257,21 +330,32 @@ def sct_kernel(
                 else _haversine_matrix(lat[box], lon[box])
             )
             d_v = elev[box][:, None] - elev[box][None, :]
-            S = np.exp(
-                -0.5 * (d_h / min_horizontal_scale) ** 2
-                - 0.5 * (d_v / vertical_scale) ** 2
-            )
-            v = values[box].astype(np.float64)
-            innov = v - v.mean()
-            try:
-                Binv = np.linalg.inv(S + eps2 * np.eye(k))
-            except np.linalg.LinAlgError:
-                continue
-            A = Binv @ innov
-            # leave-one-out residual: (innov − S·A)/(1−W_ii) = A_i / Binv_ii
-            cv = A / np.maximum(np.diag(Binv), 1e-12)
-            sigma2 = max(1e-9, float(innov @ A) / k)
-            z = cv / math.sqrt(sigma2 * (1.0 + eps2))
+            if k <= 3:
+                # fixed scalar operand tree — exactly reproducible in SQL
+                z = _small_box_z(
+                    values[box].astype(np.float64),
+                    d_h,
+                    d_v,
+                    min_horizontal_scale,
+                    vertical_scale,
+                    eps2,
+                )
+            else:
+                S = np.exp(
+                    -0.5 * (d_h / min_horizontal_scale) ** 2
+                    - 0.5 * (d_v / vertical_scale) ** 2
+                )
+                v = values[box].astype(np.float64)
+                innov = v - v.mean()
+                try:
+                    Binv = np.linalg.inv(S + eps2 * np.eye(k))
+                except np.linalg.LinAlgError:
+                    continue
+                A = Binv @ innov
+                # leave-one-out residual: (innov − S·A)/(1−W_ii) = A_i/Binv_ii
+                cv = A / np.maximum(np.diag(Binv), 1e-12)
+                sigma2 = max(1e-9, float(innov @ A) / k)
+                z = cv / math.sqrt(sigma2 * (1.0 + eps2))
             bad = (z > pos) | (z < -neg)
             if not bad.any():
                 continue

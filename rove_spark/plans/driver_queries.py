@@ -826,7 +826,9 @@ def q_minhash_neardup(spark, sf):
     recall at this threshold (the data's true pairs sit at j ≥ 0.9, where
     16-band/4-row recall is 1 − 4e-8) and exact-verify precision. The
     exact Jaccard value matches because |∩|/|∪| over 64-bit-hashed shingle
-    sets equals the string-set ratio barring xxhash64 collisions."""
+    sets equals the string-set ratio barring xxhash64 collisions.
+    minhash_dedup now collapses exact duplicates before LSH (default) —
+    the brute-force oracle also gates that collapse+re-expand ≡ direct."""
     from rove_spark.operators.dedup import minhash_dedup
 
     _utc(spark)
@@ -861,13 +863,16 @@ def q_simhash_neardup(spark, sf):
     """SimHash near-dup pairs with the portable (md5-derived) signature so
     DuckDB can recompute it exactly; blocked candidate join is provably
     complete for hamming ≤ 3 with 4 blocks (pigeonhole), so the output is
-    EXACTLY the brute-force pair set the oracle computes."""
-    from rove_spark.operators.dedup import simhash_near_dup_pairs, with_simhash_portable
+    EXACTLY the brute-force pair set the oracle computes. Routes through
+    simhash_dedup, which collapses exact duplicates before candidate
+    generation (the mega-cluster hardening) and re-expands membership —
+    the oracle thereby also gates that collapse ≡ direct blocking."""
+    from rove_spark.operators.dedup import simhash_dedup
 
     _utc(spark)
     docs = read_table(spark, sf, "documents")
-    pairs = simhash_near_dup_pairs(
-        with_simhash_portable(docs), max_hamming=SIMHASH_MAX_HAMMING, blocks=4
+    pairs = simhash_dedup(
+        docs, max_hamming=SIMHASH_MAX_HAMMING, blocks=4, portable=True
     )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -1081,9 +1086,11 @@ FROM h LEFT JOIN m USING (user_id, ts) LEFT JOIN s USING (user_id, ts)
 
 
 def q_sct(spark, sf):
-    """Full SCT (box OI, 5 iterations, num_max-bounded solves) — the OI
-    partition is not SQL-expressible (rows-only here); the geometric
-    ISOLATED/PASS partition is oracled exactly by ``sct_isolated``."""
+    """Full SCT (box OI, 5 iterations, num_max-bounded solves) — a general
+    k×k OI inverse is not SQL-expressible (rows-only here); the geometric
+    ISOLATED/PASS partition is oracled exactly by ``sct_isolated`` and the
+    OI math itself (KD subdivision + leave-one-out residual + z partition)
+    is oracled exactly by ``sct_small`` (num_max=3 closed-form)."""
     from rove_spark.operators.spatial import sct, with_synthetic_coords_portable
 
     ev = _events(spark, sf)
@@ -1163,6 +1170,161 @@ SELECT h.user_id, h.ts,
                  WHEN coalesce(cnt.n_inner, 0) < {SCT_NUM_MIN} THEN 6
                  ELSE 0 END AS INT) AS flag_iso
 FROM h LEFT JOIN cnt USING (user_id, ts)
+"""
+
+
+SCT_SMALL_POS = 1.45  # just inside the z distribution tail: a ~5% FAIL partition
+
+
+def q_sct_small(spark, sf):
+    """SCT with num_max=3 — every KD box is ≤ 3 stations, so the OI solve
+    is the closed-form 3×3 adjugate inverse (spatial._small_box_z) and the
+    ENTIRE check — isolation counts, deterministic KD median-cut
+    subdivision, covariance, leave-one-out residuals, z partition — is
+    recomputed exactly by the DuckDB oracle (round-2 verdict item 2: the
+    full `sct` query stays rows-only because a general k×k LU inverse
+    isn't SQL-expressible; this variant closes the OI math itself).
+    Single global group (cell_deg=None) so the oracle replicates the
+    kernel, not the bucketing — bucketing+halo is oracled by buddy_check
+    and sct_isolated. Reference bound: harness.rs:143-161 (num_max is the
+    titanlib box-size bound)."""
+    from rove_spark.operators.spatial import sct, with_synthetic_coords_portable
+
+    ev = _events(spark, sf)
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("ts")).agg(
+        F.avg("value").alias("dv")
+    )
+    located = with_synthetic_coords_portable(daily, series_col="user_id")
+    out = sct(
+        located,
+        "dv",
+        series_col="user_id",
+        num_min=SCT_NUM_MIN,
+        num_max=3,
+        pos=SCT_SMALL_POS,
+        neg=SCT_SMALL_POS,
+        num_iterations=1,
+        cell_deg=None,
+    )
+    return out.select(
+        F.col("series_id").cast("bigint").alias("user_id"),
+        "ts",
+        F.col("flag_sct").cast("int").alias("flag_sct_small"),
+    )
+
+
+def _sql_sct_small(levels: int = 9) -> str:
+    """Exact DuckDB twin of q_sct_small: ``levels`` unrolled KD median-cut
+    rounds (each = spread CTE + split CTE; covers groups ≤ 3·2^levels =
+    1536 ≫ 150 stations at sf0.01), then the 3×3 adjugate solve with the
+    same scalar operand tree as spatial._small_box_z — identical IEEE
+    arithmetic, so flags hash-match exactly."""
+    from rove_spark.operators.spatial import haversine_sql, synthetic_coords_sql
+
+    c = synthetic_coords_sql("user_id")
+    dist = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    hs, vs = "10000.0", "200.0"  # sct_kernel defaults
+    inner_radius = 50_000.0
+    kd = []
+    for i in range(levels):
+        kd.append(
+            f"""s{i} AS (
+  SELECT *, count(*) OVER (PARTITION BY ts, path) AS cnt_,
+         max(lat) OVER (PARTITION BY ts, path) - min(lat) OVER (PARTITION BY ts, path) AS sp_lat,
+         max(lon) OVER (PARTITION BY ts, path) - min(lon) OVER (PARTITION BY ts, path) AS sp_lon
+  FROM k{i}
+), k{i + 1} AS (
+  SELECT user_id, ts, dv, lat, lon, elev,
+         CASE WHEN cnt_ <= 3 THEN path
+              ELSE path || (CASE WHEN row_number() OVER (
+                     PARTITION BY ts, path
+                     ORDER BY (CASE WHEN sp_lat >= sp_lon THEN lat ELSE lon END),
+                              CAST(user_id AS VARCHAR)) <= cnt_ // 2
+                   THEN 'L' ELSE 'R' END) END AS path
+  FROM s{i}
+)"""
+        )
+    kd_sql = ",\n".join(kd)
+
+    def pair(i: int, j: int) -> str:
+        d = haversine_sql(f"lat{i}", f"lon{i}", f"lat{j}", f"lon{j}")
+        return (
+            f"exp(-0.5 * (({d} / {hs}) * ({d} / {hs})) "
+            f"- 0.5 * (((e{i} - e{j}) / {vs}) * ((e{i} - e{j}) / {vs})))"
+        )
+
+    def pv(col: str, rn: int, out: str) -> str:
+        return f"max(CASE WHEN rn = {rn} THEN {col} END) AS {out}"
+
+    piv_cols = ",\n  ".join(
+        pv(col, rn, f"{out}{rn}")
+        for rn in (1, 2, 3)
+        for col, out in [("user_id", "u"), ("dv", "v"), ("lat", "lat"), ("lon", "lon"), ("elev", "e")]
+    )
+    return f"""
+WITH dv AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, avg(value) AS dv
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT user_id, {c["lat"]} AS lat, {c["lon"]} AS lon, {c["elev"]} AS elev
+  FROM (SELECT DISTINCT user_id FROM events)
+), h AS (
+  SELECT dv.user_id, dv.ts, dv.dv, c.lat, c.lon, c.elev FROM dv JOIN c USING (user_id)
+), cnt AS (
+  SELECT a.user_id, a.ts, count(*) AS n_inner
+  FROM h a JOIN h b ON a.ts = b.ts AND b.dv IS NOT NULL AND {dist} <= {inner_radius}
+  GROUP BY 1, 2
+), k0 AS (
+  SELECT h.user_id, h.ts, h.dv, h.lat, h.lon, h.elev, '' AS path
+  FROM h JOIN cnt USING (user_id, ts)
+  WHERE h.dv IS NOT NULL AND cnt.n_inner >= {SCT_NUM_MIN}
+),
+{kd_sql},
+fin AS (
+  SELECT *, count(*) OVER (PARTITION BY ts, path) AS bk FROM k{levels}
+), r AS (
+  SELECT ts, path, user_id, dv, lat, lon, elev,
+         row_number() OVER (PARTITION BY ts, path ORDER BY CAST(user_id AS VARCHAR)) AS rn
+  FROM fin WHERE bk = 3
+), piv AS (
+  SELECT ts, path,
+  {piv_cols}
+  FROM r GROUP BY ts, path
+), mat AS (
+  SELECT ts, u1, u2, u3, v1, v2, v3,
+         {pair(1, 2)} AS b01, {pair(1, 3)} AS b02, {pair(2, 3)} AS b12
+  FROM piv
+), inv AS (
+  SELECT *, (1.5 * (1.5 * 1.5 - b12 * b12) - b01 * (b01 * 1.5 - b12 * b02)
+             + b02 * (b01 * b12 - 1.5 * b02)) AS det
+  FROM mat
+), ii AS (
+  SELECT *, (1.5 * 1.5 - b12 * b12) / det AS i00, (b02 * b12 - b01 * 1.5) / det AS i01,
+         (b01 * b12 - b02 * 1.5) / det AS i02, (1.5 * 1.5 - b02 * b02) / det AS i11,
+         (b02 * b01 - 1.5 * b12) / det AS i12, (1.5 * 1.5 - b01 * b01) / det AS i22,
+         (v1 + v2 + v3) / 3.0 AS m
+  FROM inv
+), aa AS (
+  SELECT *, v1 - m AS d1, v2 - m AS d2, v3 - m AS d3 FROM ii
+), bb AS (
+  SELECT *, i00 * d1 + i01 * d2 + i02 * d3 AS a1,
+         i01 * d1 + i11 * d2 + i12 * d3 AS a2,
+         i02 * d1 + i12 * d2 + i22 * d3 AS a3
+  FROM aa
+), z0 AS (
+  SELECT *, sqrt(greatest(1e-9, (d1 * a1 + d2 * a2 + d3 * a3) / 3.0) * 1.5) AS den FROM bb
+), zz AS (
+  SELECT ts, u1 AS user_id, (a1 / greatest(i00, 1e-12)) / den AS z FROM z0
+  UNION ALL SELECT ts, u2, (a2 / greatest(i11, 1e-12)) / den FROM z0
+  UNION ALL SELECT ts, u3, (a3 / greatest(i22, 1e-12)) / den FROM z0
+), bad AS (
+  SELECT ts, user_id FROM zz WHERE z > {SCT_SMALL_POS} OR z < -{SCT_SMALL_POS}
+)
+SELECT h.user_id, h.ts,
+       CAST(CASE WHEN h.dv IS NULL THEN 5
+                 WHEN coalesce(cnt.n_inner, 0) < {SCT_NUM_MIN} THEN 6
+                 WHEN bad.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS flag_sct_small
+FROM h LEFT JOIN cnt USING (user_id, ts) LEFT JOIN bad USING (user_id, ts)
 """
 
 
@@ -1674,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buddy_check": q_buddy_check,
         "sct": q_sct,
         "sct_isolated": q_sct_isolated,
+        "sct_small": q_sct_small,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "langid": q_langid,
         "quality_score": q_quality,
@@ -1731,6 +1894,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": SQL_MINHASH,
         "multimodal_features": _sql_multimodal(),
         "sct_isolated": _sql_sct_isolated(),
+        "sct_small": _sql_sct_small(),
         "polygon_filter": _sql_polygon(),
         "fill_forward": SQL_FILL_FORWARD,
         "rollup_flag_density": SQL_ROLLUP_FLAGS,

@@ -311,3 +311,33 @@ def test_kd_boxes_degenerate_colocated_stations():
     )
     assert flags[5] == Flag.FAIL
     assert set(flags[np.arange(n) != 5].tolist()) == {int(Flag.PASS)}
+
+
+def test_small_box_z_matches_lu_inverse():
+    """The closed-form k<=3 adjugate solve (_small_box_z, the sct_small
+    oracle contract) agrees with the general LU path to float precision."""
+    import math
+
+    import numpy as np
+
+    from rove_spark.operators.spatial import _haversine_matrix, _small_box_z
+
+    rng = np.random.default_rng(11)
+    for k in (2, 3):
+        for _ in range(50):
+            lat = 59.0 + rng.uniform(0, 0.5, k)
+            lon = 9.0 + rng.uniform(0, 0.5, k)
+            elev = rng.uniform(0, 500, k)
+            v = rng.normal(10, 3, k)
+            hs, vs, eps2 = 10_000.0, 200.0, 0.5
+            d_h = _haversine_matrix(lat, lon)
+            d_v = elev[:, None] - elev[None, :]
+            z = _small_box_z(v, d_h, d_v, hs, vs, eps2)
+            S = np.exp(-0.5 * (d_h / hs) ** 2 - 0.5 * (d_v / vs) ** 2)
+            Binv = np.linalg.inv(S + eps2 * np.eye(k))
+            innov = v - v.mean()
+            A = Binv @ innov
+            cv = A / np.maximum(np.diag(Binv), 1e-12)
+            sigma2 = max(1e-9, float(innov @ A) / k)
+            z_lu = cv / math.sqrt(sigma2 * (1.0 + eps2))
+            assert np.allclose(z, z_lu, rtol=1e-9, atol=1e-9), (k, z, z_lu)
