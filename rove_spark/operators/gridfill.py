@@ -17,10 +17,15 @@ becomes a per-row INVALID flag downstream).
 Scale notes:
 - the min/max aggregation and the spine join both hash-partition on
   ``series_id`` — one shuffle each, no driver-side work, no UDFs;
-- grid explosion is bounded per series; monster conversations are handled
-  upstream by day-chunking the group key (see rollup/salting);
-- for calendar (month) periods ``sequence`` takes an INTERVAL MONTH step —
-  same code path.
+- the spine is generated per (series, calendar chunk), NOT as one
+  ``sequence(min_ts, max_ts)`` array per series: a decade-long PT1M series
+  would otherwise materialize a ~5M-element array (~40 MB) in a single
+  row before explode. The chunk unit auto-scales with the period (day for
+  sub-minute, month for sub-hour, year otherwise), bounding any one array
+  at ≤ ~90k elements while keeping slot_idx globally consistent (it's
+  computed arithmetically from the series origin, not positionally);
+- calendar (month / mixed) periods keep the single-sequence path — month
+  steps are ≤ 12 slots/year, no blowup possible.
 """
 
 from __future__ import annotations
@@ -40,6 +45,7 @@ def grid_fill(
     num_leading: int = 0,
     num_trailing: int = 0,
     anchor: str = "epoch",
+    chunk: str | None = "auto",
 ) -> DataFrame:
     """Align each series onto its regular grid and materialize gaps.
 
@@ -61,6 +67,12 @@ def grid_fill(
     ``num_leading``/``num_trailing`` extend the grid before min_ts / after
     max_ts with context slots (reference pads leading/trailing ``None``s,
     ``fetch.rs:102-122,140-144``).
+
+    ``chunk`` bounds spine-array size for second-based periods (see module
+    scale notes): ``'auto'`` picks day/month/year by period, an explicit
+    ``'day'``/``'month'``/``'year'`` pins it, ``None`` restores the single
+    sequence-per-series path. Chunked ≡ unchunked by construction (slot
+    partition is exact; tested), so this is purely a memory-shape knob.
     """
     if period.is_calendar and period.seconds and anchor == "epoch":
         # a mixed step has no well-defined epoch-aligned slot (the k-th
@@ -105,10 +117,58 @@ def grid_fill(
     if num_trailing:
         bounds = bounds.withColumn("_max_ts", F.col("_max_ts") + interval * num_trailing)
 
-    spine = bounds.select(
-        series_col,
-        F.posexplode(F.sequence("_min_ts", "_max_ts", interval)).alias("slot_idx", ts_col),
-    )
+    if period.is_calendar or chunk is None:
+        # calendar steps are coarse (≤12 slots/year) — single sequence
+        spine = bounds.select(
+            series_col,
+            F.posexplode(F.sequence("_min_ts", "_max_ts", interval)).alias("slot_idx", ts_col),
+        )
+    else:
+        sec = period.seconds
+        if chunk == "auto":
+            unit = "day" if sec < 60 else ("month" if sec < 3600 else "year")
+        elif chunk in ("day", "month", "year"):
+            unit = chunk
+        else:
+            raise ValueError(f"chunk must be 'auto', 'day', 'month', 'year' or None, got {chunk!r}")
+        cint = F.expr(f"INTERVAL 1 {unit}")
+        chunks = bounds.select(
+            series_col,
+            F.unix_timestamp("_min_ts").alias("_min_u"),
+            F.unix_timestamp("_max_ts").alias("_max_u"),
+            F.explode(
+                F.sequence(F.date_trunc(unit, "_min_ts"), F.col("_max_ts"), cint)
+            ).alias("_cstart"),
+        )
+        cs_u = F.unix_timestamp("_cstart")
+        ce_u = F.unix_timestamp(F.col("_cstart") + cint)
+        # slots are min_ts + k*sec; this chunk owns k ∈ [k0, k1]:
+        # k0 = first slot ≥ chunk start (ceil division; negatives only at
+        # the first chunk, clamped to 0), k1 = last slot < chunk end and
+        # ≤ max_ts — consecutive chunks partition the k range exactly
+        k0 = F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((cs_u - F.col("_min_u") + F.lit(sec - 1)) / F.lit(sec)).cast("long"),
+        )
+        k1 = F.least(
+            F.floor((ce_u - F.lit(1) - F.col("_min_u")) / F.lit(sec)).cast("long"),
+            F.floor((F.col("_max_u") - F.col("_min_u")) / F.lit(sec)).cast("long"),
+        )
+        # F.sequence(k0, k1) DESCENDS when k1 < k0 — guard empty chunks
+        slots = F.when(k1 >= k0, F.sequence(k0, k1)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        ts_type = df.schema[ts_col].dataType
+        spine = (
+            chunks.select(series_col, "_min_u", F.explode(slots).alias("slot_idx"))
+            .select(
+                series_col,
+                "slot_idx",
+                F.timestamp_seconds(F.col("_min_u") + F.col("slot_idx") * F.lit(sec))
+                .cast(ts_type)
+                .alias(ts_col),
+            )
+        )
 
     out = spine.join(obs, on=[series_col, ts_col], how="left")
     out = out.withColumn("is_gap", F.col("_observed").isNull()).drop("_observed")
