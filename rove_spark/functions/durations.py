@@ -48,6 +48,38 @@ class Duration:
         return f"Duration(months={self.months}, seconds={self.seconds})"
 
 
+def resolution_matches(col, want: Duration):
+    """Catalyst predicate: does the ISO-8601 duration string in ``col``
+    semantically equal ``want`` (PT1H ≡ PT60M ≡ PT3600S)? Mirrors
+    ``parse_iso8601`` exactly — same grammar, unparseable/NULL/bare-P
+    declarations are a mismatch — but runs as pure column expressions
+    (regexp_extract + arithmetic, whole-stage codegen), so the P4 filter
+    is a single-pass pushable predicate instead of a driver-side
+    distinct-collect over the input (round-2 verdict item 5)."""
+    from pyspark.sql import functions as F
+
+    pat = (
+        r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+        r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$"
+    )
+    s = F.trim(col)
+
+    def comp(i: int):
+        g = F.regexp_extract(s, pat, i)
+        return F.when(g == "", F.lit(0)).otherwise(g.cast("long"))
+
+    months = comp(1) * 12 + comp(2)
+    seconds = (
+        comp(3) * 604800 + comp(4) * 86400 + comp(5) * 3600 + comp(6) * 60 + comp(7)
+    )
+    valid = s.rlike(pat) & ~s.isin("P", "PT")  # ≥1 component required
+    return (
+        valid
+        & (months == F.lit(want.months))
+        & (seconds == F.lit(want.seconds))
+    )
+
+
 def parse_iso8601(s: str) -> Duration:
     """Parse e.g. ``PT1H`` → Duration(0, 3600); ``P1M`` → Duration(1, 0).
 

@@ -43,10 +43,25 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_queries: int = 1024,
 ) -> DataFrame:
     """Exact cosine top-k for each query. Queries are broadcast — the big
     vector table never shuffles; ranking shuffles only (query, id, score)
-    triples."""
+    triples.
+
+    The pre-rank row count is |vectors|·|queries|, which is the RIGHT
+    plan only for small query batches — ``max_queries`` makes that
+    contract explicit (eagerly counted; the count is one tiny job against
+    what is by assumption a small frame). Larger batches should go to
+    ``ivf_topk``, whose probed lists keep the scored row count
+    sub-linear in |vectors|·|queries|. Raise the bound deliberately if a
+    wide brute-force sweep is really intended."""
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"brute_force_topk got more than max_queries={max_queries} queries; "
+            f"the crossJoin would score |vectors|x|queries| rows — route large "
+            f"batches to ivf_topk, or raise max_queries explicitly"
+        )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("_qid"),

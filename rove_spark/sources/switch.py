@@ -85,29 +85,20 @@ class DataSwitch:
         df = self.sources[source_id]()
         # P4 time-resolution filter (``met_connectors/src/frost/fetch.rs:31-37``):
         # series whose DECLARED resolution differs from the requested grid
-        # are dropped before any QC sees them. The declared values live in a
-        # metadata column of ISO-8601 strings; equivalence is semantic
-        # (PT1H == PT60M), resolved by parsing the tiny distinct-value set
-        # driver-side and pushing an isin filter (a Catalyst predicate, so
-        # it prunes at the scan like every other spec).
+        # are dropped before any QC sees them. Equivalence is semantic
+        # (PT1H == PT60M), expressed as a single-pass codegen predicate
+        # that parses the ISO string in-engine — no driver-side
+        # distinct-collect scan over the input (NULL/unparseable == drop).
         if (
             time_spec is not None
             and time_spec.resolution is not None
             and resolution_col in df.columns
         ):
-            from rove_spark.functions.durations import parse_iso8601
+            from rove_spark.functions.durations import resolution_matches
 
-            declared = [r[0] for r in df.select(resolution_col).distinct().collect()]
-            ok = []
-            for s in declared:
-                if s is None:
-                    continue
-                try:
-                    if parse_iso8601(s) == time_spec.resolution:
-                        ok.append(s)
-                except ValueError:
-                    continue  # unparseable declaration == mismatch
-            df = df.filter(F.col(resolution_col).isin(ok))
+            df = df.filter(
+                resolution_matches(F.col(resolution_col), time_spec.resolution)
+            )
         if time_spec is not None:
             start, end = time_spec.start, time_spec.end
             if time_spec.resolution is not None and (num_leading or num_trailing):

@@ -34,3 +34,26 @@ def test_parse_errors(s):
 def test_interval_sql():
     assert parse_iso8601("PT1H").interval_sql() == "INTERVAL 3600 SECOND"
     assert parse_iso8601("P1M").interval_sql() == "INTERVAL 1 MONTH"
+
+
+def test_resolution_matches_predicate(spark):
+    """In-engine P4 predicate: semantic ISO equivalence without any
+    driver-side distinct-collect (round-2 verdict item 5)."""
+    from pyspark.sql import functions as F
+
+    from rove_spark.functions.durations import parse_iso8601, resolution_matches
+
+    rows = [
+        ("PT1H",), ("PT60M",), ("PT3600S",), (" PT1H ",), ("PT0H60M",),
+        ("P1M",), ("P0Y1M",), ("P1MT30S",), ("PT30M",), ("P",), ("PT",),
+        ("garbage",), (None,), ("P1W",), ("P7D",),
+    ]
+    df = spark.createDataFrame(rows, "declared string")
+    kept = lambda want: {
+        r.declared
+        for r in df.filter(resolution_matches(F.col("declared"), parse_iso8601(want))).collect()
+    }
+    assert kept("PT1H") == {"PT1H", "PT60M", "PT3600S", " PT1H ", "PT0H60M"}
+    assert kept("P1M") == {"P1M", "P0Y1M"}
+    assert kept("P1MT30S") == {"P1MT30S"}
+    assert kept("P1W") == {"P1W", "P7D"}
