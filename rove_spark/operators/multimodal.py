@@ -1,13 +1,16 @@
 """Multimodal columns: opaque binary payloads + typed metadata, with the
 Spark-side plumbing (schemas, Arrow batch shapes, partitioning) real and
-tested, and the actual media decoding STUBBED — image/audio libraries are
-not in this container.
+tested. Media decoding is capability-probed (``DECODER_CAPS``): audio PCM
+WAV decodes for real via the stdlib ``wave`` module; image/video use real
+decoders where PIL/ffmpeg exist (absent in this container) and otherwise
+raise per kind when ``decode_real=True`` is requested.
 
-Contract (per the build brief): every stub is deterministic — a pure
-function of the payload bytes — so pipelines exercise realistic data flow
-and tests pin exact outputs; swapping in a real decoder (PIL/ffmpeg) only
-replaces the marked ``_FAKE_*`` functions. ``decode_real=True`` raises
-NotImplementedError at the call site, making the stub boundary explicit.
+Contract (per the build brief): the default stub path is deterministic —
+a pure function of the payload bytes — so pipelines exercise realistic
+data flow, tests pin exact outputs, and the driver's multimodal query
+carries a full cross-engine oracle over the stub semantics. The real path
+replaces only the marked ``_fake_*``/``_real_*`` decode functions; batch
+shape, schema and partitioning are identical.
 
 Schema:
   assets(asset_id string, kind string ∈ {image,audio,video},
@@ -72,6 +75,71 @@ def synthetic_assets(
     )
 
 
+# ---------------- capability probe for OPTIONAL real decoders -----------
+# The engine decodes real media where the libraries exist and keeps the
+# deterministic stub otherwise (this container has no PIL/ffmpeg; audio is
+# genuinely real via the stdlib `wave` module). Probed once at import.
+
+
+def _probe_decoder_caps() -> dict[str, bool]:
+    import shutil
+
+    try:
+        import PIL.Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    return {
+        "image": has_pil,
+        "audio": True,  # stdlib wave: PCM WAV decode needs no extra libs
+        "video": shutil.which("ffmpeg") is not None,
+    }
+
+
+DECODER_CAPS = _probe_decoder_caps()
+
+
+def _real_decode_bytes(payload: bytes, kind: str, n_out: int) -> np.ndarray:
+    """REAL media decode → first ``n_out`` samples/pixels as uint8/int
+    (zero-padded). Raises NotImplementedError for kinds whose decoder is
+    absent (DECODER_CAPS) — never a silent fallback to the stub."""
+    import io
+
+    if not DECODER_CAPS.get(kind, False):
+        raise NotImplementedError(
+            f"real {kind} decode unavailable (capability probe: {DECODER_CAPS}); "
+            f"install PIL (image) / ffmpeg (video) or use the deterministic stub"
+        )
+    if kind == "audio":
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            raw = w.readframes(w.getnframes())
+            width = w.getsampwidth()
+        dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+        if dt is None:
+            raise ValueError(f"unsupported WAV sample width {width}")
+        samples = np.frombuffer(raw, dtype=dt).astype(np.int64)
+    elif kind == "image":
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        samples = np.asarray(img, dtype=np.uint8).reshape(-1).astype(np.int64)
+    else:  # video: first frame, grayscale, via ffmpeg pipe
+        import subprocess
+
+        out = subprocess.run(
+            ["ffmpeg", "-i", "pipe:0", "-frames:v", "1", "-f", "rawvideo",
+             "-pix_fmt", "gray", "pipe:1"],
+            input=payload, capture_output=True, check=True,
+        ).stdout
+        samples = np.frombuffer(out, dtype=np.uint8).astype(np.int64)
+    if len(samples) >= n_out:
+        return samples[:n_out]
+    return np.pad(samples, (0, n_out - len(samples)))
+
+
 # ---- deterministic stand-ins for real decoders (STUBS, clearly marked) --
 
 
@@ -93,25 +161,28 @@ def decode_assets(
 ) -> DataFrame:
     """payload → fixed-size decoded sample (array<int>), via mapInPandas
     (Arrow batches; one Python crossing for the whole batch). The realistic
-    batch shape: binary in, fixed-width array out."""
-    import pandas as pd
+    batch shape: binary in, fixed-width array out.
 
-    if decode_real:
-        raise NotImplementedError(
-            "real image/audio decoding requires PIL/ffmpeg, absent in this "
-            "container — the deterministic stub is the supported path here"
-        )
-
+    ``decode_real=True`` uses the probed real decoders (DECODER_CAPS:
+    stdlib wave for audio, PIL for images, ffmpeg for video) and raises
+    NotImplementedError per missing capability — the deterministic stub
+    (default) remains the oracle-able path."""
     from rove_spark.operators.util import parallel_groups
 
     df = parallel_groups(df, "asset_id")
 
     def run(batches):
         for pdf in batches:
-            decoded = [
-                _fake_decode_bytes(p, out_pixels).astype("int32").tolist()
-                for p in pdf["payload"]
-            ]
+            if decode_real:
+                decoded = [
+                    _real_decode_bytes(p, k, out_pixels).astype("int32").tolist()
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
+            else:
+                decoded = [
+                    _fake_decode_bytes(p, out_pixels).astype("int32").tolist()
+                    for p in pdf["payload"]
+                ]
             out = pdf[["asset_id", "kind"]].copy()
             out["decoded"] = decoded
             yield out
@@ -122,15 +193,12 @@ def decode_assets(
 def extract_features(
     df: DataFrame, dim: int = FEATURE_DIM, decode_real: bool = False
 ) -> DataFrame:
-    """payload → unit-norm float feature vector (STUB embedding: hashed
-    payload bytes → fixed-dim projection). Output plugs straight into
+    """payload → unit-norm float feature vector. Default: STUB embedding
+    (hashed payload bytes → fixed-dim projection), oracle-able. With
+    ``decode_real=True``: real decoded samples pooled into ``dim`` bins
+    then centered + normalized. Either way the output plugs straight into
     ann.py / dedup.embedding_near_dup_pairs — that integration is the
     real deliverable."""
-    import pandas as pd
-
-    if decode_real:
-        raise NotImplementedError("real feature extraction is stubbed in this container")
-
     from rove_spark.operators.util import parallel_groups
 
     df = parallel_groups(df, "asset_id")
@@ -138,9 +206,18 @@ def extract_features(
     def run(batches):
         for pdf in batches:
             feats = []
-            for p in pdf["payload"]:
-                raw = _fake_decode_bytes(p, dim * 4).view(np.uint32).astype(np.float64)
-                v = (raw / np.float64(0xFFFFFFFF)) - 0.5
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                if decode_real:
+                    raw = (
+                        _real_decode_bytes(p, k, dim * 16)
+                        .astype(np.float64)
+                        .reshape(dim, 16)
+                        .mean(axis=1)
+                    )
+                    v = raw - raw.mean()
+                else:
+                    raw = _fake_decode_bytes(p, dim * 4).view(np.uint32).astype(np.float64)
+                    v = (raw / np.float64(0xFFFFFFFF)) - 0.5
                 v /= np.linalg.norm(v) or 1.0
                 feats.append(v.astype(np.float32).tolist())
             out = pdf[["asset_id", "kind"]].copy()
