@@ -1176,6 +1176,62 @@ FROM h LEFT JOIN cnt USING (user_id, ts)
 SCT_SMALL_POS = 1.45  # just inside the z distribution tail: a ~5% FAIL partition
 
 
+def q_hll_tier(spark, sf):
+    """Mergeable HLL distinct sketches through the tier cascade
+    (rollup_from_raw sketch_cols → hll_union_agg in rollup_cascade 1m→1h→
+    1d → read-time estimate): per day, the merged-sketch distinct-user
+    estimate must land within a documented ±5% of the exact count.
+
+    Oracle semantics (documented tolerance gate — the estimate itself is
+    engine-specific and cannot be value-matched): the Spark side emits
+    (day, n_exact, within_tol) where n_exact is Spark's EXACT distinct
+    count (cross-checked value-for-value by DuckDB) and within_tol is the
+    ±5% sketch-accuracy verdict; the oracle recomputes the day partition
+    + exact counts independently and asserts within_tol = TRUE, so any
+    bucket whose merged sketch drifts past 5% hash-mismatches. At sf0.01
+    (≤150 distinct users/day) the datasketches HLL (lgConfigK=12) is in
+    sparse mode and essentially exact."""
+    from rove_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_from_raw,
+        with_sketch_estimates,
+    )
+
+    _utc(spark)
+    ev = _events(spark, sf).withColumn("conv_id", F.lit("all"))
+    t1m = rollup_from_raw(
+        ev,
+        "1m",
+        role_col=None,
+        text_len_source="event_type",
+        tool_col="props",
+        sketch_cols={"user": "user_id"},
+    )
+    t1h = rollup_cascade(t1m, "1h", role_col=None)
+    t1d = rollup_cascade(t1h, "1d", role_col=None)
+    est = with_sketch_estimates(t1d).select(
+        F.col("bucket_ts").alias("day"), F.col("user_distinct").alias("est")
+    )
+    exact = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact") <= F.lit(0.05)
+        ).alias("within_tol"),
+    )
+
+
+SQL_HLL_TIER = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_tol
+FROM events GROUP BY 1
+"""
+
+
 def q_sct_small(spark, sf):
     """SCT with num_max=3 — every KD box is ≤ 3 stations, so the OI solve
     is the closed-form 3×3 adjugate inverse (spatial._small_box_z) and the
@@ -1837,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sct": q_sct,
         "sct_isolated": q_sct_isolated,
         "sct_small": q_sct_small,
+        "hll_tier": q_hll_tier,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "langid": q_langid,
         "quality_score": q_quality,
@@ -1895,6 +1952,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _sql_multimodal(),
         "sct_isolated": _sql_sct_isolated(),
         "sct_small": _sql_sct_small(),
+        "hll_tier": SQL_HLL_TIER,
         "polygon_filter": _sql_polygon(),
         "fill_forward": SQL_FILL_FORWARD,
         "rollup_flag_density": SQL_ROLLUP_FLAGS,
