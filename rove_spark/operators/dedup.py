@@ -179,13 +179,24 @@ def with_minhash(
 ) -> DataFrame:
     """MinHash signature: for each of k independent hash functions,
     min over the shingle set of xxhash64(seed_i, shingle). Empty shingle
-    sets get a sentinel signature (never matches a non-empty one)."""
+    sets get a sentinel signature (never matches a non-empty one).
+
+    The per-hash seed MUST be closed over with a single-argument lambda:
+    ``lambda x, i=i`` looks like idiomatic Python closure capture, but
+    PySpark introspects the function ARITY and binds a two-argument
+    lambda as (element, index) — the "seed" silently becomes the array
+    position column, collapsing all k hash functions into one identical
+    function (caught round 3 via the analyzed plan; the signature was
+    64 copies of a single min-hash, i.e. single-band recall)."""
+
+    def _hash_fn(i: int):
+        s = F.lit(seed + i)
+        return lambda x: F.xxhash64(s, x)
+
     sig = F.array(
         *[
             F.coalesce(
-                F.array_min(
-                    F.transform(F.col(shingle_col), lambda x, i=i: F.xxhash64(F.lit(seed + i), x))
-                ),
+                F.array_min(F.transform(F.col(shingle_col), _hash_fn(i))),
                 F.lit(-(1 << 62) - seed - i),
             )
             for i in range(num_hashes)

@@ -312,3 +312,13 @@ def test_bucket_cap_drops_with_logged_count(spark, caplog):
     full = dedup.lsh_candidate_pairs(mh).count()
     assert n_capped < full
     assert any("dropped" in r.message for r in caplog.records)
+
+
+def test_minhash_hash_functions_are_independent(spark):
+    """Regression (round 3): PySpark binds a two-arg lambda in transform()
+    as (element, index), so `lambda x, i=i` silently made all 64 hash
+    functions identical (the seed became the array-position column). A
+    real signature has (w.h.p.) 64 distinct entries."""
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")], "doc_id long, text string")
+    sig = dedup.with_minhash(dedup.with_shingles(df)).first().minhash
+    assert len(set(sig)) == len(sig) == 64
