@@ -387,6 +387,32 @@ def dedup_components(
         edges.unpersist()
 
 
+def dedup_components_collapsed(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Duplicate clusters over the COLLAPSED near-dup graph: label
+    propagation runs on one node per DISTINCT text (rep_pairs from
+    ``minhash_dedup(..., expand_members=False)``), then every member
+    inherits its rep's label. Labels are identical to running
+    ``dedup_components`` on the fully expanded pair graph — rep ids are
+    the per-exact-cluster minima and component minima over reps are the
+    global component minima — but propagation cost is independent of
+    duplicate multiplicity (an m-copy document is ONE graph node, not m
+    nodes with m(m−1)/2 edges). Returned frame inherits
+    ``dedup_components``' persist contract (caller may unpersist via its
+    lineage)."""
+    rep_ids = members.select(F.col("rep_id").alias(id_col)).distinct()
+    rep_labels = dedup_components(
+        rep_pairs, rep_ids, id_col=id_col, max_rounds=max_rounds
+    )
+    return members.join(
+        rep_labels.withColumnRenamed(id_col, "rep_id"), "rep_id"
+    ).select(id_col, "cluster_id")
+
+
 # --------------------------------------------------------------- simhash --
 
 

@@ -1572,16 +1572,18 @@ WHERE day < mx - to_days(keep_days)
 
 def q_dedup_clusters(spark, sf):
     """Duplicate clustering: min-label propagation to convergence over the
-    minhash near-dup pair graph. Oracle = DuckDB recursive-CTE transitive
-    closure over the brute-force pair set — an independent derivation of
+    COLLAPSED minhash near-dup graph (one node per distinct text; members
+    inherit their rep's label — labels provably equal the expanded-graph
+    propagation). Oracle = DuckDB recursive-CTE transitive closure over
+    the brute-force member-level pair set — an independent derivation of
     the same connected components (iterative Spark algorithm vs recursive
     SQL, exact equality)."""
-    from rove_spark.operators.dedup import dedup_components, minhash_dedup
+    from rove_spark.operators.dedup import dedup_components_collapsed, minhash_dedup
 
     _utc(spark)
     docs = read_table(spark, sf, "documents")
-    pairs = minhash_dedup(docs, threshold=0.5)
-    labels = dedup_components(pairs, docs.select("doc_id"))
+    rep_pairs, members = minhash_dedup(docs, threshold=0.5, expand_members=False)
+    labels = dedup_components_collapsed(rep_pairs, members)
     return labels.select("doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
 
 

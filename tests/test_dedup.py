@@ -322,3 +322,18 @@ def test_minhash_hash_functions_are_independent(spark):
     df = spark.createDataFrame([(1, "a b c d e f g h i j")], "doc_id long, text string")
     sig = dedup.with_minhash(dedup.with_shingles(df)).first().minhash
     assert len(set(sig)) == len(sig) == 64
+
+
+def test_collapsed_components_equal_expanded(spark, docs):
+    """Collapsed-graph clustering labels == expanded-graph labels
+    (rep ids are per-cluster minima, so component minima agree)."""
+    expanded = dedup.dedup_components(
+        dedup.minhash_dedup(docs, threshold=0.5), docs.select("doc_id")
+    )
+    rep_pairs, members = dedup.minhash_dedup(docs, threshold=0.5, expand_members=False)
+    collapsed = dedup.dedup_components_collapsed(rep_pairs, members)
+    a = {(r.doc_id, r.cluster_id) for r in expanded.collect()}
+    b = {(r.doc_id, r.cluster_id) for r in collapsed.collect()}
+    assert a == b
+    d = dict(b)  # 200/201 share the exact-dup cluster
+    assert d[201] == d[200] == 200
