@@ -1,0 +1,195 @@
+"""Validate service (O4) — the reference's gRPC endpoint re-expressed
+over stdlib HTTP + JSON.
+
+Reference: ``/root/reference/src/server.rs:41-177`` (request handling →
+DataSwitch fetch → pipeline run → one streamed ``ValidateResponse`` per
+check) and ``/root/reference/proto/rove.proto`` (message shapes). grpcio
+and protobuf are not in this container, so the WIRE is HTTP/1.1 chunked
+NDJSON instead of gRPC framing — every proto message is mirrored
+field-for-field:
+
+- ``ValidateRequest`` → POST /validate JSON body with data_source,
+  backing_sources, start_time / end_time (RFC3339 or
+  ``{"seconds": ...}`` like ``google.protobuf.Timestamp``),
+  time_resolution (ISO-8601 string, proto field 5), the SpaceSpec oneof
+  (exactly one of ``one`` / ``polygon`` / ``all``), pipeline, extra_spec;
+- ``stream ValidateResponse`` → one NDJSON line per check:
+  ``{"test": name, "results": [{"time", "identifier", "flag"}]}``, flag
+  as the proto enum integer (model.Flag matches the proto values 0-6).
+
+The service layer is the substance (validation, spec construction,
+switch fetch, pipeline dispatch, per-test streaming); swapping the
+transport back to grpcio is mechanical. Response marshalling is
+request-scoped exactly like the reference's (server.rs collects each
+check's flags into one message).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import threading
+from collections.abc import Iterator
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import functions as F
+
+from rove_spark.functions.durations import Duration, parse_iso8601
+from rove_spark.plans.engine import Engine, melt_flags
+from rove_spark.sources.switch import DataSwitch, SpaceSpec, TimeSpec
+
+
+class ValidateError(ValueError):
+    """Maps to the reference's request-level error statuses
+    (server.rs:62-99: invalid timestamps/duration/spec → InvalidArgument;
+    unknown source/pipeline → NotFound)."""
+
+
+def _parse_ts(v) -> dt.datetime:
+    if isinstance(v, dict) and "seconds" in v:  # protobuf Timestamp shape
+        return dt.datetime.utcfromtimestamp(int(v["seconds"]))
+    if isinstance(v, (int, float)):
+        return dt.datetime.utcfromtimestamp(v)
+    if isinstance(v, str):
+        return dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+    raise ValidateError(f"unparseable timestamp: {v!r}")
+
+
+def parse_validate_request(body: dict) -> dict:
+    """ValidateRequest (proto fields 1-10) → validated python spec."""
+    try:
+        data_source = body["data_source"]
+        start = _parse_ts(body["start_time"])
+        end = _parse_ts(body["end_time"])
+        pipeline = body["pipeline"]
+    except KeyError as e:
+        raise ValidateError(f"missing required field: {e}") from e
+    resolution: Duration | None = None
+    if body.get("time_resolution"):
+        try:
+            resolution = parse_iso8601(body["time_resolution"])
+        except ValueError as e:
+            raise ValidateError(str(e)) from e
+    one, polygon, all_ = body.get("one"), body.get("polygon"), body.get("all")
+    n_specs = sum(x is not None for x in (one, polygon, all_))
+    if n_specs > 1:
+        raise ValidateError("SpaceSpec is a oneof: pass at most one of one/polygon/all")
+    if one is not None:
+        space = SpaceSpec.one(str(one))
+    elif polygon is not None:
+        space = SpaceSpec.poly([(p["lat"], p["lon"]) for p in polygon])
+    else:
+        space = SpaceSpec()  # all (proto field 8 / unset)
+    return {
+        "data_source": data_source,
+        "backing_sources": list(body.get("backing_sources", [])),
+        "time_spec": TimeSpec(start=start, end=end, resolution=resolution),
+        "space_spec": space,
+        "pipeline": pipeline,
+        "extra_spec": body.get("extra_spec"),
+    }
+
+
+class RoveService:
+    """Transport-independent service core: one instance per (switch,
+    engine) pair; ``validate`` yields ValidateResponse dicts — the
+    streaming unit of the proto."""
+
+    def __init__(
+        self,
+        switch: DataSwitch,
+        engine: Engine,
+        value_col: str = "value",
+        series_col: str = "conv_id",
+        ts_col: str = "ts",
+    ) -> None:
+        self.switch = switch
+        self.engine = engine
+        self.value_col = value_col
+        self.series_col = series_col
+        self.ts_col = ts_col
+
+    def validate(self, request: dict) -> Iterator[dict]:
+        req = parse_validate_request(request)
+        try:
+            df = self.switch.fetch(
+                req["data_source"],
+                time_spec=req["time_spec"],
+                space_spec=req["space_spec"],
+                series_col=self.series_col,
+                ts_col=self.ts_col,
+            )
+        except KeyError as e:
+            raise ValidateError(str(e)) from e
+        if req["pipeline"] not in self.engine.pipelines:
+            raise ValidateError(f"TestNotInPipelines: {req['pipeline']}")
+        flagged = self.engine.run_pipeline(
+            df,
+            req["pipeline"],
+            value_col=self.value_col,
+            series_col=self.series_col,
+            order_cols=(self.ts_col,),
+        )
+        checks = [s.name for s in self.engine.pipelines[req["pipeline"]].steps]
+        long = melt_flags(flagged, checks, series_col=self.series_col, ts_col=self.ts_col)
+        # request-scoped collect, grouped per test — the same assembly the
+        # reference does per streamed message (server.rs:104-123)
+        rows = long.orderBy("test", "identifier", "time").collect()
+        by_test: dict[str, list] = {c: [] for c in checks}
+        for r in rows:
+            by_test[r.test].append(
+                {
+                    "time": r.time.isoformat() + "Z",
+                    "identifier": str(r.identifier),
+                    "flag": int(r.flag),
+                }
+            )
+        for c in checks:  # stream one ValidateResponse per test, in order
+            yield {"test": c, "results": by_test[c]}
+
+
+def serve(service: RoveService, host: str = "127.0.0.1", port: int = 0):
+    """Start the HTTP transport on a daemon thread; returns the server
+    (``server.server_address`` has the bound port; ``shutdown()`` stops
+    it). POST /validate → chunked NDJSON; errors → 400 (invalid request)
+    / 404 (unknown source or pipeline), mirroring the reference's gRPC
+    status split."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def do_POST(self):
+            if self.path != "/validate":
+                self.send_error(404, "unknown endpoint")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                responses = service.validate(body)
+                first = next(responses, None)
+            except ValidateError as e:
+                code = 404 if ("InvalidDataSource" in str(e) or "TestNotInPipelines" in str(e)) else 400
+                self.send_error(code, str(e))
+                return
+            except json.JSONDecodeError as e:
+                self.send_error(400, f"invalid JSON: {e}")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(payload: bytes):
+                self.wfile.write(f"{len(payload):X}\r\n".encode() + payload + b"\r\n")
+
+            if first is not None:
+                chunk((json.dumps(first) + "\n").encode())
+                for resp in responses:
+                    chunk((json.dumps(resp) + "\n").encode())
+            self.wfile.write(b"0\r\n\r\n")
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
