@@ -45,11 +45,15 @@ class ValidateError(ValueError):
     unknown source/pipeline → NotFound)."""
 
 
+def _epoch_utc(seconds) -> dt.datetime:
+    return dt.datetime.fromtimestamp(seconds, dt.timezone.utc).replace(tzinfo=None)
+
+
 def _parse_ts(v) -> dt.datetime:
     if isinstance(v, dict) and "seconds" in v:  # protobuf Timestamp shape
-        return dt.datetime.utcfromtimestamp(int(v["seconds"]))
+        return _epoch_utc(int(v["seconds"]))
     if isinstance(v, (int, float)):
-        return dt.datetime.utcfromtimestamp(v)
+        return _epoch_utc(v)
     if isinstance(v, str):
         return dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
     raise ValidateError(f"unparseable timestamp: {v!r}")
