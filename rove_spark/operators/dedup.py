@@ -83,39 +83,75 @@ def _expand_member_pairs(
     score_col: str,
     within_score,
     id_col: str = "doc_id",
+    blocks: int = 8,
 ) -> DataFrame:
     """Re-expand rep-level near-dup pairs to the full member-level pair
     set: cross-cluster pairs inherit the rep pair's score (identical text
     ⇒ identical shingle set / signature), within-cluster pairs get the
-    exact-duplicate score (jaccard 1.0 / hamming 0). Output cardinality
-    is the caller's contract — all near-dup pairs — so a mega-cluster
-    still yields m(m−1)/2 OUTPUT rows, but no shuffle key ever carries
-    them: cross pairs come from two rep-keyed joins, within pairs from a
-    self-join keyed on rep_id (skew there is output-bound, not an
-    intermediate). For cluster-level workflows pass expand_members=False
-    upstream and keep (rep_pairs, members)."""
-    ma = members.select(F.col("rep_id").alias("id_a"), F.col(id_col).alias("_ma"))
-    mb = members.select(F.col("rep_id").alias("id_b"), F.col(id_col).alias("_mb"))
+    exact-duplicate score (jaccard 1.0 / hamming 0).
+
+    Output cardinality is the caller's contract — all near-dup pairs — so
+    a mega-cluster still yields m(m−1)/2 OUTPUT rows, but no single task
+    ever computes them: both the within-cluster triangle self-join and
+    the cross-cluster member product are decomposed over ``blocks``
+    deterministic hash blocks (the standard blocked triangle join — each
+    side is duplicated ≤ ``blocks`` times as narrow id rows, the join key
+    carries (block_a, block_b), and the largest task emits (m/B)² pairs
+    instead of m²/2 from one hot key). ``blocks=1`` degenerates to the
+    plain joins (tested equal). For cluster-level workflows pass
+    expand_members=False upstream and keep (rep_pairs, members)."""
+    from pyspark.sql import Column
+
+    B = max(1, blocks)
+    score = within_score if isinstance(within_score, Column) else F.lit(within_score)
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
+    m = members.select("rep_id", F.col(id_col).alias("_m"), blk.alias("_blk"))
+
+    # cross-cluster: a-members emit one copy per b-block, b-members one
+    # copy per a-block; join on (pair, ba, bb) → (m_a/B)·(m_b/B) per task
+    all_blocks = F.sequence(F.lit(0), F.lit(B - 1))
+    ma = m.select(
+        F.col("rep_id").alias("id_a"),
+        F.col("_m").alias("_ma"),
+        F.col("_blk").alias("_ba"),
+        F.explode(all_blocks).alias("_bb"),
+    )
+    mb = m.select(
+        F.col("rep_id").alias("id_b"),
+        F.col("_m").alias("_mb"),
+        F.explode(all_blocks).alias("_ba"),
+        F.col("_blk").alias("_bb"),
+    )
     cross = (
         rep_pairs.join(ma, "id_a")
-        .join(mb, "id_b")
+        .join(mb, ["id_b", "_ba", "_bb"])
         .select(
             F.least("_ma", "_mb").alias("id_a"),
             F.greatest("_ma", "_mb").alias("id_b"),
             F.col(score_col),
         )
     )
-    from pyspark.sql import Column
-
-    score = within_score if isinstance(within_score, Column) else F.lit(within_score)
-    w1 = members.select("rep_id", F.col(id_col).alias("_ma"))
-    w2 = members.select("rep_id", F.col(id_col).alias("_mb"))
+    # within-cluster triangle: left row of block b meets partner blocks
+    # j ≥ b, right row of block b' meets i ≤ b'; task (i, j) is
+    # block_i × block_j with id_a < id_b enforced on the diagonal
+    w1 = m.select(
+        "rep_id",
+        F.col("_m").alias("_ma"),
+        F.col("_blk").alias("_ba"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(B - 1))).alias("_bb"),
+    )
+    w2 = m.select(
+        "rep_id",
+        F.col("_m").alias("_mb"),
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_ba"),
+        F.col("_blk").alias("_bb"),
+    )
     within = (
-        w1.join(w2, "rep_id")
-        .filter(F.col("_ma") < F.col("_mb"))
+        w1.join(w2, ["rep_id", "_ba", "_bb"])
+        .filter((F.col("_ba") < F.col("_bb")) | (F.col("_ma") < F.col("_mb")))
         .select(
-            F.col("_ma").alias("id_a"),
-            F.col("_mb").alias("id_b"),
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
             score.alias(score_col),
         )
     )

@@ -337,3 +337,20 @@ def test_collapsed_components_equal_expanded(spark, docs):
     assert a == b
     d = dict(b)  # 200/201 share the exact-dup cluster
     assert d[201] == d[200] == 200
+
+
+def test_blocked_expansion_equals_plain(spark, docs):
+    """The blocked triangle/product expansion (no hot shuffle key) emits
+    exactly the plain-join pair set for any block count."""
+    rep_pairs, members = dedup.minhash_dedup(docs, threshold=0.5, expand_members=False)
+    base = None
+    for b in (1, 3, 8):
+        got = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup._expand_member_pairs(
+                rep_pairs, members, "jaccard", 1.0, blocks=b
+            ).collect()
+        )
+        assert len(got) == len(set(got))  # no duplicate pairs
+        base = got if base is None else base
+        assert got == base, f"blocks={b}"
