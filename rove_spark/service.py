@@ -123,17 +123,37 @@ class RoveService:
                 series_col=self.series_col,
                 ts_col=self.ts_col,
             )
+            # backing sources (proto field 2): their data helps QC the
+            # primary source — e.g. extra neighbor series for spatial
+            # checks — but is NOT itself QCed; rows ride through the
+            # pipeline and are filtered out of the results below
+            backing = [
+                self.switch.fetch(
+                    name,
+                    time_spec=req["time_spec"],
+                    space_spec=req["space_spec"],
+                    series_col=self.series_col,
+                    ts_col=self.ts_col,
+                )
+                for name in req["backing_sources"]
+            ]
         except KeyError as e:
             raise ValidateError(str(e)) from e
         if req["pipeline"] not in self.engine.pipelines:
             raise ValidateError(f"TestNotInPipelines: {req['pipeline']}")
+        full = df
+        for b in backing:
+            full = full.unionByName(b.select(*df.columns))
         flagged = self.engine.run_pipeline(
-            df,
+            full,
             req["pipeline"],
             value_col=self.value_col,
             series_col=self.series_col,
             order_cols=(self.ts_col,),
         )
+        if backing:  # results only for the QCed (primary) source's series
+            primary_series = df.select(self.series_col).distinct()
+            flagged = flagged.join(primary_series, self.series_col, "left_semi")
         checks = [s.name for s in self.engine.pipelines[req["pipeline"]].steps]
         long = melt_flags(flagged, checks, series_col=self.series_col, ts_col=self.ts_col)
         # request-scoped collect, grouped per test — the same assembly the

@@ -144,3 +144,17 @@ def test_http_transport_ndjson_stream(service):
             assert ei.value.code == code
     finally:
         server.shutdown()
+
+
+def test_backing_sources_help_but_are_not_qced(service, spark):
+    """proto field 2: backing-source rows ride through the pipeline (QC
+    context) but never appear in the results."""
+    extra = spark.createDataFrame(
+        [("zz", T0 + dt.timedelta(minutes=i), 2.0) for i in range(10)],
+        "conv_id string, ts timestamp, value double",
+    )
+    service.switch.register("aux", lambda: extra)
+    out = list(service.validate(_request(backing_sources=["aux"])))
+    idents = {r["identifier"] for o in out for r in o["results"]}
+    assert idents == {"a", "b"}  # 'zz' contributed context, was not QCed
+    assert all(len(o["results"]) == 20 for o in out)
