@@ -65,8 +65,12 @@ def resolution_matches(col, want: Duration):
     s = F.trim(col)
 
     def comp(i: int):
+        # try_cast, not cast: Spark 4 ANSI mode would otherwise ABORT the
+        # whole query on a >19-digit component ("PT9…9S"), where the old
+        # driver-side Python parse just treated it as a mismatch; NULL
+        # propagates through the arithmetic and the comparison is false
         g = F.regexp_extract(s, pat, i)
-        return F.when(g == "", F.lit(0)).otherwise(g.cast("long"))
+        return F.when(g == "", F.lit(0)).otherwise(g.try_cast("long"))
 
     months = comp(1) * 12 + comp(2)
     seconds = (
@@ -78,6 +82,20 @@ def resolution_matches(col, want: Duration):
         & (months == F.lit(want.months))
         & (seconds == F.lit(want.seconds))
     )
+
+
+def parse_rfc3339(s: str):
+    """RFC3339 string → naive UTC datetime. Normalizes ANY offset through
+    astimezone(UTC) before stripping tzinfo — a bare ``.replace(tzinfo=
+    None)`` silently shifts non-UTC offsets ("+01:00") by their offset
+    (round-3 review: the idiom was copy-pasted four times; one helper,
+    one fix)."""
+    import datetime as dt
+
+    t = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if t.tzinfo is not None:
+        t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return t
 
 
 def parse_iso8601(s: str) -> Duration:

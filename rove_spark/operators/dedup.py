@@ -57,8 +57,15 @@ def collapse_exact_duplicates(
 
     Cost: one hash-groupBy on sha2(text) + one id join — the same shape
     as exact_dedup. Texts never shuffle by value, only their 256-bit key.
+
+    NULL texts form their own cluster: sha2(NULL) is NULL and an inner
+    join on a NULL key would silently DROP those docs from members (and
+    so from every expanded pair / cluster label — caught in the round-3
+    review), so the key is coalesced to a sentinel outside sha2's hex
+    alphabet. Direct (uncollapsed) LSH pairs NULL-text docs via the
+    sentinel signature; collapse must preserve that.
     """
-    key = F.sha2(F.col(text_col), 256).alias("_tk")
+    key = F.coalesce(F.sha2(F.col(text_col), 256), F.lit("<null-text>")).alias("_tk")
     rep_map = (
         df.select(key, F.col(id_col))
         .groupBy("_tk")
@@ -519,8 +526,11 @@ def with_simhash_portable(
     # the signature is a pure function of the text: compute it once per
     # DISTINCT text and join back on a 128-bit text key (texts themselves
     # never shuffle twice; duplicate rows keep their multiplicity)
+    # NULL-safe join key: md5(NULL) is NULL and would drop NULL-text rows
+    # from the output on the signature join; NULL and "" share a key AND
+    # a signature (both tokenize to nothing), so coalescing is lossless
     texts = (
-        df.select(F.col(text_col).alias("_t"))
+        df.select(F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
         .distinct()
         .select(F.md5("_t").alias("_k"), "_t")
     )
@@ -543,7 +553,11 @@ def with_simhash_portable(
         ],
     )
     sigs = agg.select("_k", sig.alias(out_col))
-    return df.withColumn("_k", F.md5(F.col(text_col))).join(sigs, "_k").drop("_k")
+    return (
+        df.withColumn("_k", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+        .join(sigs, "_k")
+        .drop("_k")
+    )
 
 
 def simhash_near_dup_pairs(

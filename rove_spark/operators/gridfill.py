@@ -132,27 +132,46 @@ def grid_fill(
         else:
             raise ValueError(f"chunk must be 'auto', 'day', 'month', 'year' or None, got {chunk!r}")
         cint = F.expr(f"INTERVAL 1 {unit}")
+
+        # exact integer microsecond arithmetic throughout: unix_timestamp
+        # floors to whole seconds, which would shift a sub-second series
+        # origin (anchor='series') and silently turn EVERY observation
+        # into a gap (CLAUDE.md's second-flooring hazard — caught in the
+        # round-3 review). unix_micros rejects TIMESTAMP_NTZ, so cast
+        # (value-preserving under the UTC session) first.
+        def us(c):
+            return F.unix_micros(c.cast("timestamp"))
+
+        # exact floor/ceil division on longs (plain `/` goes through
+        # double, which loses integer precision past 2^53 µs ≈ 285 y):
+        # x - pmod(x, y) is the floor multiple for any sign of x
+        def fdiv(x, y):
+            return ((x - F.pmod(x, y)) / y).cast("long")
+
+        def cdiv(x, y):
+            return -fdiv(-x, y)
+
+        sec_us = sec * 1_000_000
         chunks = bounds.select(
             series_col,
-            F.unix_timestamp("_min_ts").alias("_min_u"),
-            F.unix_timestamp("_max_ts").alias("_max_u"),
+            us(F.col("_min_ts")).alias("_min_u"),
+            us(F.col("_max_ts")).alias("_max_u"),
             F.explode(
                 F.sequence(F.date_trunc(unit, "_min_ts"), F.col("_max_ts"), cint)
             ).alias("_cstart"),
         )
-        cs_u = F.unix_timestamp("_cstart")
-        ce_u = F.unix_timestamp(F.col("_cstart") + cint)
+        cs_u = us(F.col("_cstart"))
+        ce_u = us(F.col("_cstart") + cint)
         # slots are min_ts + k*sec; this chunk owns k ∈ [k0, k1]:
         # k0 = first slot ≥ chunk start (ceil division; negatives only at
         # the first chunk, clamped to 0), k1 = last slot < chunk end and
         # ≤ max_ts — consecutive chunks partition the k range exactly
         k0 = F.greatest(
-            F.lit(0).cast("long"),
-            F.floor((cs_u - F.col("_min_u") + F.lit(sec - 1)) / F.lit(sec)).cast("long"),
+            F.lit(0).cast("long"), cdiv(cs_u - F.col("_min_u"), F.lit(sec_us))
         )
         k1 = F.least(
-            F.floor((ce_u - F.lit(1) - F.col("_min_u")) / F.lit(sec)).cast("long"),
-            F.floor((F.col("_max_u") - F.col("_min_u")) / F.lit(sec)).cast("long"),
+            fdiv(ce_u - F.lit(1) - F.col("_min_u"), F.lit(sec_us)),
+            fdiv(F.col("_max_u") - F.col("_min_u"), F.lit(sec_us)),
         )
         # F.sequence(k0, k1) DESCENDS when k1 < k0 — guard empty chunks
         slots = F.when(k1 >= k0, F.sequence(k0, k1)).otherwise(
@@ -164,7 +183,7 @@ def grid_fill(
             .select(
                 series_col,
                 "slot_idx",
-                F.timestamp_seconds(F.col("_min_u") + F.col("slot_idx") * F.lit(sec))
+                F.timestamp_micros(F.col("_min_u") + F.col("slot_idx") * F.lit(sec_us))
                 .cast(ts_type)
                 .alias(ts_col),
             )

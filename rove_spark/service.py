@@ -55,7 +55,9 @@ def _parse_ts(v) -> dt.datetime:
     if isinstance(v, (int, float)):
         return _epoch_utc(v)
     if isinstance(v, str):
-        return dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+        from rove_spark.functions.durations import parse_rfc3339
+
+        return parse_rfc3339(v)
     raise ValidateError(f"unparseable timestamp: {v!r}")
 
 
@@ -81,7 +83,11 @@ def parse_validate_request(body: dict) -> dict:
     if one is not None:
         space = SpaceSpec.one(str(one))
     elif polygon is not None:
-        space = SpaceSpec.poly([(p["lat"], p["lon"]) for p in polygon])
+        try:
+            space = SpaceSpec.poly([(p["lat"], p["lon"]) for p in polygon])
+        except (KeyError, TypeError) as e:
+            # invalid spec → InvalidArgument (400), never a socket abort
+            raise ValidateError(f"malformed polygon vertex: {e}") from e
     else:
         space = SpaceSpec()  # all (proto field 8 / unset)
     return {
@@ -180,6 +186,11 @@ def serve(service: RoveService, host: str = "127.0.0.1", port: int = 0):
     status split."""
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer framing is an HTTP/1.1 construct — the default
+        # HTTP/1.0 status line would make spec-compliant clients read the
+        # chunk-size lines as body bytes (RFC 7230 §3.3.1)
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet test output
             pass
 

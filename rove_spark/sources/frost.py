@@ -39,7 +39,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from rove_spark.functions.durations import Duration, parse_iso8601
+from rove_spark.functions.durations import Duration, parse_iso8601, parse_rfc3339
 
 FROST_URL = "https://frost-beta.met.no/api/v1/obs/met.no/filter/get"
 
@@ -113,8 +113,8 @@ def _pick_location(locations: list, when: dt.datetime) -> tuple[float, float, fl
     """``util.rs extract_location``: the interval with from < when < to
     (strict, like the reference); keys are frost's string-typed fields."""
     for loc in locations:
-        frm = dt.datetime.fromisoformat(loc["from"].replace("Z", "+00:00")).replace(tzinfo=None)
-        to = dt.datetime.fromisoformat(loc["to"].replace("Z", "+00:00")).replace(tzinfo=None)
+        frm = parse_rfc3339(loc["from"])
+        to = parse_rfc3339(loc["to"])
         if frm < when < to:
             v = loc["value"]
             return (
@@ -158,9 +158,7 @@ def parse_frost_response(
             header["extra"]["station"]["location"], interval_start
         )
         for obs in ts.get("observations", []):
-            t = dt.datetime.fromisoformat(obs["time"].replace("Z", "+00:00")).replace(
-                tzinfo=None
-            )
+            t = parse_rfc3339(obs["time"])
             if strict_alignment and sec:
                 off = (t - interval_start).total_seconds()
                 if off % sec != 0:

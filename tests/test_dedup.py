@@ -354,3 +354,28 @@ def test_blocked_expansion_equals_plain(spark, docs):
         assert len(got) == len(set(got))  # no duplicate pairs
         base = got if base is None else base
         assert got == base, f"blocks={b}"
+
+
+def test_null_text_docs_survive_collapse(spark):
+    """Round-3 review: NULL sha2 keys must not drop NULL-text docs from
+    members — collapse+expand and cluster labels must match direct."""
+    rows = [(1, None), (2, None), (3, "real doc with several words here"),
+            (4, ""), (5, "real doc with several words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    reps, members = dedup.collapse_exact_duplicates(df)
+    assert members.count() == 5  # nobody dropped
+    mem = {r.doc_id: r.rep_id for r in members.collect()}
+    assert mem[1] == mem[2] == 1 and mem[5] == 3
+    direct = {
+        (r.id_a, r.id_b) for r in dedup.minhash_dedup(df, threshold=0.5, collapse_exact=False).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b) for r in dedup.minhash_dedup(df, threshold=0.5).collect()
+    }
+    assert collapsed == direct and (1, 2) in collapsed
+    # cluster labels cover every doc
+    rp, mm = dedup.minhash_dedup(df, threshold=0.5, expand_members=False)
+    labels = dedup.dedup_components_collapsed(rp, mm)
+    assert {r.doc_id for r in labels.collect()} == {1, 2, 3, 4, 5}
+    # portable simhash keeps null-text rows too
+    assert dedup.with_simhash_portable(df).count() == 5

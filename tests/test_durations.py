@@ -57,3 +57,28 @@ def test_resolution_matches_predicate(spark):
     assert kept("P1M") == {"P1M", "P0Y1M"}
     assert kept("P1MT30S") == {"P1MT30S"}
     assert kept("P1W") == {"P1W", "P7D"}
+
+
+def test_resolution_matches_survives_ansi_overflow(spark):
+    """A >19-digit component must be a mismatch, not an ANSI cast abort."""
+    from pyspark.sql import functions as F
+
+    from rove_spark.functions.durations import parse_iso8601, resolution_matches
+
+    df = spark.createDataFrame(
+        [("PT99999999999999999999S",), ("PT1H",)], "declared string"
+    )
+    kept = df.filter(
+        resolution_matches(F.col("declared"), parse_iso8601("PT1H"))
+    ).collect()
+    assert [r.declared for r in kept] == ["PT1H"]
+
+
+def test_parse_rfc3339_normalizes_offsets():
+    import datetime as dt
+
+    from rove_spark.functions.durations import parse_rfc3339
+
+    assert parse_rfc3339("2024-01-01T12:00:00Z") == dt.datetime(2024, 1, 1, 12)
+    assert parse_rfc3339("2024-01-01T13:00:00+01:00") == dt.datetime(2024, 1, 1, 12)
+    assert parse_rfc3339("2024-01-01T12:00:00") == dt.datetime(2024, 1, 1, 12)

@@ -182,3 +182,17 @@ def test_chunked_spine_equals_unchunked(spark):
             n = len(a)
             assert n > 1000  # genuinely multi-chunk
             assert [r[1] for r in a] == list(range(n))  # slot_idx dense 0..n-1
+
+
+def test_chunked_spine_subsecond_origin(spark):
+    """Round-3 review: a sub-second series origin (anchor='series') must
+    not be floored to whole seconds — every on-grid obs still joins."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    rows = [("s", t0 + dt.timedelta(hours=k), float(k)) for k in range(0, 60, 7)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, v double")
+    for unit in ("day", None):
+        out = grid_fill(df, parse_iso8601("PT1H"), anchor="series", chunk=unit)
+        got = out.orderBy("slot_idx").collect()
+        assert len(got) == 57  # slots 0..56 inclusive (span = 56 h)
+        assert sum(not r.is_gap for r in got) == len(rows)  # nothing lost
+        assert got[0].ts == t0 and got[0].v == 0.0
