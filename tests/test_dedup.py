@@ -379,3 +379,42 @@ def test_null_text_docs_survive_collapse(spark):
     assert {r.doc_id for r in labels.collect()} == {1, 2, 3, 4, 5}
     # portable simhash keeps null-text rows too
     assert dedup.with_simhash_portable(df).count() == 5
+
+
+def test_fuzz_collapse_equals_direct_random_corpus(spark):
+    """Seeded fuzz twin of the collapse contract: random corpus with
+    random exact-dup multiplicities, empty and NULL texts — the collapsed
+    default must emit exactly the direct path's pair set, for both
+    MinHash and SimHash."""
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    rows, did = [], 0
+    for _ in range(25):
+        n = rng.randint(5, 12)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        for _ in range(rng.randint(1, 6)):  # exact-dup multiplicity
+            rows.append((did, text))
+            did += 1
+    rows += [(did, ""), (did + 1, None), (did + 2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh_direct = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_dedup(df, threshold=0.6, collapse_exact=False).collect()
+    }
+    mh_coll = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_dedup(df, threshold=0.6).collect()
+    }
+    assert mh_coll == mh_direct and len(mh_coll) > 20
+
+    sh_direct = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_dedup(df, collapse_exact=False).collect()
+    }
+    sh_coll = {
+        (r.id_a, r.id_b, r.hamming) for r in dedup.simhash_dedup(df).collect()
+    }
+    assert sh_coll == sh_direct and len(sh_coll) > 20
