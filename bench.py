@@ -38,8 +38,12 @@ def _identity(pdf):
     return pdf
 
 
-def bench_rollup(spark) -> dict:
-    """Turns/sec into all three tiers (checks included), synthetic table."""
+def bench_rollup(spark, bucketed: bool = False) -> dict:
+    """Turns/sec into all three tiers (checks included), synthetic table.
+    ``bucketed`` measures the same job on the bucketed+sorted layout —
+    the recommended deployment layout, where every per-series window and
+    aggregation is exchange-free (tables.write_bucketed; both numbers go
+    in the bench JSON so the layout win is visible cross-round)."""
     from rove_spark.operators import checks
     from pyspark.sql import functions as F
 
@@ -53,7 +57,15 @@ def bench_rollup(spark) -> dict:
         gen.select(
             "conv_id", "ts", "role", "tool", F.length("text").cast("float").alias("text_len")
         ).write.mode("overwrite").parquet(src)
-    df = spark.read.parquet(src)
+    if bucketed:
+        from rove_spark.sources.tables import write_bucketed
+
+        table = f"rove_bench_bucketed_{BENCH_N_CONV}_{BENCH_AVG_TURNS}"
+        if not spark.catalog.tableExists(table):
+            write_bucketed(spark.read.parquet(src), table, n_buckets=64)
+        df = spark.table(table)
+    else:
+        df = spark.read.parquet(src)
     n_turns = df.count()
 
     def one_run() -> float:
@@ -103,6 +115,7 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     rollup = bench_rollup(spark)
+    rollup_bucketed = bench_rollup(spark, bucketed=True)
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -114,6 +127,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "rollup": rollup,
+                "rollup_bucketed": rollup_bucketed,
             }
         )
     )
