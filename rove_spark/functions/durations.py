@@ -65,12 +65,15 @@ def resolution_matches(col, want: Duration):
     s = F.trim(col)
 
     def comp(i: int):
-        # try_cast, not cast: Spark 4 ANSI mode would otherwise ABORT the
-        # whole query on a >19-digit component ("PT9…9S"), where the old
-        # driver-side Python parse just treated it as a mismatch; NULL
-        # propagates through the arithmetic and the comparison is false
+        # components longer than 12 digits go to NULL (mismatch), never
+        # into arithmetic: Spark 4 ANSI mode aborts the WHOLE query on
+        # long overflow, and the hazard isn't only the cast (>19 digits)
+        # but the unit scaling after it — 1e15 weeks * 604800 overflows a
+        # long that the cast accepted. ≤12 digits caps the summed seconds
+        # at ~5·10¹⁸ < 2⁶³; NULL propagates to a false comparison, which
+        # is the old driver-side parse's "unparseable == mismatch".
         g = F.regexp_extract(s, pat, i)
-        return F.when(g == "", F.lit(0)).otherwise(g.try_cast("long"))
+        return F.when(g == "", F.lit(0)).when(F.length(g) <= 12, g.cast("long"))
 
     months = comp(1) * 12 + comp(2)
     seconds = (

@@ -142,11 +142,14 @@ def grid_fill(
         def us(c):
             return F.unix_micros(c.cast("timestamp"))
 
-        # exact floor/ceil division on longs (plain `/` goes through
-        # double, which loses integer precision past 2^53 µs ≈ 285 y):
-        # x - pmod(x, y) is the floor multiple for any sign of x
+        # exact floor/ceil division on longs for the full 2⁶³ µs domain:
+        # x - pmod(x, y) is the floor multiple for any sign of x, and the
+        # divide runs in decimal(38,0) — a plain `/` goes through double,
+        # whose 2⁻⁵³ relative rounding can truncate the quotient one low
+        # past 2⁵³ µs ≈ 285 y (the exactly-divisible numerator makes the
+        # decimal quotient integral, so no scale rounding either)
         def fdiv(x, y):
-            return ((x - F.pmod(x, y)) / y).cast("long")
+            return ((x - F.pmod(x, y)).cast("decimal(38,0)") / y).cast("long")
 
         def cdiv(x, y):
             return -fdiv(-x, y)

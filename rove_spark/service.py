@@ -50,14 +50,19 @@ def _epoch_utc(seconds) -> dt.datetime:
 
 
 def _parse_ts(v) -> dt.datetime:
-    if isinstance(v, dict) and "seconds" in v:  # protobuf Timestamp shape
-        return _epoch_utc(int(v["seconds"]))
-    if isinstance(v, (int, float)):
-        return _epoch_utc(v)
-    if isinstance(v, str):
-        from rove_spark.functions.durations import parse_rfc3339
+    try:
+        if isinstance(v, dict) and "seconds" in v:  # protobuf Timestamp shape
+            return _epoch_utc(int(v["seconds"]))
+        if isinstance(v, (int, float)):
+            return _epoch_utc(v)
+        if isinstance(v, str):
+            from rove_spark.functions.durations import parse_rfc3339
 
-        return parse_rfc3339(v)
+            return parse_rfc3339(v)
+    except (ValueError, TypeError, OverflowError) as e:
+        # "yesterday", {"seconds": "abc"}, … → InvalidArgument, never an
+        # unhandled handler-thread death (socket abort)
+        raise ValidateError(f"unparseable timestamp: {v!r} ({e})") from e
     raise ValidateError(f"unparseable timestamp: {v!r}")
 
 
@@ -148,8 +153,27 @@ class RoveService:
         if req["pipeline"] not in self.engine.pipelines:
             raise ValidateError(f"TestNotInPipelines: {req['pipeline']}")
         full = df
-        for b in backing:
-            full = full.unionByName(b.select(*df.columns))
+        if backing:
+            # namespace series ids per source: the SAME station fetched
+            # from a backing source must become a SEPARATE context series
+            # (extra neighbor), not interleave duplicate timestamps into
+            # the primary's per-series windows and corrupt its flags
+            sc = self.series_col
+            full = df.withColumn(sc, F.col(sc).cast("string"))
+            from pyspark.errors import AnalysisException
+
+            for name, b in zip(req["backing_sources"], backing):
+                try:
+                    tagged = b.select(*df.columns).withColumn(
+                        # \x1f separator: a primary id can't collide with
+                        # a namespaced backing id by containing "name:"
+                        sc, F.concat(F.lit(f"{name}\x1f"), F.col(sc).cast("string"))
+                    )
+                except AnalysisException as e:
+                    raise ValidateError(
+                        f"backing source {name!r} schema mismatch: {e}"
+                    ) from e
+                full = full.unionByName(tagged)
         flagged = self.engine.run_pipeline(
             full,
             req["pipeline"],
@@ -158,7 +182,9 @@ class RoveService:
             order_cols=(self.ts_col,),
         )
         if backing:  # results only for the QCed (primary) source's series
-            primary_series = df.select(self.series_col).distinct()
+            primary_series = df.select(
+                F.col(self.series_col).cast("string").alias(self.series_col)
+            ).distinct()
             flagged = flagged.join(primary_series, self.series_col, "left_semi")
         checks = [s.name for s in self.engine.pipelines[req["pipeline"]].steps]
         long = melt_flags(flagged, checks, series_col=self.series_col, ts_col=self.ts_col)

@@ -82,3 +82,20 @@ def test_parse_rfc3339_normalizes_offsets():
     assert parse_rfc3339("2024-01-01T12:00:00Z") == dt.datetime(2024, 1, 1, 12)
     assert parse_rfc3339("2024-01-01T13:00:00+01:00") == dt.datetime(2024, 1, 1, 12)
     assert parse_rfc3339("2024-01-01T12:00:00") == dt.datetime(2024, 1, 1, 12)
+
+
+def test_resolution_matches_survives_scaled_overflow(spark):
+    """Overflow AFTER unit scaling (component fits a long, component*unit
+    does not) must be a mismatch, not an ANSI abort (round-3 review #2)."""
+    from pyspark.sql import functions as F
+
+    from rove_spark.functions.durations import parse_iso8601, resolution_matches
+
+    df = spark.createDataFrame(
+        [("P800000000000000000Y",), ("P99999999999999999W",), ("PT1H",)],
+        "declared string",
+    )
+    kept = df.filter(
+        resolution_matches(F.col("declared"), parse_iso8601("PT1H"))
+    ).collect()
+    assert [r.declared for r in kept] == ["PT1H"]

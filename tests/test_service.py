@@ -158,3 +158,39 @@ def test_backing_sources_help_but_are_not_qced(service, spark):
     idents = {r["identifier"] for o in out for r in o["results"]}
     assert idents == {"a", "b"}  # 'zz' contributed context, was not QCed
     assert all(len(o["results"]) == 20 for o in out)
+
+
+def test_overlapping_backing_series_become_separate_context(service, spark):
+    """A backing source carrying the SAME series id as the primary must
+    become a separate namespaced context series — never interleave
+    duplicate timestamps into the primary's windows or duplicate its
+    result rows."""
+    dup = spark.createDataFrame(
+        [("a", T0 + dt.timedelta(minutes=i), 50.0) for i in range(10)],
+        "conv_id string, ts timestamp, value double",
+    )
+    service.switch.register("dup_src", lambda: dup)
+    out = list(service.validate(_request(backing_sources=["dup_src"])))
+    base = list(service.validate(_request()))
+    # primary flags identical to the no-backing run; no duplicated rows
+    for o, b in zip(out, base):
+        got = sorted((r["identifier"], r["time"], r["flag"]) for r in o["results"])
+        want = sorted((r["identifier"], r["time"], r["flag"]) for r in b["results"])
+        assert got == want
+
+
+def test_malformed_timestamp_and_backing_schema_are_400s(service, spark):
+    import pytest
+
+    from rove_spark.service import ValidateError
+
+    with pytest.raises(ValidateError, match="unparseable timestamp"):
+        list(service.validate(_request(start_time="yesterday")))
+    with pytest.raises(ValidateError, match="unparseable timestamp"):
+        list(service.validate(_request(start_time={"seconds": "abc"})))
+    with pytest.raises(ValidateError, match="malformed polygon"):
+        list(service.validate(_request(polygon=[{"latitude": 1.0}])))
+    bad = spark.createDataFrame([("x", T0)], "conv_id string, ts timestamp")
+    service.switch.register("badcols", lambda: bad)
+    with pytest.raises(ValidateError, match="schema mismatch"):
+        list(service.validate(_request(backing_sources=["badcols"])))
