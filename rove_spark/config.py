@@ -80,7 +80,7 @@ class Pipeline:
         return max((s.trailing for s in self.steps), default=0)
 
 
-def _parse_step(raw: dict[str, Any]) -> PipelineStep:
+def _parse_step(raw: dict[str, Any], extra_checks: frozenset = frozenset()) -> PipelineStep:
     name = raw.get("name")
     if not name:
         raise ValueError(f"pipeline step missing 'name': {raw}")
@@ -88,22 +88,27 @@ def _parse_step(raw: dict[str, Any]) -> PipelineStep:
     if len(check_keys) != 1:
         raise ValueError(f"step {name!r} must have exactly one check table, got {check_keys}")
     check = check_keys[0]
-    if check not in KNOWN_CHECKS and not name.startswith("test"):
+    if check not in KNOWN_CHECKS and check not in extra_checks and not name.startswith("test"):
         # reference returns InvalidTestName for unknown non-test checks
         # at dispatch time (harness.rs:169-177); we fail at load time.
+        # ``extra_checks``: homebrew check types registered on the Engine
+        # (the researcher-written-test design goal, docs/language.md:5,
+        # which rove left a closed enum — pipeline.rs:32-46).
         raise ValueError(f"unknown check type {check!r} in step {name!r}")
     return PipelineStep(name=name, check=check, params=dict(raw[check]))
 
 
-def parse_pipeline(name: str, text: str) -> Pipeline:
+def parse_pipeline(name: str, text: str, extra_checks: frozenset = frozenset()) -> Pipeline:
     doc = tomllib.loads(text)
-    steps = tuple(_parse_step(s) for s in doc.get("step", []))
+    steps = tuple(_parse_step(s, extra_checks) for s in doc.get("step", []))
     return Pipeline(name=name, steps=steps)
 
 
-def load_pipelines(directory: str | Path) -> dict[str, Pipeline]:
+def load_pipelines(
+    directory: str | Path, extra_checks: frozenset = frozenset()
+) -> dict[str, Pipeline]:
     """Load every ``*.toml`` in a directory (``pipeline.rs:160-188``)."""
     out: dict[str, Pipeline] = {}
     for p in sorted(Path(directory).glob("*.toml")):
-        out[p.stem] = parse_pipeline(p.stem, p.read_text())
+        out[p.stem] = parse_pipeline(p.stem, p.read_text(), extra_checks)
     return out

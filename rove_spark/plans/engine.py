@@ -62,11 +62,28 @@ class Engine:
         pipelines: dict[str, Pipeline] | None = None,
         pipeline_dir: str | Path | None = None,
         aux_sources: dict[str, DataFrame] | None = None,
+        custom_checks: dict | None = None,
     ):
+        """``custom_checks``: homebrew (researcher-written) check types —
+        the design goal rove left unimplemented (closed enum,
+        ``pipeline.rs:32-46``; "homebrew tests (Python?)",
+        ``docs/language.md:5``). Each entry maps a check-type name to a
+        callable with the Check protocol::
+
+            fn(df, value_col, series_col, order_cols, out_col, **params)
+              -> DataFrame  # df + out_col (int8 Flag domain)
+
+        Implementations compose the same primitives as built-ins (Window
+        exprs, broadcast joins, vectorized pandas-UDF stages through
+        parallel_groups). Registered names become valid TOML check types
+        via load_pipelines(extra_checks=...)."""
         self.spark = spark
+        self.custom = dict(custom_checks or {})
         self.pipelines = dict(pipelines or {})
         if pipeline_dir:
-            self.pipelines.update(load_pipelines(pipeline_dir))
+            self.pipelines.update(
+                load_pipelines(pipeline_dir, frozenset(self.custom))
+            )
         self.aux = dict(aux_sources or {})
 
     # -- step dispatch (harness.rs:26 analog) ----------------------------
@@ -151,6 +168,15 @@ class Engine:
                 },
             ).withColumnRenamed("flag_sct", out)
             return _join_spatial_flags(df, flags, series_col, order_cols[0])
+        if step.check in self.custom:
+            return self.custom[step.check](
+                df,
+                value_col=value_col,
+                series_col=series_col,
+                order_cols=order_cols,
+                out_col=out,
+                **p,
+            )
         if step.name.startswith("test"):
             return C.dummy_check(df, out_col=out)
         raise ValueError(f"InvalidTestName: {step.name} ({step.check})")

@@ -249,3 +249,89 @@ def test_day_enumeration_from_partition_listing(tmp_path, spark):
         ca = sorted(tuple(str(x) for x in r) for r in a.select(*cols).collect())
         cb = sorted(tuple(str(x) for x in r) for r in b.select(*cols).collect())
         assert ca == cb, tier
+
+
+def test_homebrew_custom_check(spark, tmp_path):
+    """The Check protocol (SURVEY §2.7: researcher-written checks, which
+    rove left a closed enum): a custom check registers on the Engine,
+    validates in TOML pipelines, dispatches with the step's params, and
+    can be a vectorized pandas-UDF stage."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rove_spark.config import Pipeline, PipelineStep
+    from rove_spark.model import Flag
+    from rove_spark.plans.engine import Engine
+
+    def parity_check(df, value_col, series_col, order_cols, out_col, modulus=2):
+        # plain column-expression homebrew check
+        return df.withColumn(
+            out_col,
+            F.when(F.col(value_col) % modulus == 0, int(Flag.PASS))
+            .otherwise(int(Flag.FAIL))
+            .cast("tinyint"),
+        )
+
+    def zmad_check(df, value_col, series_col, order_cols, out_col, limit=3.0):
+        # pandas-UDF homebrew check through the same grouped machinery
+        from rove_spark.operators.util import parallel_groups
+
+        schema = f"{series_col} string, {order_cols[0]} timestamp, {out_col} tinyint"
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            v = pdf[value_col]
+            med = v.median()
+            mad = (v - med).abs().median() or 1.0
+            flags = ((v - med).abs() / mad > limit).map(
+                {True: int(Flag.FAIL), False: int(Flag.PASS)}
+            )
+            return pd.DataFrame(
+                {series_col: pdf[series_col], order_cols[0]: pdf[order_cols[0]],
+                 out_col: flags.astype("int8")}
+            )
+
+        flags = (
+            parallel_groups(df.select(series_col, order_cols[0], value_col), series_col)
+            .groupBy(series_col)
+            .applyInPandas(run, schema)
+        )
+        return df.join(flags, [series_col, order_cols[0]], "left")
+
+    (tmp_path / "hb.toml").write_text(
+        """
+[[step]]
+name = "parity_check"
+[step.parity_check]
+modulus = 2
+
+[[step]]
+name = "zmad_check"
+[step.zmad_check]
+limit = 2.5
+"""
+    )
+    rows = [
+        ("c1", dt.datetime(2024, 1, 1, 0, i), float(i * 2)) for i in range(8)
+    ] + [("c1", dt.datetime(2024, 1, 1, 0, 8), 999.0)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, v double")
+    eng = Engine(
+        spark,
+        pipeline_dir=tmp_path,
+        custom_checks={"parity_check": parity_check, "zmad_check": zmad_check},
+    )
+    out = eng.run_pipeline(df, "hb", value_col="v").collect()
+    by_ts = {r.ts.minute: r for r in out}
+    assert by_ts[8].flag_parity_check == 1  # 999 odd
+    assert by_ts[2].flag_parity_check == 0
+    assert by_ts[8].flag_zmad_check == 1  # 999 is the MAD outlier
+    assert all(by_ts[i].flag_zmad_check == 0 for i in range(8))
+
+    # unregistered homebrew types still fail at load (InvalidTestName parity)
+    import pytest
+
+    from rove_spark.config import parse_pipeline
+
+    with pytest.raises(ValueError, match="unknown check type"):
+        parse_pipeline("x", '[[step]]\nname = "nope_check"\n[step.nope_check]\n')
