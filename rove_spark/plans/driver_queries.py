@@ -1269,38 +1269,60 @@ def q_sct_small(spark, sf):
     )
 
 
-def _sql_sct_small(levels: int = 9) -> str:
-    """Exact DuckDB twin of q_sct_small: ``levels`` unrolled KD median-cut
-    rounds (each = spread CTE + split CTE; covers groups ≤ 3·2^levels =
-    1536 ≫ 150 stations at sf0.01), then the 3×3 adjugate solve with the
-    same scalar operand tree as spatial._small_box_z — identical IEEE
-    arithmetic, so flags hash-match exactly."""
+def q_sct_iter(spark, sf):
+    """SCT iterative-exclusion semantics, cross-engine: num_iterations=2
+    with num_max=3 — round 2 re-derives isolation counts, the OI pool AND
+    the KD subdivision with round-1 FAILs excluded (the titanlib
+    re-check-after-removal loop, SPEC.md §sct; reference surface
+    harness.rs:143-161). The oracle unrolls both rounds exactly;
+    `sct_small` gates the single-round math, this gates the iteration."""
+    from rove_spark.operators.spatial import sct, with_synthetic_coords_portable
+
+    _utc(spark)
+    ev = _events(spark, sf)
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("ts")).agg(
+        F.avg("value").alias("dv")
+    )
+    located = with_synthetic_coords_portable(daily, series_col="user_id")
+    out = sct(
+        located,
+        "dv",
+        series_col="user_id",
+        num_min=SCT_NUM_MIN,
+        num_max=3,
+        pos=SCT_SMALL_POS,
+        neg=SCT_SMALL_POS,
+        num_iterations=2,
+        cell_deg=None,
+    )
+    return out.select(
+        F.col("series_id").cast("bigint").alias("user_id"),
+        "ts",
+        F.col("flag_sct").cast("int").alias("flag_sct_iter"),
+    )
+
+
+def _sql_sct_small(levels: int = 9, rounds: int = 1, flag_name: str = "flag_sct_small") -> str:
+    """Exact DuckDB twin of q_sct_small / q_sct_iter: per exclusion round,
+    ``levels`` unrolled KD median-cut splits (each = spread CTE + split
+    CTE; covers groups ≤ 3·2^levels = 1536 ≫ 150 stations at sf0.01),
+    then the 3×3 adjugate solve with the same scalar operand tree as
+    spatial._small_box_z — identical IEEE arithmetic, so flags hash-match
+    exactly.
+
+    ``rounds`` unrolls the kernel's FAIL-exclusion iteration: round r's
+    usable pool (isolation counts AND the OI set) excludes every station
+    failed in rounds < r, and the KD subdivision is re-derived from the
+    shrunken set. Unconditional unrolling is sound because a round with
+    no new FAILs is a fixpoint — re-running it reproduces the same
+    ISOLATED set and no new exclusions, exactly like the kernel's early
+    break."""
     from rove_spark.operators.spatial import haversine_sql, synthetic_coords_sql
 
     c = synthetic_coords_sql("user_id")
     dist = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
     hs, vs = "10000.0", "200.0"  # sct_kernel defaults
     inner_radius = 50_000.0
-    kd = []
-    for i in range(levels):
-        kd.append(
-            f"""s{i} AS (
-  SELECT *, count(*) OVER (PARTITION BY ts, path) AS cnt_,
-         max(lat) OVER (PARTITION BY ts, path) - min(lat) OVER (PARTITION BY ts, path) AS sp_lat,
-         max(lon) OVER (PARTITION BY ts, path) - min(lon) OVER (PARTITION BY ts, path) AS sp_lon
-  FROM k{i}
-), k{i + 1} AS (
-  SELECT user_id, ts, dv, lat, lon, elev,
-         CASE WHEN cnt_ <= 3 THEN path
-              ELSE path || (CASE WHEN row_number() OVER (
-                     PARTITION BY ts, path
-                     ORDER BY (CASE WHEN sp_lat >= sp_lon THEN lat ELSE lon END),
-                              CAST(user_id AS VARCHAR)) <= cnt_ // 2
-                   THEN 'L' ELSE 'R' END) END AS path
-  FROM s{i}
-)"""
-        )
-    kd_sql = ",\n".join(kd)
 
     def pair(i: int, j: int) -> str:
         d = haversine_sql(f"lat{i}", f"lon{i}", f"lat{j}", f"lon{j}")
@@ -1317,6 +1339,89 @@ def _sql_sct_small(levels: int = 9) -> str:
         for rn in (1, 2, 3)
         for col, out in [("user_id", "u"), ("dv", "v"), ("lat", "lat"), ("lon", "lon"), ("elev", "e")]
     )
+
+    def round_ctes(r: int) -> str:
+        p = f"r{r}"
+        not_excluded = (
+            f"NOT EXISTS (SELECT 1 FROM ex{r} e WHERE e.user_id = {{row}}.user_id "
+            f"AND e.ts = {{row}}.ts)"
+        )
+        kd = []
+        for i in range(levels):
+            kd.append(
+                f"""{p}s{i} AS (
+  SELECT *, count(*) OVER (PARTITION BY ts, path) AS cnt_,
+         max(lat) OVER (PARTITION BY ts, path) - min(lat) OVER (PARTITION BY ts, path) AS sp_lat,
+         max(lon) OVER (PARTITION BY ts, path) - min(lon) OVER (PARTITION BY ts, path) AS sp_lon
+  FROM {p}k{i}
+), {p}k{i + 1} AS (
+  SELECT user_id, ts, dv, lat, lon, elev,
+         CASE WHEN cnt_ <= 3 THEN path
+              ELSE path || (CASE WHEN row_number() OVER (
+                     PARTITION BY ts, path
+                     ORDER BY (CASE WHEN sp_lat >= sp_lon THEN lat ELSE lon END),
+                              CAST(user_id AS VARCHAR)) <= cnt_ // 2
+                   THEN 'L' ELSE 'R' END) END AS path
+  FROM {p}s{i}
+)"""
+            )
+        kd_sql = ",\n".join(kd)
+        return f"""cnt{r} AS (
+  SELECT a.user_id, a.ts, count(*) AS n_inner
+  FROM h a JOIN h b ON a.ts = b.ts AND b.dv IS NOT NULL AND {dist} <= {inner_radius}
+  WHERE {not_excluded.format(row="b")}
+  GROUP BY 1, 2
+), {p}k0 AS (
+  SELECT h.user_id, h.ts, h.dv, h.lat, h.lon, h.elev, '' AS path
+  FROM h JOIN cnt{r} USING (user_id, ts)
+  WHERE h.dv IS NOT NULL AND cnt{r}.n_inner >= {SCT_NUM_MIN}
+    AND {not_excluded.format(row="h")}
+),
+{kd_sql},
+{p}fin AS (
+  SELECT *, count(*) OVER (PARTITION BY ts, path) AS bk FROM {p}k{levels}
+), {p}r AS (
+  SELECT ts, path, user_id, dv, lat, lon, elev,
+         row_number() OVER (PARTITION BY ts, path ORDER BY CAST(user_id AS VARCHAR)) AS rn
+  FROM {p}fin WHERE bk = 3
+), {p}piv AS (
+  SELECT ts, path,
+  {piv_cols}
+  FROM {p}r GROUP BY ts, path
+), {p}mat AS (
+  SELECT ts, u1, u2, u3, v1, v2, v3,
+         {pair(1, 2)} AS b01, {pair(1, 3)} AS b02, {pair(2, 3)} AS b12
+  FROM {p}piv
+), {p}inv AS (
+  SELECT *, (1.5 * (1.5 * 1.5 - b12 * b12) - b01 * (b01 * 1.5 - b12 * b02)
+             + b02 * (b01 * b12 - 1.5 * b02)) AS det
+  FROM {p}mat
+), {p}ii AS (
+  SELECT *, (1.5 * 1.5 - b12 * b12) / det AS i00, (b02 * b12 - b01 * 1.5) / det AS i01,
+         (b01 * b12 - b02 * 1.5) / det AS i02, (1.5 * 1.5 - b02 * b02) / det AS i11,
+         (b02 * b01 - 1.5 * b12) / det AS i12, (1.5 * 1.5 - b01 * b01) / det AS i22,
+         (v1 + v2 + v3) / 3.0 AS m
+  FROM {p}inv
+), {p}aa AS (
+  SELECT *, v1 - m AS d1, v2 - m AS d2, v3 - m AS d3 FROM {p}ii
+), {p}bb AS (
+  SELECT *, i00 * d1 + i01 * d2 + i02 * d3 AS a1,
+         i01 * d1 + i11 * d2 + i12 * d3 AS a2,
+         i02 * d1 + i12 * d2 + i22 * d3 AS a3
+  FROM {p}aa
+), {p}z0 AS (
+  SELECT *, sqrt(greatest(1e-9, (d1 * a1 + d2 * a2 + d3 * a3) / 3.0) * 1.5) AS den FROM {p}bb
+), {p}zz AS (
+  SELECT ts, u1 AS user_id, (a1 / greatest(i00, 1e-12)) / den AS z FROM {p}z0
+  UNION ALL SELECT ts, u2, (a2 / greatest(i11, 1e-12)) / den FROM {p}z0
+  UNION ALL SELECT ts, u3, (a3 / greatest(i22, 1e-12)) / den FROM {p}z0
+), bad{r} AS (
+  SELECT ts, user_id FROM {p}zz WHERE z > {SCT_SMALL_POS} OR z < -{SCT_SMALL_POS}
+), ex{r + 1} AS (
+  SELECT ts, user_id FROM ex{r} UNION SELECT ts, user_id FROM bad{r}
+)"""
+
+    all_rounds = ",\n".join(round_ctes(r) for r in range(1, rounds + 1))
     return f"""
 WITH dv AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, avg(value) AS dv
@@ -1326,61 +1431,17 @@ WITH dv AS (
   FROM (SELECT DISTINCT user_id FROM events)
 ), h AS (
   SELECT dv.user_id, dv.ts, dv.dv, c.lat, c.lon, c.elev FROM dv JOIN c USING (user_id)
-), cnt AS (
-  SELECT a.user_id, a.ts, count(*) AS n_inner
-  FROM h a JOIN h b ON a.ts = b.ts AND b.dv IS NOT NULL AND {dist} <= {inner_radius}
-  GROUP BY 1, 2
-), k0 AS (
-  SELECT h.user_id, h.ts, h.dv, h.lat, h.lon, h.elev, '' AS path
-  FROM h JOIN cnt USING (user_id, ts)
-  WHERE h.dv IS NOT NULL AND cnt.n_inner >= {SCT_NUM_MIN}
+), ex1 AS (
+  SELECT user_id, ts FROM h WHERE FALSE
 ),
-{kd_sql},
-fin AS (
-  SELECT *, count(*) OVER (PARTITION BY ts, path) AS bk FROM k{levels}
-), r AS (
-  SELECT ts, path, user_id, dv, lat, lon, elev,
-         row_number() OVER (PARTITION BY ts, path ORDER BY CAST(user_id AS VARCHAR)) AS rn
-  FROM fin WHERE bk = 3
-), piv AS (
-  SELECT ts, path,
-  {piv_cols}
-  FROM r GROUP BY ts, path
-), mat AS (
-  SELECT ts, u1, u2, u3, v1, v2, v3,
-         {pair(1, 2)} AS b01, {pair(1, 3)} AS b02, {pair(2, 3)} AS b12
-  FROM piv
-), inv AS (
-  SELECT *, (1.5 * (1.5 * 1.5 - b12 * b12) - b01 * (b01 * 1.5 - b12 * b02)
-             + b02 * (b01 * b12 - 1.5 * b02)) AS det
-  FROM mat
-), ii AS (
-  SELECT *, (1.5 * 1.5 - b12 * b12) / det AS i00, (b02 * b12 - b01 * 1.5) / det AS i01,
-         (b01 * b12 - b02 * 1.5) / det AS i02, (1.5 * 1.5 - b02 * b02) / det AS i11,
-         (b02 * b01 - 1.5 * b12) / det AS i12, (1.5 * 1.5 - b01 * b01) / det AS i22,
-         (v1 + v2 + v3) / 3.0 AS m
-  FROM inv
-), aa AS (
-  SELECT *, v1 - m AS d1, v2 - m AS d2, v3 - m AS d3 FROM ii
-), bb AS (
-  SELECT *, i00 * d1 + i01 * d2 + i02 * d3 AS a1,
-         i01 * d1 + i11 * d2 + i12 * d3 AS a2,
-         i02 * d1 + i12 * d2 + i22 * d3 AS a3
-  FROM aa
-), z0 AS (
-  SELECT *, sqrt(greatest(1e-9, (d1 * a1 + d2 * a2 + d3 * a3) / 3.0) * 1.5) AS den FROM bb
-), zz AS (
-  SELECT ts, u1 AS user_id, (a1 / greatest(i00, 1e-12)) / den AS z FROM z0
-  UNION ALL SELECT ts, u2, (a2 / greatest(i11, 1e-12)) / den FROM z0
-  UNION ALL SELECT ts, u3, (a3 / greatest(i22, 1e-12)) / den FROM z0
-), bad AS (
-  SELECT ts, user_id FROM zz WHERE z > {SCT_SMALL_POS} OR z < -{SCT_SMALL_POS}
-)
+{all_rounds}
 SELECT h.user_id, h.ts,
        CAST(CASE WHEN h.dv IS NULL THEN 5
-                 WHEN coalesce(cnt.n_inner, 0) < {SCT_NUM_MIN} THEN 6
-                 WHEN bad.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS flag_sct_small
-FROM h LEFT JOIN cnt USING (user_id, ts) LEFT JOIN bad USING (user_id, ts)
+                 WHEN ex{rounds + 1}.user_id IS NOT NULL THEN 1
+                 WHEN coalesce(cnt{rounds}.n_inner, 0) < {SCT_NUM_MIN} THEN 6
+                 ELSE 0 END AS INT) AS {flag_name}
+FROM h LEFT JOIN ex{rounds + 1} USING (user_id, ts)
+       LEFT JOIN cnt{rounds} USING (user_id, ts)
 """
 
 
@@ -1895,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sct": q_sct,
         "sct_isolated": q_sct_isolated,
         "sct_small": q_sct_small,
+        "sct_iter": q_sct_iter,
         "hll_tier": q_hll_tier,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "langid": q_langid,
@@ -1954,6 +2016,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _sql_multimodal(),
         "sct_isolated": _sql_sct_isolated(),
         "sct_small": _sql_sct_small(),
+        "sct_iter": _sql_sct_small(rounds=2, flag_name="flag_sct_iter"),
         "hll_tier": SQL_HLL_TIER,
         "polygon_filter": _sql_polygon(),
         "fill_forward": SQL_FILL_FORWARD,
