@@ -133,3 +133,85 @@ def with_fingerprint(
             "fp_robust": F.xxhash64(F.concat_ws(",", F.transform(smallest, lambda x: x.cast("string")))),
         }
     )
+
+
+# ------------------------------------------------------------- PII scan --
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookarounds, no backrefs, ASCII \b) so a DuckDB oracle reproduces the
+# match counts exactly. Order matters for redaction: UUID before ipv4 /
+# phone (an all-digit UUID segment could otherwise partially match them).
+PII_PATTERNS = {
+    "uuid": r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII pattern counts (n_email, n_ipv4, n_phone, n_uuid,
+    pii_total) — the standard corpus-curation filter signal. Pure
+    regexp_count column expressions, whole-stage codegen."""
+    cols = {}
+    for name, pat in PII_PATTERNS.items():
+        cols[f"n_{name}"] = F.regexp_count(F.col(text_col), F.lit(pat)).cast("int")
+    out = df.withColumns(cols)
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace every PII match with a typed placeholder ("<email>" …) —
+    UUIDs first so their digit segments can't be half-eaten by the ipv4 /
+    phone patterns. Chained regexp_replace, still codegen."""
+    expr = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        expr = F.regexp_replace(expr, pat, f"<{name}>")
+    return df.withColumn(out_col, expr)
+
+
+# ------------------------------------------------------ repetition stats --
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    duplicate-word fraction (1 − distinct/total) and top-word fraction
+    (most frequent word's share). High values flag boilerplate / spammy
+    repetition in corpus curation.
+
+    Shape: explode words → (doc, word) counts → per-doc aggregate — two
+    map-side-combined hash aggregations, no UDFs; documents with zero
+    words are absent from the output (nothing to measure)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+    ex = df.select(id_col, F.explode(words).alias("_w"))
+    wc = ex.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        wc.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("_c").alias("_top"),
+        )
+        .select(
+            id_col,
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+            ).alias("dup_word_frac"),
+            (F.col("_top").cast("double") / F.col("n_words").cast("double")).alias(
+                "top_word_frac"
+            ),
+        )
+    )

@@ -1176,6 +1176,123 @@ FROM h LEFT JOIN cnt USING (user_id, ts)
 SCT_SMALL_POS = 1.45  # just inside the z distribution tail: a ~5% FAIL partition
 
 
+def q_pii_scan(spark, sf):
+    """PII pattern scan (corpus-curation filter): the synthetic documents
+    carry no PII, so deterministic markers are injected per doc_id in
+    BOTH engines and the operator under test is the pattern scan itself
+    (counts via regexp_count vs DuckDB regexp_extract_all over the
+    Java∩RE2 pattern subset). Also proves redact_pii zeroes the counts."""
+    from rove_spark.operators.textstats import redact_pii, with_pii_counts
+
+    _utc(spark)
+    docs = read_table(spark, sf, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                    F.lit(" "),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    counted = with_pii_counts(injected)
+    redacted = with_pii_counts(
+        redact_pii(counted, "text").drop(
+            "n_email", "n_ipv4", "n_phone", "n_uuid", "pii_total"
+        ),
+        text_col="text_redacted",
+    )
+    return redacted.select(
+        "doc_id",
+        F.col("n_email").alias("n_email_after_redact"),
+    ).join(
+        counted.select("doc_id", "n_email", "n_ipv4", "n_phone", "n_uuid", "pii_total"),
+        "doc_id",
+    ).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_uuid", "pii_total",
+        "n_email_after_redact",
+    )
+
+
+def _sql_pii() -> str:
+    from rove_spark.operators.textstats import PII_PATTERNS
+
+    inject = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                      || CAST(doc_id % 100 AS VARCHAR) || ' '
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309' ELSE '' END AS text
+  FROM documents
+"""
+    cnt = {
+        name: f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT)"
+        for name, pat in PII_PATTERNS.items()
+    }
+    return f"""
+WITH inj AS ({inject})
+SELECT doc_id, {cnt["email"]} AS n_email, {cnt["ipv4"]} AS n_ipv4,
+       {cnt["phone"]} AS n_phone, {cnt["uuid"]} AS n_uuid,
+       {cnt["email"]} + {cnt["ipv4"]} + {cnt["phone"]} + {cnt["uuid"]} AS pii_total,
+       0 AS n_email_after_redact
+FROM inj
+"""
+
+
+def q_repetition(spark, sf):
+    """Gopher-style repetition quality signals (dup-word / top-word
+    fractions) — exact per-doc values vs a DuckDB unnest+count oracle."""
+    from rove_spark.operators.textstats import repetition_stats
+
+    _utc(spark)
+    docs = read_table(spark, sf, "documents")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+    )
+
+
+SQL_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(1.0 - (CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)), 6) AS dup_word_frac,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac
+FROM wc GROUP BY doc_id
+"""
+
+
 def q_hll_tier(spark, sf):
     """Mergeable HLL distinct sketches through the tier cascade
     (rollup_from_raw sketch_cols → hll_union_agg in rollup_cascade 1m→1h→
@@ -1958,6 +2075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sct_small": q_sct_small,
         "sct_iter": q_sct_iter,
         "hll_tier": q_hll_tier,
+        "pii_scan": q_pii_scan,
+        "repetition_stats": q_repetition,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "langid": q_langid,
         "quality_score": q_quality,
@@ -2018,6 +2137,8 @@ def oracle_sql() -> dict[str, str]:
         "sct_small": _sql_sct_small(),
         "sct_iter": _sql_sct_small(rounds=2, flag_name="flag_sct_iter"),
         "hll_tier": SQL_HLL_TIER,
+        "pii_scan": _sql_pii(),
+        "repetition_stats": SQL_REPETITION,
         "polygon_filter": _sql_polygon(),
         "fill_forward": SQL_FILL_FORWARD,
         "rollup_flag_density": SQL_ROLLUP_FLAGS,

@@ -84,3 +84,47 @@ def test_plan_stays_jvm_side(spark, docs):
     out = textstats.with_quality(textstats.with_langid(textstats.with_token_stats(docs)))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_pii_counts_and_redaction(spark):
+    from rove_spark.operators.textstats import redact_pii, with_pii_counts
+
+    rows = [
+        (1, "mail me at alice.smith+x@sub.example.org or bob@ex.io thanks"),
+        (2, "server 192.168.1.100 and 10.0.0.1 responded"),
+        (3, "call 555-867-5309 ref 123e4567-e89b-12d3-a456-426614174000"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_pii_counts(df).collect()}
+    assert got[1].n_email == 2 and got[1].pii_total == 2
+    assert got[2].n_ipv4 == 2
+    assert got[3].n_phone == 1 and got[3].n_uuid == 1
+    assert got[4].pii_total == 0
+    # redaction: placeholders in, zero counts out
+    red = redact_pii(df)
+    after = {
+        r.doc_id: r
+        for r in with_pii_counts(red, text_col="text_redacted").collect()
+    }
+    assert all(after[i].pii_total == 0 for i in (1, 2, 3, 4))
+    texts = {r.doc_id: r.text_redacted for r in red.collect()}
+    assert "<email>" in texts[1] and "<ipv4>" in texts[2]
+    assert "<phone>" in texts[3] and "<uuid>" in texts[3]
+
+
+def test_repetition_stats(spark):
+    from rove_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam eggs"),  # 5 words, 2 distinct, top=4/5
+        (2, "all words here are unique"),
+        (3, "  "),  # no words -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_words == 5 and got[1].n_distinct == 2
+    assert abs(got[1].dup_word_frac - 0.6) < 1e-9
+    assert abs(got[1].top_word_frac - 0.8) < 1e-9
+    assert got[2].dup_word_frac == 0.0 and abs(got[2].top_word_frac - 0.2) < 1e-9
