@@ -1419,13 +1419,21 @@ def q_sct_iter(spark, sf):
     )
 
 
-def _sql_sct_small(levels: int = 9, rounds: int = 1, flag_name: str = "flag_sct_small") -> str:
+def _sql_sct_small(levels: int = 7, rounds: int = 1, flag_name: str = "flag_sct_small") -> str:
     """Exact DuckDB twin of q_sct_small / q_sct_iter: per exclusion round,
     ``levels`` unrolled KD median-cut splits (each = spread CTE + split
-    CTE; covers groups ≤ 3·2^levels = 1536 ≫ 150 stations at sf0.01),
-    then the 3×3 adjugate solve with the same scalar operand tree as
-    spatial._small_box_z — identical IEEE arithmetic, so flags hash-match
-    exactly.
+    CTE; covers groups ≤ 3·2^levels = 384 ≫ 150 stations at sf0.01 —
+    the balanced median cut needs only ⌈log2(150/3)⌉ = 6 splits, so 7
+    leaves one level of margin), then the 3×3 adjugate solve with the
+    same scalar operand tree as spatial._small_box_z — identical IEEE
+    arithmetic, so flags hash-match exactly.
+
+    Every multiply-referenced or window-heavy CTE is MATERIALIZED:
+    without the hint DuckDB inlines each split into the next and the
+    2-round × 9-level plan of round 3 exhausted the driver harness's
+    memory budget (CORRECTNESS_r03 OutOfMemoryException). With the
+    hints each split materializes ~150 rows and the plan stays flat;
+    verified under duckdb.connect(config={'memory_limit': '2GB'}).
 
     ``rounds`` unrolls the kernel's FAIL-exclusion iteration: round r's
     usable pool (isolation counts AND the OI set) excludes every station
@@ -1466,12 +1474,12 @@ def _sql_sct_small(levels: int = 9, rounds: int = 1, flag_name: str = "flag_sct_
         kd = []
         for i in range(levels):
             kd.append(
-                f"""{p}s{i} AS (
+                f"""{p}s{i} AS MATERIALIZED (
   SELECT *, count(*) OVER (PARTITION BY ts, path) AS cnt_,
          max(lat) OVER (PARTITION BY ts, path) - min(lat) OVER (PARTITION BY ts, path) AS sp_lat,
          max(lon) OVER (PARTITION BY ts, path) - min(lon) OVER (PARTITION BY ts, path) AS sp_lon
   FROM {p}k{i}
-), {p}k{i + 1} AS (
+), {p}k{i + 1} AS MATERIALIZED (
   SELECT user_id, ts, dv, lat, lon, elev,
          CASE WHEN cnt_ <= 3 THEN path
               ELSE path || (CASE WHEN row_number() OVER (
@@ -1483,70 +1491,70 @@ def _sql_sct_small(levels: int = 9, rounds: int = 1, flag_name: str = "flag_sct_
 )"""
             )
         kd_sql = ",\n".join(kd)
-        return f"""cnt{r} AS (
+        return f"""cnt{r} AS MATERIALIZED (
   SELECT a.user_id, a.ts, count(*) AS n_inner
   FROM h a JOIN h b ON a.ts = b.ts AND b.dv IS NOT NULL AND {dist} <= {inner_radius}
   WHERE {not_excluded.format(row="b")}
   GROUP BY 1, 2
-), {p}k0 AS (
+), {p}k0 AS MATERIALIZED (
   SELECT h.user_id, h.ts, h.dv, h.lat, h.lon, h.elev, '' AS path
   FROM h JOIN cnt{r} USING (user_id, ts)
   WHERE h.dv IS NOT NULL AND cnt{r}.n_inner >= {SCT_NUM_MIN}
     AND {not_excluded.format(row="h")}
 ),
 {kd_sql},
-{p}fin AS (
+{p}fin AS MATERIALIZED (
   SELECT *, count(*) OVER (PARTITION BY ts, path) AS bk FROM {p}k{levels}
-), {p}r AS (
+), {p}r AS MATERIALIZED (
   SELECT ts, path, user_id, dv, lat, lon, elev,
          row_number() OVER (PARTITION BY ts, path ORDER BY CAST(user_id AS VARCHAR)) AS rn
   FROM {p}fin WHERE bk = 3
-), {p}piv AS (
+), {p}piv AS MATERIALIZED (
   SELECT ts, path,
   {piv_cols}
   FROM {p}r GROUP BY ts, path
-), {p}mat AS (
+), {p}mat AS MATERIALIZED (
   SELECT ts, u1, u2, u3, v1, v2, v3,
          {pair(1, 2)} AS b01, {pair(1, 3)} AS b02, {pair(2, 3)} AS b12
   FROM {p}piv
-), {p}inv AS (
+), {p}inv AS MATERIALIZED (
   SELECT *, (1.5 * (1.5 * 1.5 - b12 * b12) - b01 * (b01 * 1.5 - b12 * b02)
              + b02 * (b01 * b12 - 1.5 * b02)) AS det
   FROM {p}mat
-), {p}ii AS (
+), {p}ii AS MATERIALIZED (
   SELECT *, (1.5 * 1.5 - b12 * b12) / det AS i00, (b02 * b12 - b01 * 1.5) / det AS i01,
          (b01 * b12 - b02 * 1.5) / det AS i02, (1.5 * 1.5 - b02 * b02) / det AS i11,
          (b02 * b01 - 1.5 * b12) / det AS i12, (1.5 * 1.5 - b01 * b01) / det AS i22,
          (v1 + v2 + v3) / 3.0 AS m
   FROM {p}inv
-), {p}aa AS (
+), {p}aa AS MATERIALIZED (
   SELECT *, v1 - m AS d1, v2 - m AS d2, v3 - m AS d3 FROM {p}ii
-), {p}bb AS (
+), {p}bb AS MATERIALIZED (
   SELECT *, i00 * d1 + i01 * d2 + i02 * d3 AS a1,
          i01 * d1 + i11 * d2 + i12 * d3 AS a2,
          i02 * d1 + i12 * d2 + i22 * d3 AS a3
   FROM {p}aa
-), {p}z0 AS (
+), {p}z0 AS MATERIALIZED (
   SELECT *, sqrt(greatest(1e-9, (d1 * a1 + d2 * a2 + d3 * a3) / 3.0) * 1.5) AS den FROM {p}bb
-), {p}zz AS (
+), {p}zz AS MATERIALIZED (
   SELECT ts, u1 AS user_id, (a1 / greatest(i00, 1e-12)) / den AS z FROM {p}z0
   UNION ALL SELECT ts, u2, (a2 / greatest(i11, 1e-12)) / den FROM {p}z0
   UNION ALL SELECT ts, u3, (a3 / greatest(i22, 1e-12)) / den FROM {p}z0
-), bad{r} AS (
+), bad{r} AS MATERIALIZED (
   SELECT ts, user_id FROM {p}zz WHERE z > {SCT_SMALL_POS} OR z < -{SCT_SMALL_POS}
-), ex{r + 1} AS (
+), ex{r + 1} AS MATERIALIZED (
   SELECT ts, user_id FROM ex{r} UNION SELECT ts, user_id FROM bad{r}
 )"""
 
     all_rounds = ",\n".join(round_ctes(r) for r in range(1, rounds + 1))
     return f"""
-WITH dv AS (
+WITH dv AS MATERIALIZED (
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, avg(value) AS dv
   FROM events GROUP BY 1, 2
 ), c AS (
   SELECT user_id, {c["lat"]} AS lat, {c["lon"]} AS lon, {c["elev"]} AS elev
   FROM (SELECT DISTINCT user_id FROM events)
-), h AS (
+), h AS MATERIALIZED (
   SELECT dv.user_id, dv.ts, dv.dv, c.lat, c.lon, c.elev FROM dv JOIN c USING (user_id)
 ), ex1 AS (
   SELECT user_id, ts FROM h WHERE FALSE

@@ -17,7 +17,9 @@ TABLES = [p.stem for p in Path(SF_DIR).glob("*.parquet")]
 
 
 def _duck():
-    con = duckdb.connect()
+    # 2GB cap replicates the driver harness's DuckDB memory budget: an
+    # oracle that would OOM the driver (round-3 sct_iter) fails here first.
+    con = duckdb.connect(config={"memory_limit": "2GB"})
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con
