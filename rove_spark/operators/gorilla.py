@@ -20,17 +20,27 @@ plain ``Vec<Option<f32>>`` in memory, ``/root/reference/src/data_switch.rs:
 Dtype is float32 end-to-end (reference f32 semantics); NaN round-trips
 bit-exactly since XOR works on raw bits.
 
-Execution shape: the heavy per-element math (deltas, XORs, leading/
-trailing-zero counts, class selection) is vectorized numpy; only the final
-bit-packing is a tight Python loop (inherently sequential). Chunks are
-bounded (one (series, day) group by default) and encode inside
-``applyInPandas``, so the loop cost parallelizes across executors and
-never touches the driver.
+Execution shape (round-3 verdict item 2 — the bigint-accumulator hot
+loop is gone): encoders build per-element ``(code, nbits)`` ENTRY
+arrays, and the bit-packing itself is one vectorized pass
+(``np.repeat`` bit expansion + ``np.packbits``; `_pack_bits`). Entry
+construction dispatches on size: big arrays (≥ ``_VEC_MIN``) use pure
+numpy (class selection via masks, a block-fixed ``11``-window policy —
+one header per 16 nonzero XORs — so the stream is branch-free and
+array-expressible); small chunks (the real engine regime: ~24-point
+day chunks) use a plain-int scalar loop with the paper's adaptive
+window policy (numpy per-call overhead would dominate at that size).
+Both emit valid Gorilla streams — the decoder is policy-agnostic.
+``compress_series`` additionally amortizes packing across a whole
+(series, month) group: every chunk's entries append into one
+`_BatchPacker`, ONE `_pack_bits` call packs the group, and per-chunk
+blobs are sliced out at byte-aligned offsets. Chunks are bounded and
+encode inside ``applyInPandas``, so the cost parallelizes across
+executors and never touches the driver.
 """
 
 from __future__ import annotations
 
-import struct
 import zlib
 
 import numpy as np
@@ -41,29 +51,86 @@ _TS_CLASSES = (
     (-2047, 2048, 0b1110, 4, 12),
 )
 
+_VALUE_BLOCK = 16  # nonzero-XOR window block size (one '11' header per block)
+_VEC_MIN = 4096  # below this, scalar entry-building beats numpy per-call overhead
+_M64 = 0xFFFFFFFFFFFFFFFF
 
-class _BitWriter:
-    __slots__ = ("acc", "nbits", "chunks")
+
+class _BatchPacker:
+    """Accumulates many blobs' (code, nbits) entries, packs them ALL with
+    one `_pack_bits` call, and slices the per-blob bytes back out. Each
+    blob is padded to a byte boundary so the slice is self-contained —
+    identical bytes to packing it alone. Amortizes the vectorized packing
+    overhead across every chunk of an ``applyInPandas`` group."""
+
+    __slots__ = ("_codes", "_nbits", "_bit", "_spans")
 
     def __init__(self):
-        self.acc = 0
-        self.nbits = 0
-        self.chunks: list[bytes] = []
+        self._codes: list = []
+        self._nbits: list = []
+        self._bit = 0
+        self._spans: list[tuple[int, int]] = []
 
-    def write(self, value: int, nbits: int) -> None:
-        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
-        self.nbits += nbits
-        if self.nbits >= 4096:
-            spill = self.nbits % 8
-            take = self.nbits - spill
-            self.chunks.append((self.acc >> spill).to_bytes(take // 8, "big"))
-            self.acc &= (1 << spill) - 1
-            self.nbits = spill
+    def add(self, codes, nbits) -> int:
+        """Queue one blob's entries; returns its index for `blobs()`."""
+        total = int(np.sum(nbits)) if isinstance(nbits, np.ndarray) else sum(nbits)
+        pad = (-total) % 8
+        self._codes.append(np.asarray(codes, dtype=np.uint64))
+        self._nbits.append(np.asarray(nbits, dtype=np.int64))
+        if pad:
+            self._codes.append(np.zeros(1, np.uint64))
+            self._nbits.append(np.full(1, pad, np.int64))
+        start = self._bit // 8
+        self._bit += total + pad
+        self._spans.append((start, self._bit // 8))
+        return len(self._spans) - 1
 
-    def getvalue(self) -> bytes:
-        pad = (-self.nbits) % 8
-        acc, nbits = self.acc << pad, self.nbits + pad
-        return b"".join(self.chunks) + acc.to_bytes(nbits // 8, "big")
+    def add_many(self, codes: np.ndarray, nbits: np.ndarray, offsets: np.ndarray) -> None:
+        """Queue ``len(offsets)-1`` blobs whose entries are consecutive
+        slices ``codes[offsets[k]:offsets[k+1]]`` (the grouped entry
+        builders' output) — pad entries are inserted vectorized, no
+        per-blob Python work."""
+        codes = np.asarray(codes, dtype=np.uint64)
+        nbits = np.asarray(nbits, dtype=np.int64)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(nbits)])
+        tot = cs[offsets[1:]] - cs[offsets[:-1]]
+        pad = (-tot) % 8
+        cnt = offsets[1:] - offsets[:-1]
+        ncnt = cnt + (pad > 0)
+        noff = np.concatenate([np.zeros(1, np.int64), np.cumsum(ncnt)])
+        out_codes = np.zeros(noff[-1], np.uint64)
+        out_bits = np.zeros(noff[-1], np.int64)
+        epos = np.repeat(noff[:-1], cnt) + (np.arange(len(codes)) - np.repeat(offsets[:-1], cnt))
+        out_codes[epos] = codes
+        out_bits[epos] = nbits
+        has_pad = pad > 0
+        out_bits[(noff[1:] - 1)[has_pad]] = pad[has_pad]
+        self._codes.append(out_codes)
+        self._nbits.append(out_bits)
+        byte_ends = self._bit // 8 + np.cumsum(tot + pad) // 8
+        byte_starts = np.concatenate([[self._bit // 8], byte_ends[:-1]])
+        self._spans.extend(zip(byte_starts.tolist(), byte_ends.tolist()))
+        self._bit += int((tot + pad).sum())
+
+    def blobs(self) -> list[bytes]:
+        packed = _pack_bits(np.concatenate(self._codes), np.concatenate(self._nbits))
+        return [packed[s:e] for s, e in self._spans]
+
+
+def _pack_bits(codes: np.ndarray, nbits: np.ndarray) -> bytes:
+    """MSB-first-concatenate ``nbits[i]``-wide bitfields ``codes[i]`` into
+    bytes (zero-padded on the right), fully vectorized: unpack each code's
+    64 bits into a row of a bit matrix (one ``np.unpackbits`` pass over the
+    big-endian byte view), keep the last ``nbits[i]`` bits of each row with
+    a boolean mask (row-major compaction preserves stream order), then
+    ``np.packbits`` reassembles bytes. Every field must fit 64 bits —
+    callers split wider payloads into two entries."""
+    codes = np.ascontiguousarray(codes, dtype=">u8")
+    nbits = np.ascontiguousarray(nbits, dtype=np.int64)
+    bm = np.unpackbits(codes.view(np.uint8)).reshape(-1, 64)
+    mask = np.arange(64) >= (64 - nbits[:, None])
+    return np.packbits(bm[mask]).tobytes()
 
 
 class _BitReader:
@@ -89,50 +156,94 @@ class _BitReader:
         return out
 
 
-def encode_timestamps(ts: np.ndarray) -> bytes:
-    """int64 seconds → delta-of-delta bitstream."""
+def _ts_entries(ts: np.ndarray) -> tuple:
+    """int64 seconds → delta-of-delta (codes, nbits) entry arrays/lists.
+    The 68-bit fallback class splits into a 4-bit prefix + 64-bit payload
+    entry so every entry fits 64 bits."""
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
-    out = _BitWriter()
-    out.write(n, 32)
     if n == 0:
-        return out.getvalue()
-    out.write(int(ts[0]) & 0xFFFFFFFFFFFFFFFF, 64)
+        return [0], [32]
+    if n < _VEC_MIN:
+        return _ts_entries_scalar(ts, n)
+    return _ts_entries_vec(ts, n)
+
+
+def _ts_entries_scalar(ts: np.ndarray, n: int) -> tuple:
+    codes = [n & 0xFFFFFFFF, int(ts[0]) & _M64]
+    nbits = [32, 64]
     if n == 1:
-        return out.getvalue()
-    deltas = np.diff(ts)
+        return codes, nbits
+    tl = ts.tolist()
     # 64-bit first delta + 64-bit fallback class: the codec is total over
     # int64 (the paper's 32-bit fallback assumes bounded wall-clock deltas;
     # a batch engine must not crash on pathological input)
-    out.write(int(deltas[0]) & 0xFFFFFFFFFFFFFFFF, 64)
-    dod = np.diff(deltas)
-    # hot loop with inlined accumulator (cf. encode_values)
-    acc, nbits = out.acc, out.nbits
-    chunks = out.chunks
-    for d in dod.tolist():
+    prev_delta = tl[1] - tl[0]
+    codes.append(prev_delta & _M64)
+    nbits.append(64)
+    cap = codes.append
+    nap = nbits.append
+    for i in range(2, n):
+        delta = tl[i] - tl[i - 1]
+        d = delta - prev_delta
+        prev_delta = delta
         if d == 0:
-            acc <<= 1
-            nbits += 1
+            cap(0)
+            nap(1)
         elif -63 <= d <= 64:
-            acc = (((acc << 2) | 0b10) << 7) | (d + 63)
-            nbits += 9
+            cap((0b10 << 7) | (d + 63))
+            nap(9)
         elif -255 <= d <= 256:
-            acc = (((acc << 3) | 0b110) << 9) | (d + 255)
-            nbits += 12
+            cap((0b110 << 9) | (d + 255))
+            nap(12)
         elif -2047 <= d <= 2048:
-            acc = (((acc << 4) | 0b1110) << 12) | (d + 2047)
-            nbits += 16
+            cap((0b1110 << 12) | (d + 2047))
+            nap(16)
         else:
-            acc = (((acc << 4) | 0b1111) << 64) | (d & 0xFFFFFFFFFFFFFFFF)
-            nbits += 68
-        if nbits >= 4096:
-            spill = nbits % 8
-            take = nbits - spill
-            chunks.append((acc >> spill).to_bytes(take // 8, "big"))
-            acc &= (1 << spill) - 1
-            nbits = spill
-    out.acc, out.nbits = acc, nbits
-    return out.getvalue()
+            cap(0b1111)
+            nap(4)
+            cap(d & _M64)
+            nap(64)
+    return codes, nbits
+
+
+def _ts_entries_vec(ts: np.ndarray, n: int) -> tuple:
+    head_codes = [np.uint64(n & 0xFFFFFFFF), np.asarray(ts[0]).astype(np.uint64)]
+    head_bits = [32, 64]
+    deltas = np.diff(ts)
+    head_codes.append(np.asarray(deltas[0]).astype(np.uint64))
+    head_bits.append(64)
+    d = np.diff(deltas)
+    in0 = d == 0
+    c1 = ~in0 & (d >= -63) & (d <= 64)
+    c2 = ~in0 & ~c1 & (d >= -255) & (d <= 256)
+    c3 = ~in0 & ~c1 & ~c2 & (d >= -2047) & (d <= 2048)
+    fb = ~(in0 | c1 | c2 | c3)
+    codes = np.select(
+        [in0, c1, c2, c3],
+        [np.int64(0), (0b10 << 7) | (d + 63), (0b110 << 9) | (d + 255), (0b1110 << 12) | (d + 2047)],
+        np.int64(0b1111),
+    ).astype(np.uint64)
+    nbits = np.select([in0, c1, c2, c3], [1, 9, 12, 16], 4).astype(np.int64)
+    # interleave the 64-bit payload entry after each fallback prefix
+    counts = np.where(fb, 2, 1)
+    pos = np.cumsum(counts) - counts
+    total = int(counts.sum())
+    all_codes = np.zeros(total, np.uint64)
+    all_bits = np.zeros(total, np.int64)
+    all_codes[pos] = codes
+    all_bits[pos] = nbits
+    all_codes[pos[fb] + 1] = d[fb].astype(np.uint64)
+    all_bits[pos[fb] + 1] = 64
+    return (
+        np.concatenate([np.asarray(head_codes, np.uint64), all_codes]),
+        np.concatenate([np.asarray(head_bits, np.int64), all_bits]),
+    )
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """int64 seconds → delta-of-delta bitstream."""
+    return _pack_bits(*_ts_entries(ts))
 
 
 def decode_timestamps(blob: bytes) -> np.ndarray:
@@ -165,59 +276,249 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
     return out
 
 
-def encode_values(values: np.ndarray) -> bytes:
-    """float32 array → XOR bitstream (Gorilla §4.2, 32-bit variant:
-    5-bit leading-zero count, 6-bit meaningful length)."""
+def _val_entries(values: np.ndarray) -> tuple:
+    """float32 array → XOR-stream (codes, nbits) entries (Gorilla §4.2,
+    32-bit variant: 5-bit leading-zero count, 6-bit meaningful length)."""
     v = np.ascontiguousarray(np.asarray(values, dtype=np.float32)).view(np.uint32)
     n = len(v)
-    out = _BitWriter()
-    out.write(n, 32)
     if n == 0:
-        return out.getvalue()
-    out.write(int(v[0]), 32)
+        return [0], [32]
+    if n < _VEC_MIN:
+        return _val_entries_scalar(v, n)
+    return _val_entries_vec(v, n)
+
+
+def _val_entries_scalar(v: np.ndarray, n: int) -> tuple:
+    """Adaptive-window policy (the paper's): reuse the previous '11'
+    window while the XOR fits it."""
+    codes = [n & 0xFFFFFFFF, int(v[0])]
+    nbits = [32, 32]
     if n == 1:
-        return out.getvalue()
-    xors = v[1:] ^ v[:-1]
-    # vectorized leading/trailing zero counts for 32-bit words
-    nz = xors != 0
-    lead = np.where(nz, 31 - np.floor(np.log2(np.maximum(xors, 1)).astype(np.int64)), 32)
-    low = (xors & (~xors + np.uint32(1))).astype(np.uint64)  # lowest set bit
-    trail = np.where(nz, np.round(np.log2(np.maximum(low, 1))).astype(np.int64), 32)
-    # hot loop: accumulator inlined (method-call overhead is ~40% of encode
-    # time otherwise); flushed back into the writer at the end
-    xs = xors.tolist()
-    ld = lead.astype(np.int64).tolist()
-    tr = trail.astype(np.int64).tolist()
-    acc, nbits = out.acc, out.nbits
-    chunks = out.chunks
+        return codes, nbits
+    xs = (v[1:] ^ v[:-1]).tolist()
+    cap = codes.append
+    nap = nbits.append
     prev_lead, prev_mlen = -1, -1
-    for i, x in enumerate(xs):
+    for x in xs:
         if x == 0:
-            acc <<= 1
-            nbits += 1
+            cap(0)
+            nap(1)
+            continue
+        lz = 32 - x.bit_length()
+        if lz > 31:
+            lz = 31  # 5-bit field
+        tz = (x & -x).bit_length() - 1
+        if prev_lead >= 0 and lz >= prev_lead and (32 - prev_lead - prev_mlen) <= tz:
+            cap((0b10 << prev_mlen) | (x >> (32 - prev_lead - prev_mlen)))
+            nap(2 + prev_mlen)
         else:
-            lz = ld[i]
-            if lz > 31:
-                lz = 31  # 5-bit field
-            tz = tr[i]
             mlen = 32 - lz - tz
-            if prev_lead >= 0 and lz >= prev_lead and (32 - prev_lead - prev_mlen) <= tz:
-                acc = (acc << 2) | 0b10
-                acc = (acc << prev_mlen) | (x >> (32 - prev_lead - prev_mlen))
-                nbits += 2 + prev_mlen
-            else:
-                acc = (((acc << 2) | 0b11) << 11) | (lz << 6) | (mlen - 1)
-                acc = (acc << mlen) | (x >> tz)
-                nbits += 13 + mlen
-                prev_lead, prev_mlen = lz, mlen
-        if nbits >= 4096:
-            spill = nbits % 8
-            take = nbits - spill
-            chunks.append((acc >> spill).to_bytes(take // 8, "big"))
-            acc &= (1 << spill) - 1
-            nbits = spill
-    out.acc, out.nbits = acc, nbits
-    return out.getvalue()
+            cap(((((0b11 << 5) | lz) << 6) | (mlen - 1)) << mlen | (x >> tz))
+            nap(13 + mlen)
+            prev_lead, prev_mlen = lz, mlen
+    return codes, nbits
+
+
+def _val_entries_vec(v: np.ndarray, n: int) -> tuple:
+    head_codes = np.asarray([n & 0xFFFFFFFF, int(v[0])], np.uint64)
+    head_bits = np.asarray([32, 32], np.int64)
+    xors = v[1:] ^ v[:-1]
+    nz = xors != 0
+    codes = np.zeros(len(xors), np.uint64)
+    nbits = np.ones(len(xors), np.int64)  # zero-XOR slots: single '0' bit
+    xz = xors[nz].astype(np.uint64)
+    if len(xz):
+        # vectorized leading/trailing zero counts for the nonzero 32-bit words
+        lz = (31 - np.floor(np.log2(xz.astype(np.float64))).astype(np.int64)).clip(0, 31)
+        low = (xz & (~xz + np.uint64(1))).astype(np.float64)  # lowest set bit
+        tz = np.round(np.log2(low)).astype(np.int64)
+        # block-fixed window: one '11' header per _VALUE_BLOCK nonzero XORs
+        # establishes (lead, length) = the block's (min lead, min trail)
+        # envelope; block members reuse it via '10'. Every member fits by
+        # construction, so the stream is branch-free and array-expressible.
+        starts = np.arange(0, len(xz), _VALUE_BLOCK)
+        bl = np.minimum.reduceat(lz, starts)
+        bt = np.minimum.reduceat(tz, starts)
+        bid = np.arange(len(xz)) // _VALUE_BLOCK
+        mbl, mbt = bl[bid], bt[bid]
+        mml = 32 - mbl - mbt
+        meaningful = xz >> mbt.astype(np.uint64)
+        leader = np.arange(len(xz)) % _VALUE_BLOCK == 0
+        hdr = (
+            (np.uint64(0b11) << np.uint64(11))
+            | (mbl.astype(np.uint64) << np.uint64(6))
+            | (mml - 1).astype(np.uint64)
+        )
+        nz_codes = np.where(
+            leader,
+            (hdr << mml.astype(np.uint64)) | meaningful,
+            (np.uint64(0b10) << mml.astype(np.uint64)) | meaningful,
+        )
+        nz_bits = np.where(leader, 13 + mml, 2 + mml)
+        codes[nz] = nz_codes
+        nbits[nz] = nz_bits
+    return np.concatenate([head_codes, codes]), np.concatenate([head_bits, nbits])
+
+
+def encode_values(values: np.ndarray) -> bytes:
+    """float32 array → XOR bitstream (Gorilla §4.2, 32-bit variant)."""
+    return _pack_bits(*_val_entries(values))
+
+
+def _scatter_entries(hdr_codes, hdr_bits, hdr_counts, e_codes, e_bits, e_seg, K):
+    """Interleave per-segment header entries with per-segment element
+    entries (both given segment-major) into one (codes, nbits) pair plus
+    the per-segment entry offsets. Fully vectorized: positions come from
+    cumsums + arange-minus-repeat ordinals."""
+    e_k = np.bincount(e_seg, minlength=K).astype(np.int64)
+    tot = hdr_counts + e_k
+    off = np.concatenate([np.zeros(1, np.int64), np.cumsum(tot)])
+    out_codes = np.zeros(off[-1], np.uint64)
+    out_bits = np.zeros(off[-1], np.int64)
+    h_first = np.cumsum(hdr_counts) - hdr_counts
+    hpos = np.repeat(off[:-1], hdr_counts) + (
+        np.arange(len(hdr_codes)) - np.repeat(h_first, hdr_counts)
+    )
+    out_codes[hpos] = hdr_codes
+    out_bits[hpos] = hdr_bits
+    if len(e_codes):
+        e_first = np.cumsum(e_k) - e_k
+        epos = np.repeat(off[:-1] + hdr_counts, e_k) + (
+            np.arange(len(e_codes)) - np.repeat(e_first, e_k)
+        )
+        out_codes[epos] = e_codes
+        out_bits[epos] = e_bits
+    return out_codes, out_bits, off
+
+
+def _ts_entries_grouped(T: np.ndarray, seg_lens: np.ndarray) -> tuple:
+    """Delta-of-delta entries for MANY timestamp streams in one vectorized
+    pass (`compress_series`' real regime is ~24-point day chunks, far too
+    small to amortize per-chunk numpy calls). ``T`` is the segment-major
+    concatenation; returns (codes, nbits, entry_offsets[K+1]) where slice
+    ``codes[off[k]:off[k+1]]`` packs to EXACTLY ``encode_timestamps`` of
+    segment k (same class policy as the scalar path)."""
+    T = np.asarray(T, dtype=np.int64)
+    seg_lens = np.asarray(seg_lens, dtype=np.int64)
+    K = len(seg_lens)
+    N = int(seg_lens.sum())
+    starts = np.cumsum(seg_lens) - seg_lens
+    pos = np.arange(N) - np.repeat(starts, seg_lens)
+    # headers: (n,32) always; (t0,64) when n>=1; (delta0,64) when n>=2
+    ge1, ge2 = seg_lens >= 1, seg_lens >= 2
+    t0 = np.zeros(K, np.int64)
+    d0 = np.zeros(K, np.int64)
+    t0[ge1] = T[starts[ge1]]
+    d0[ge2] = T[starts[ge2] + 1] - T[starts[ge2]]
+    hdr_codes = np.stack(
+        [seg_lens.astype(np.uint64), t0.astype(np.uint64), d0.astype(np.uint64)], axis=1
+    )
+    hdr_bits_m = np.broadcast_to(np.asarray([32, 64, 64], np.int64), (K, 3))
+    hmask = np.stack([np.ones(K, bool), ge1, ge2], axis=1)
+    hdr_counts = hmask.sum(axis=1).astype(np.int64)
+    # dod for every element at within-segment position >= 2
+    d1 = np.empty(N, np.int64)
+    if N:
+        d1[0] = 0
+        d1[1:] = T[1:] - T[:-1]
+    dod = np.empty(N, np.int64)
+    if N:
+        dod[0] = 0
+        dod[1:] = d1[1:] - d1[:-1]
+    valid = pos >= 2
+    d = dod[valid]
+    seg_elem = np.repeat(np.arange(K, dtype=np.int64), seg_lens)[valid]
+    in0 = d == 0
+    c1 = ~in0 & (d >= -63) & (d <= 64)
+    c2 = ~in0 & ~c1 & (d >= -255) & (d <= 256)
+    c3 = ~in0 & ~c1 & ~c2 & (d >= -2047) & (d <= 2048)
+    fb = ~(in0 | c1 | c2 | c3)
+    codes = np.select(
+        [in0, c1, c2, c3],
+        [np.int64(0), (0b10 << 7) | (d + 63), (0b110 << 9) | (d + 255), (0b1110 << 12) | (d + 2047)],
+        np.int64(0b1111),
+    ).astype(np.uint64)
+    nbits = np.select([in0, c1, c2, c3], [1, 9, 12, 16], 4).astype(np.int64)
+    # the 68-bit fallback splits into prefix + 64-bit payload entries
+    counts = np.where(fb, 2, 1)
+    posx = np.cumsum(counts) - counts
+    e_codes = np.zeros(int(counts.sum()), np.uint64)
+    e_bits = np.zeros(len(e_codes), np.int64)
+    e_codes[posx] = codes
+    e_bits[posx] = nbits
+    e_codes[posx[fb] + 1] = d[fb].astype(np.uint64)
+    e_bits[posx[fb] + 1] = 64
+    e_seg = np.repeat(seg_elem, counts)
+    return _scatter_entries(
+        hdr_codes[hmask], hdr_bits_m[hmask], hdr_counts, e_codes, e_bits, e_seg, K
+    )
+
+
+def _val_entries_grouped(v: np.ndarray, seg_lens: np.ndarray) -> tuple:
+    """XOR-stream entries for MANY float32 value streams in one vectorized
+    pass. ``v`` is the segment-major concatenation of present values;
+    returns (codes, nbits, entry_offsets[K+1]). Uses the block-fixed
+    ``11``-window policy restarted per segment (the first nonzero XOR of a
+    segment is always a window header), so each sliced stream decodes
+    standalone."""
+    v = np.ascontiguousarray(np.asarray(v, dtype=np.float32)).view(np.uint32)
+    seg_lens = np.asarray(seg_lens, dtype=np.int64)
+    K = len(seg_lens)
+    N = int(seg_lens.sum())
+    starts = np.cumsum(seg_lens) - seg_lens
+    pos = np.arange(N) - np.repeat(starts, seg_lens)
+    ge1 = seg_lens >= 1
+    v0 = np.zeros(K, np.uint32)
+    v0[ge1] = v[starts[ge1]]
+    hdr_codes = np.stack([seg_lens.astype(np.uint64), v0.astype(np.uint64)], axis=1)
+    hdr_bits_m = np.broadcast_to(np.asarray([32, 32], np.int64), (K, 2))
+    hmask = np.stack([np.ones(K, bool), ge1], axis=1)
+    hdr_counts = hmask.sum(axis=1).astype(np.int64)
+    xa = np.empty(N, np.uint32)
+    if N:
+        xa[0] = 0
+        xa[1:] = v[1:] ^ v[:-1]
+    valid = pos >= 1
+    xv = xa[valid]
+    seg_elem = np.repeat(np.arange(K, dtype=np.int64), seg_lens)[valid]
+    e_codes = np.zeros(len(xv), np.uint64)
+    e_bits = np.ones(len(xv), np.int64)  # zero-XOR slots: single '0' bit
+    nz = xv != 0
+    xz = xv[nz].astype(np.uint64)
+    if len(xz):
+        segz = seg_elem[nz]
+        lz = (31 - np.floor(np.log2(xz.astype(np.float64))).astype(np.int64)).clip(0, 31)
+        low = (xz & (~xz + np.uint64(1))).astype(np.float64)
+        tz = np.round(np.log2(low)).astype(np.int64)
+        # within-segment nonzero ordinal (segments are contiguous runs)
+        chg = np.empty(len(segz), bool)
+        chg[0] = True
+        chg[1:] = segz[1:] != segz[:-1]
+        run_first = np.flatnonzero(chg)
+        run_len = np.diff(np.concatenate([run_first, [len(segz)]]))
+        ordn = np.arange(len(segz)) - np.repeat(run_first, run_len)
+        leader = (ordn % _VALUE_BLOCK) == 0
+        bstart = np.flatnonzero(leader)
+        bl = np.minimum.reduceat(lz, bstart)
+        bt = np.minimum.reduceat(tz, bstart)
+        bid = np.cumsum(leader) - 1
+        mbl, mbt = bl[bid], bt[bid]
+        mml = 32 - mbl - mbt
+        meaningful = xz >> mbt.astype(np.uint64)
+        hdr = (
+            (np.uint64(0b11) << np.uint64(11))
+            | (mbl.astype(np.uint64) << np.uint64(6))
+            | (mml - 1).astype(np.uint64)
+        )
+        e_codes[nz] = np.where(
+            leader,
+            (hdr << mml.astype(np.uint64)) | meaningful,
+            (np.uint64(0b10) << mml.astype(np.uint64)) | meaningful,
+        )
+        e_bits[nz] = np.where(leader, 13 + mml, 2 + mml)
+    return _scatter_entries(
+        hdr_codes[hmask], hdr_bits_m[hmask], hdr_counts, e_codes, e_bits, seg_elem, K
+    )
 
 
 def decode_values(blob: bytes) -> np.ndarray:
@@ -333,23 +634,48 @@ def compress_series(
     from pyspark.sql import functions as F
 
     def enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # one group = one (series, group_chunk); entry construction AND
+        # bit-packing are vectorized across ALL its codec chunks at once
+        # (_ts_entries_grouped/_val_entries_grouped + one _pack_bits via
+        # _BatchPacker) — per-chunk numpy calls never amortize at the real
+        # ~24-point day-chunk size
         pdf = pdf.sort_values("_epoch")
+        series = pdf["_series"].iloc[0]
+        epochs = pdf["_epoch"].to_numpy(np.int64)
+        chunk_ids = pdf["_chunk"].to_numpy()
+        raw = pdf[value_col].to_numpy(dtype=np.float32, na_value=np.nan)
+        present = pdf[value_col].notna().to_numpy()
+        # codec-chunk boundaries (contiguous runs after the epoch sort)
+        bnd = np.empty(len(epochs), bool)
+        bnd[0] = True
+        bnd[1:] = chunk_ids[1:] != chunk_ids[:-1]
+        seg_first = np.flatnonzero(bnd)
+        seg_lens = np.diff(np.concatenate([seg_first, [len(epochs)]]))
+        vals = raw[present]
+        val_lens = np.add.reduceat(present.astype(np.int64), seg_first)
+        tc, tb, toff = _ts_entries_grouped(epochs, seg_lens)
+        vc, vb, voff = _val_entries_grouped(vals, val_lens)
+        packer = _BatchPacker()
+        packer.add_many(tc, tb, toff)  # blobs 0..K-1: timestamps
+        packer.add_many(vc, vb, voff)  # blobs K..2K-1: values
+        blobs = packer.blobs()
+        K = len(seg_first)
+        vstart = np.cumsum(val_lens) - val_lens
         out = []
-        for (series, chunk_start), part in pdf.groupby(["_series", "_chunk"], sort=False):
-            ts = part["_epoch"].to_numpy(np.int64)
-            raw = part[value_col].to_numpy(dtype=np.float32, na_value=np.nan)
-            present = part[value_col].notna().to_numpy()
-            c = encode_chunk_masked(ts, raw, present)
+        for k, (s, n) in enumerate(zip(seg_first.tolist(), seg_lens.tolist())):
+            pres_k = present[s : s + n]
+            vals_k = vals[vstart[k] : vstart[k] + val_lens[k]]
+            crc = zlib.crc32(epochs[s : s + n].tobytes() + vals_k.tobytes()) & 0xFFFFFFFF
             out.append(
                 (
                     series,
-                    chunk_start,
-                    c["n_points"],
-                    c["n_present"],
-                    c["ts_codec"],
-                    c["val_codec"],
-                    c["presence"],
-                    c["checksum"],
+                    chunk_ids[s],
+                    n,
+                    int(val_lens[k]),
+                    blobs[k],
+                    blobs[K + k],
+                    np.packbits(pres_k).tobytes(),
+                    crc,
                 )
             )
         return pd.DataFrame(
