@@ -141,6 +141,20 @@ def test_dedup_components(spark, docs):
     assert got[5] == 5  # singleton
 
 
+def test_dedup_components_chain_converges_logarithmically(spark):
+    """Planted 64-node path graph: pointer doubling must converge within
+    ~⌈log₂ 64⌉ rounds (plain one-hop propagation would need 63 —
+    dedup_components raises past max_rounds, so a pass IS the bound)."""
+    ids = spark.range(64).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(63).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labels = dedup.dedup_components(pairs, ids, max_rounds=9)  # log2(64)+3
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert set(got.values()) == {0} and len(got) == 64
+    labels.unpersist()
+
+
 def test_embedding_near_dup(spark):
     import numpy as np
 
