@@ -43,7 +43,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    max_queries: int = 1024,
+    max_queries: int | None = 1024,
 ) -> DataFrame:
     """Exact cosine top-k for each query. Queries are broadcast — the big
     vector table never shuffles; ranking shuffles only (query, id, score)
@@ -55,8 +55,10 @@ def brute_force_topk(
     what is by assumption a small frame). Larger batches should go to
     ``ivf_topk``, whose probed lists keep the scored row count
     sub-linear in |vectors|·|queries|. Raise the bound deliberately if a
-    wide brute-force sweep is really intended."""
-    if queries.limit(max_queries + 1).count() > max_queries:
+    wide brute-force sweep is really intended, or pass
+    ``max_queries=None`` to skip the guard (and its eager count job)
+    entirely."""
+    if max_queries is not None and queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
             f"brute_force_topk got more than max_queries={max_queries} queries; "
             f"the crossJoin would score |vectors|x|queries| rows — route large "

@@ -173,28 +173,34 @@ def _cap_buckets(
     silent truncation. With exact duplicates pre-collapsed, oversized
     buckets can only come from huge NEAR-duplicate clusters or adversarial
     hash collisions; capping trades recall on those (logged) for bounded
-    worst-case join output. Costs one aggregate action when enabled."""
-    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
-    big = sizes.filter(F.col("_bsz") > max_bucket_size).persist()
-    try:
-        stats = big.agg(
-            F.count(F.lit(1)).alias("n_buckets"), F.sum("_bsz").alias("n_rows")
-        ).first()
-        if stats["n_buckets"]:
-            log.warning(
-                "LSH bucket cap %d dropped %d oversized buckets (%d banded rows) "
-                "— recall on those clusters is lost; collapse exact duplicates "
-                "or raise the cap",
-                max_bucket_size,
-                stats["n_buckets"],
-                stats["n_rows"],
-            )
-            return banded.join(
-                F.broadcast(big.select(*key_cols)), key_cols, "left_anti"
-            )
+    worst-case join output. Costs one aggregate action when enabled.
+
+    The oversized-bucket keys are COLLECTED (bounded by construction:
+    each holds > max_bucket_size rows, so there are at most
+    |banded|/max_bucket_size of them) and re-planted as a literal frame,
+    so the returned lazy anti-join never recomputes the size aggregate
+    when it finally executes."""
+    big = (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+    )
+    big_rows = big.collect()
+    if not big_rows:
         return banded
-    finally:
-        big.unpersist()
+    log.warning(
+        "LSH bucket cap %d dropped %d oversized buckets (%d banded rows) "
+        "— recall on those clusters is lost; collapse exact duplicates "
+        "or raise the cap",
+        max_bucket_size,
+        len(big_rows),
+        sum(r["_bsz"] for r in big_rows),
+    )
+    keys = banded.sparkSession.createDataFrame(
+        [tuple(r[c] for c in key_cols) for r in big_rows],
+        schema=big.select(*key_cols).schema,
+    )
+    return banded.join(F.broadcast(keys), key_cols, "left_anti")
 
 
 # ---------------------------------------------------------- minhash/LSH --

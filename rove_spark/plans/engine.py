@@ -24,7 +24,7 @@ from time import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rove_spark.config import Pipeline, PipelineStep, load_pipelines
+from rove_spark.config import KNOWN_CHECKS, Pipeline, PipelineStep, load_pipelines
 from rove_spark.model import Flag, flag_col
 from rove_spark.operators import checks as C
 from rove_spark.operators import spatial as SP
@@ -79,6 +79,14 @@ class Engine:
         via load_pipelines(extra_checks=...)."""
         self.spark = spark
         self.custom = dict(custom_checks or {})
+        shadowed = sorted(set(self.custom) & KNOWN_CHECKS)
+        if shadowed:
+            # built-in branches dispatch first, so a colliding custom
+            # check would be silently ignored — refuse loudly instead
+            raise ValueError(
+                f"custom_checks {shadowed} collide with built-in check types; "
+                f"rename them (built-ins always dispatch first)"
+            )
         self.pipelines = dict(pipelines or {})
         if pipeline_dir:
             self.pipelines.update(

@@ -64,6 +64,10 @@ def format_polygon(vertices) -> str:
 
 
 def _rfc3339(t: dt.datetime) -> str:
+    # aware inputs convert to UTC before the bare strip (mirrors
+    # parse_rfc3339) — naive inputs are taken as already-UTC
+    if t.tzinfo is not None:
+        t = t.astimezone(dt.timezone.utc)
     return t.replace(tzinfo=None).isoformat(timespec="seconds") + "Z"
 
 
