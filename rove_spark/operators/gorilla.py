@@ -715,7 +715,10 @@ def decompress_series(chunks_df, value_col: str = "value"):
 
     def dec(batches):
         for pdf in batches:
-            frames = []
+            # accumulate raw arrays and build ONE frame per Arrow batch —
+            # a pd.DataFrame per chunk (~24 points) made frame assembly,
+            # not bit decoding, the stage's hot path
+            ts_parts, val_parts, pres_parts, sids, lens = [], [], [], [], []
             for row in pdf.itertuples(index=False):
                 chunk = {
                     "n_points": row.n_points,
@@ -727,18 +730,23 @@ def decompress_series(chunks_df, value_col: str = "value"):
                 raw = ts.tobytes() + values[present].tobytes()
                 if (zlib.crc32(raw) & 0xFFFFFFFF) != row.checksum:
                     raise ValueError(f"checksum mismatch for {row.series_id}@{row.chunk_start}")
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "series_id": row.series_id,
-                            "ts": pd.to_datetime(ts, unit="s"),
-                            value_col: pd.Series(values).where(present, None),
-                            "is_gap": ~present,
-                        }
-                    )
-                )
-            yield pd.concat(frames) if frames else pd.DataFrame(
-                columns=["series_id", "ts", value_col, "is_gap"]
+                ts_parts.append(ts)
+                val_parts.append(values)
+                pres_parts.append(present)
+                sids.append(row.series_id)
+                lens.append(len(ts))
+            if not ts_parts:
+                yield pd.DataFrame(columns=["series_id", "ts", value_col, "is_gap"])
+                continue
+            present = np.concatenate(pres_parts)
+            values = np.concatenate(val_parts)
+            yield pd.DataFrame(
+                {
+                    "series_id": np.repeat(np.asarray(sids, dtype=object), lens),
+                    "ts": pd.to_datetime(np.concatenate(ts_parts), unit="s"),
+                    value_col: pd.Series(values).where(present, None),
+                    "is_gap": ~present,
+                }
             )
 
     from rove_spark.operators.util import parallel_groups
