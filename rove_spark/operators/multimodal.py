@@ -1,9 +1,11 @@
 """Multimodal columns: opaque binary payloads + typed metadata, with the
 Spark-side plumbing (schemas, Arrow batch shapes, partitioning) real and
 tested. Media decoding is capability-probed (``DECODER_CAPS``): audio PCM
-WAV decodes for real via the stdlib ``wave`` module; image/video use real
-decoders where PIL/ffmpeg exist (absent in this container) and otherwise
-raise per kind when ``decode_real=True`` is requested.
+WAV decodes for real via the stdlib ``wave`` module; images decode for
+real via PIL where present, else via the from-scratch stdlib PNG decoder
+(operators/png.py — zlib inflate + all five scanline defilters); video
+uses ffmpeg where present (absent in this container) and otherwise
+raises when ``decode_real=True`` is requested.
 
 Contract (per the build brief): the default stub path is deterministic —
 a pure function of the payload bytes — so pipelines exercise realistic
@@ -81,17 +83,20 @@ def synthetic_assets(
 # genuinely real via the stdlib `wave` module). Probed once at import.
 
 
-def _probe_decoder_caps() -> dict[str, bool]:
+def _probe_decoder_caps() -> dict:
     import shutil
 
     try:
         import PIL.Image  # noqa: F401
 
-        has_pil = True
+        image_cap = "pil"
     except ImportError:
-        has_pil = False
+        # from-scratch stdlib PNG decoder (operators/png.py) — real
+        # decode for PNG payloads even without PIL; other image formats
+        # raise per payload at decode time
+        image_cap = "stdlib-png"
     return {
-        "image": has_pil,
+        "image": image_cap,  # truthy: some real image decode always exists
         "audio": True,  # stdlib wave: PCM WAV decode needs no extra libs
         "video": shutil.which("ffmpeg") is not None,
     }
@@ -122,10 +127,16 @@ def _real_decode_bytes(payload: bytes, kind: str, n_out: int) -> np.ndarray:
             raise ValueError(f"unsupported WAV sample width {width}")
         samples = np.frombuffer(raw, dtype=dt).astype(np.int64)
     elif kind == "image":
-        from PIL import Image
+        if DECODER_CAPS["image"] == "pil":
+            from PIL import Image
 
-        img = Image.open(io.BytesIO(payload)).convert("L")
-        samples = np.asarray(img, dtype=np.uint8).reshape(-1).astype(np.int64)
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            samples = np.asarray(img, dtype=np.uint8).reshape(-1).astype(np.int64)
+        else:
+            # stdlib PNG path (same ITU-R 601-2 luma as PIL convert("L"))
+            from rove_spark.operators.png import decode_png_gray
+
+            samples = decode_png_gray(payload).astype(np.int64)
     else:  # video: first frame, grayscale, via ffmpeg pipe
         import subprocess
 

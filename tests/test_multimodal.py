@@ -39,12 +39,13 @@ def test_decode_stub(spark, assets):
 
 def test_decode_real_boundary_is_explicit(spark, assets):
     """decode_real never silently falls back to the stub: kinds whose
-    probed decoder is absent raise at execution (image: no PIL here)."""
-    if multimodal.DECODER_CAPS["image"]:
-        pytest.skip("PIL present — image decode is real here")
-    imgs = assets.filter(F.col("kind") == "image")
-    with pytest.raises(Exception, match="real image decode unavailable"):
-        multimodal.decode_assets(imgs, decode_real=True).collect()
+    probed decoder is absent raise at execution (video: no ffmpeg here;
+    image always has a real path — PIL or the stdlib PNG decoder)."""
+    if multimodal.DECODER_CAPS["video"]:
+        pytest.skip("ffmpeg present — video decode is real here")
+    vids = assets.filter(F.col("kind") == "video")
+    with pytest.raises(Exception, match="real video decode unavailable"):
+        multimodal.decode_assets(vids, decode_real=True).collect()
 
 
 def test_features_unit_norm_and_ann_integration(spark, assets):
@@ -115,20 +116,118 @@ def test_real_audio_decode_end_to_end(spark):
 
 
 def test_real_decode_missing_capability_raises(spark):
-    """Kinds without a probed decoder raise NotImplementedError — never a
-    silent fallback to the stub."""
+    """Undecodable payloads raise — never a silent fallback to the stub:
+    a corrupt PNG fails loudly in the stdlib decoder."""
     import pytest
 
     from rove_spark.operators.multimodal import DECODER_CAPS, decode_assets
 
-    if DECODER_CAPS["image"]:
-        pytest.skip("PIL present — image decode is real here")
+    if DECODER_CAPS["image"] != "stdlib-png":
+        pytest.skip("PIL present — it handles corrupt payloads differently")
     df = spark.createDataFrame(
-        [("i1", "image", bytearray(b"\x89PNG fake"))],
+        [("i1", "image", bytearray(b"\x89PNG fake not real"))],
         "asset_id string, kind string, payload binary",
     )
-    with pytest.raises(Exception, match="real image decode unavailable"):
+    with pytest.raises(Exception, match="not a PNG|bad magic"):
         decode_assets(df, out_pixels=8, decode_real=True).collect()
+
+
+def _png_bytes(pixels, color_type, filters):
+    """Forward PNG encoder (test-side, independent reimplementation of the
+    spec's filter math) so the decoder's inverse is a genuine kill test.
+    ``pixels``: uint8[h, w, nch]; ``filters``: per-row filter types."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    h, w, nch = pixels.shape
+    raw = bytearray()
+    prev = [0] * (w * nch)
+    for y, f in zip(range(h), filters):
+        line = [int(v) for v in pixels[y].reshape(-1)]
+        raw.append(f)
+        enc = []
+        for x in range(w * nch):
+            a = line[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if f == 0:
+                e = line[x]
+            elif f == 1:
+                e = line[x] - a
+            elif f == 2:
+                e = line[x] - b
+            elif f == 3:
+                e = line[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                e = line[x] - pred
+            enc.append(e % 256)
+        raw.extend(enc)
+        prev = line
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", _zlib.crc32(typ + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_roundtrip_all_filters_and_color_types():
+    """Pure-codec kill test: every scanline filter (0-4) and every
+    supported color type round-trips through the stdlib decoder against
+    an independent forward-filter encoder."""
+    import numpy as np
+
+    from rove_spark.operators.png import decode_png, decode_png_gray
+
+    rng = np.random.default_rng(7)
+    for ct, nch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        px = rng.integers(0, 256, size=(7, 5, nch), dtype=np.uint8)
+        filters = [0, 1, 2, 3, 4, 2, 4]
+        data = _png_bytes(px, ct, filters)
+        got, w, h = decode_png(data)
+        assert (w, h) == (5, 7)
+        np.testing.assert_array_equal(got, px)
+    # luma fold matches PIL's ITU-R 601-2 integer transform
+    px = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    gray = decode_png_gray(_png_bytes(px, 2, [4, 3, 1]))
+    exp = (
+        (px[:, :, 0].astype(np.int64) * 299
+         + px[:, :, 1].astype(np.int64) * 587
+         + px[:, :, 2].astype(np.int64) * 114) // 1000
+    ).reshape(-1)
+    np.testing.assert_array_equal(gray.astype(np.int64), exp)
+
+
+def test_real_image_decode_stdlib_png(spark):
+    """decode_real=True genuinely decodes PNG images via the stdlib
+    decoder (no PIL in this container): pixels round-trip exactly."""
+    import numpy as np
+
+    from rove_spark.operators.multimodal import decode_assets
+
+    px = np.arange(8, dtype=np.uint8).reshape(2, 4, 1)
+    data = _png_bytes(px, 0, [0, 2])
+    df = spark.createDataFrame(
+        [("i1", "image", bytearray(data))],
+        "asset_id string, kind string, payload binary",
+    )
+    got = decode_assets(df, out_pixels=8, decode_real=True).collect()[0].decoded
+    assert got == list(range(8))
 
 
 def test_real_image_decode_when_pil_present(spark):
