@@ -1756,6 +1756,61 @@ WHERE day < mx - to_days(keep_days)
 """
 
 
+def q_retention_drop(spark, sf):
+    """Retention drop EFFECT, not just the plan (round-3 verdict item 6):
+    write a day-partitioned tier table to a temp path, run
+    ``rollup.retention_expire`` (real partition-level delete,
+    rollup.py:245) with the 1m tier's keep window, and return the
+    SURVIVING partition inventory read back from disk. The oracle
+    recomputes the surviving (day, n_rows, n_turns) set with the same
+    day arithmetic in DuckDB — proving the deletes removed exactly the
+    planned partitions and nothing else."""
+    import hashlib
+    import shutil
+
+    from rove_spark.operators.rollup import retention_expire
+    from rove_spark.sources.tables import PartitionedTable
+
+    _utc(spark)
+    ev = _events(spark, sf)
+    tier = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n_turns"))
+    path = f"/tmp/rove_retention_drop_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    shutil.rmtree(path, ignore_errors=True)
+    table = PartitionedTable(path, ["day"])
+    table.overwrite_partitions(tier, lineage={"query": "retention_drop"})
+    cutoff = ev.agg(
+        F.date_format(
+            F.date_sub(F.max(F.date_trunc("day", "ts")), RETENTION_WINDOWS["1m"]),
+            "yyyy-MM-dd",
+        ).alias("cutoff")
+    ).first()["cutoff"]
+    retention_expire(table, cutoff, day_col="day")
+    surv = table.read(spark)
+    return surv.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n_turns").cast("bigint").alias("n_turns"),
+    )
+
+
+SQL_RETENTION_DROP = f"""
+WITH t AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id,
+         count(*) AS n_turns
+  FROM events GROUP BY 1, 2
+), mx AS (
+  SELECT max(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS mxd FROM events
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns
+FROM t CROSS JOIN mx
+WHERE day >= strftime(mxd - to_days({RETENTION_WINDOWS["1m"]}), '%Y-%m-%d')
+GROUP BY day
+"""
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate clustering: min-label propagation to convergence over the
     COLLAPSED minhash near-dup graph (one node per distinct text; members
@@ -2074,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "retention_plan": q_retention_plan,
+        "retention_drop": q_retention_drop,
         "csv_snapshot": q_csv_snapshot,
         "histogram_tier": q_histogram_tier,
         "token_stats": q_token_stats,
@@ -2129,6 +2185,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "retention_plan": _sql_retention_plan(),
+        "retention_drop": SQL_RETENTION_DROP,
         "csv_snapshot": _sql_csv_snapshot(),
         "histogram_tier": _sql_histogram_tier(),
         "token_stats": SQL_TOKEN_STATS,
