@@ -244,12 +244,8 @@ def with_rates(tier_df: DataFrame, checks: Sequence[str] = ()) -> DataFrame:
 
 def retention_expire(table, older_than_day: str, day_col: str = "day") -> int:
     """Retention policy: drop whole partitions older than a cutoff
-    (partition-level delete — no data rewrite). ``table`` is a
-    PartitionedTable partitioned by ``day_col``."""
-    dirs = []
-    if table.path.exists():
-        for p in sorted(table.path.glob(f"{day_col}=*")):
-            val = p.name.split("=", 1)[1]
-            if val < older_than_day:
-                dirs.append(p.name)
-    return table.drop_partitions(dirs, lineage={"retention_cutoff": older_than_day})
+    (partition-level delete — no data rewrite). ``table`` is any tier
+    table from ``sources.tables.open_table`` — the parquet shim
+    (directory drop) or, probe-gated, a real Iceberg table (metadata
+    DELETE aligned to partition boundaries)."""
+    return table.expire_days_before(older_than_day, day_col=day_col)

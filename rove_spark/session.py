@@ -10,9 +10,47 @@ Scale posture (designed for 1000-executor clusters, tested on local[N]):
 
 from __future__ import annotations
 
+import glob as _glob
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+log = logging.getLogger(__name__)
+
+
+def probe_iceberg() -> str | None:
+    """Probe for an iceberg-spark-runtime jar (round-3 verdict item 7).
+    Search order: $ROVE_ICEBERG_JAR, $SPARK_HOME/jars, pyspark's bundled
+    jars dir. Returns the jar path or None; logs the outcome either way.
+    When found, `get_spark` wires a real Iceberg hadoop catalog (``rove``)
+    and `sources.tables.open_table` routes tier tables through it instead
+    of the parquet shim."""
+    explicit = os.environ.get("ROVE_ICEBERG_JAR")
+    if explicit and os.path.isfile(explicit):
+        log.info("iceberg probe: using $ROVE_ICEBERG_JAR=%s", explicit)
+        return explicit
+    candidates = []
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        candidates.append(os.path.join(spark_home, "jars"))
+    try:
+        import pyspark
+
+        candidates.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    except ImportError:
+        pass
+    for d in candidates:
+        hits = sorted(_glob.glob(os.path.join(d, "iceberg-spark-runtime*.jar")))
+        if hits:
+            log.info("iceberg probe: found %s", hits[-1])
+            return hits[-1]
+    log.info(
+        "iceberg probe: no iceberg-spark-runtime jar in %s — tier tables use "
+        "the documented parquet shim (sources.tables.PartitionedTable)",
+        candidates,
+    )
+    return None
 
 
 def _export_pythonpath() -> str:
@@ -71,6 +109,19 @@ def get_spark(
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         b = b.config("spark.local.dir", os.path.join(shm, "rove_spark_local"))
+    iceberg_jar = probe_iceberg()
+    if iceberg_jar:
+        wh = os.environ.get("ROVE_WAREHOUSE", "/tmp/rove_warehouse")
+        b = (
+            b.config("spark.jars", iceberg_jar)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config("spark.sql.catalog.rove", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.rove.type", "hadoop")
+            .config("spark.sql.catalog.rove.warehouse", os.path.join(wh, "iceberg"))
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -145,6 +145,21 @@ class PartitionedTable:
         self._commit_manifest({"snapshot_id": snap, "operation": "append", "lineage": lineage or {}})
         return snap
 
+    def expire_days_before(
+        self, cutoff: str, day_col: str = "day", lineage: dict | None = None
+    ) -> int:
+        """Retention: drop every ``day_col=<val>`` partition with
+        ``val < cutoff`` (lexicographic ≡ chronological for yyyy-MM-dd).
+        Partition-level delete, no data rewrite."""
+        dirs = []
+        if self.path.exists():
+            for p in sorted(self.path.glob(f"{day_col}=*")):
+                if p.name.split("=", 1)[1] < cutoff:
+                    dirs.append(p.name)
+        return self.drop_partitions(
+            dirs, lineage={**(lineage or {}), "retention_cutoff": cutoff}
+        )
+
     def drop_partitions(self, predicate_dirs: list[str], lineage: dict | None = None) -> int:
         """Retention expiry: drop whole partition directories (cheap
         metadata-style delete, the parquet analog of Iceberg partition-level
@@ -168,3 +183,73 @@ class PartitionedTable:
                 }
             )
         return dropped
+
+
+# ------------------------------------------------ real Iceberg (probe-gated)
+
+
+class IcebergTable:
+    """``PartitionedTable``'s surface over a REAL Iceberg catalog —
+    constructed by `open_table` only when `session.probe_iceberg` found a
+    runtime jar and the session carries the ``rove`` catalog. Exercised
+    off-sandbox (no jar ships in this container); the shim remains the
+    tested default here. Snapshot lineage rides Iceberg's own snapshot
+    log (``<name>.snapshots``) instead of the shim's JSON manifest."""
+
+    def __init__(self, spark: SparkSession, name: str, partition_by: list[str]):
+        self.spark = spark
+        self.name = name  # e.g. "rove.db.tiers_1d"
+        self.partition_by = list(partition_by)
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.name)
+
+    def read(self, spark: SparkSession | None = None) -> DataFrame:
+        return (spark or self.spark).table(self.name)
+
+    def overwrite_partitions(self, df: DataFrame, lineage: dict | None = None) -> str:
+        from pyspark.sql import functions as F
+
+        w = df.writeTo(self.name)
+        if self.exists():
+            w.overwritePartitions()
+        else:
+            w.partitionedBy(*[F.col(c) for c in self.partition_by]).createOrReplace()
+        return self._last_snapshot_id()
+
+    def append(self, df: DataFrame, lineage: dict | None = None) -> str:
+        df.writeTo(self.name).append()
+        return self._last_snapshot_id()
+
+    def expire_days_before(
+        self, cutoff: str, day_col: str = "day", lineage: dict | None = None
+    ) -> int:
+        """Partition-level retention via Iceberg metadata delete: a DELETE
+        whose predicate aligns with partition boundaries drops whole
+        partitions without rewriting data files."""
+        before = self.read().filter(f"{day_col} < '{cutoff}'").count()
+        self.spark.sql(f"DELETE FROM {self.name} WHERE {day_col} < '{cutoff}'")
+        return before
+
+    @property
+    def snapshots(self) -> list[dict]:
+        return [r.asDict() for r in self.spark.sql(f"SELECT * FROM {self.name}.snapshots").collect()]
+
+    def _last_snapshot_id(self) -> str:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.name}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(rows[0][0]) if rows else ""
+
+
+def open_table(spark: SparkSession, path_or_name: str | Path, partition_by: list[str]):
+    """Tier-table factory: a real ``IcebergTable`` when the session carries
+    the probe-gated ``rove`` Iceberg catalog, else the parquet shim. The
+    engine only touches the shared surface (read / overwrite_partitions /
+    append / expire_days_before / snapshots), so the swap is config-only."""
+    if spark.conf.get("spark.sql.catalog.rove", None):
+        name = str(path_or_name)
+        if "." not in name:  # a filesystem-ish path → derive a table name
+            name = "rove.db." + Path(name).name.replace("=", "_").replace("-", "_")
+        return IcebergTable(spark, name, partition_by)
+    return PartitionedTable(path_or_name, partition_by)

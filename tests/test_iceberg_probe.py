@@ -1,0 +1,46 @@
+"""Iceberg probe-and-use (round-3 verdict item 7): this container ships
+no iceberg-spark-runtime jar, so the probe must report None (logged) and
+`open_table` must return the documented parquet shim; with a catalog
+configured the factory would return IcebergTable (structure asserted
+without a jar — the write path itself is exercised off-sandbox)."""
+
+from __future__ import annotations
+
+import logging
+
+from rove_spark.session import probe_iceberg
+from rove_spark.sources.tables import IcebergTable, PartitionedTable, open_table
+
+
+def test_probe_logs_and_returns_none_here(caplog):
+    with caplog.at_level(logging.INFO, logger="rove_spark.session"):
+        jar = probe_iceberg()
+    assert jar is None  # no jar ships in this container
+    assert any("iceberg probe" in r.message for r in caplog.records)
+
+
+def test_probe_honors_explicit_env(tmp_path, monkeypatch):
+    fake = tmp_path / "iceberg-spark-runtime-3.5_2.12-1.5.0.jar"
+    fake.write_bytes(b"not a real jar")
+    monkeypatch.setenv("ROVE_ICEBERG_JAR", str(fake))
+    assert probe_iceberg() == str(fake)
+
+
+def test_open_table_returns_shim_without_catalog(spark, tmp_path):
+    t = open_table(spark, tmp_path / "tiers", ["day"])
+    assert isinstance(t, PartitionedTable)
+
+
+def test_open_table_name_derivation():
+    class _FakeConf:
+        def get(self, k, d=None):
+            return "org.apache.iceberg.spark.SparkCatalog"
+
+    class _FakeSpark:
+        conf = _FakeConf()
+
+    t = open_table(_FakeSpark(), "/tmp/tiers-1d", ["day"])
+    assert isinstance(t, IcebergTable)
+    assert t.name == "rove.db.tiers_1d"
+    t2 = open_table(_FakeSpark(), "rove.db.mytable", ["day"])
+    assert t2.name == "rove.db.mytable"
