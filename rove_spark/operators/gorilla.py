@@ -208,37 +208,9 @@ def _ts_entries_scalar(ts: np.ndarray, n: int) -> tuple:
 
 
 def _ts_entries_vec(ts: np.ndarray, n: int) -> tuple:
-    head_codes = [np.uint64(n & 0xFFFFFFFF), np.asarray(ts[0]).astype(np.uint64)]
-    head_bits = [32, 64]
-    deltas = np.diff(ts)
-    head_codes.append(np.asarray(deltas[0]).astype(np.uint64))
-    head_bits.append(64)
-    d = np.diff(deltas)
-    in0 = d == 0
-    c1 = ~in0 & (d >= -63) & (d <= 64)
-    c2 = ~in0 & ~c1 & (d >= -255) & (d <= 256)
-    c3 = ~in0 & ~c1 & ~c2 & (d >= -2047) & (d <= 2048)
-    fb = ~(in0 | c1 | c2 | c3)
-    codes = np.select(
-        [in0, c1, c2, c3],
-        [np.int64(0), (0b10 << 7) | (d + 63), (0b110 << 9) | (d + 255), (0b1110 << 12) | (d + 2047)],
-        np.int64(0b1111),
-    ).astype(np.uint64)
-    nbits = np.select([in0, c1, c2, c3], [1, 9, 12, 16], 4).astype(np.int64)
-    # interleave the 64-bit payload entry after each fallback prefix
-    counts = np.where(fb, 2, 1)
-    pos = np.cumsum(counts) - counts
-    total = int(counts.sum())
-    all_codes = np.zeros(total, np.uint64)
-    all_bits = np.zeros(total, np.int64)
-    all_codes[pos] = codes
-    all_bits[pos] = nbits
-    all_codes[pos[fb] + 1] = d[fb].astype(np.uint64)
-    all_bits[pos[fb] + 1] = 64
-    return (
-        np.concatenate([np.asarray(head_codes, np.uint64), all_codes]),
-        np.concatenate([np.asarray(head_bits, np.int64), all_bits]),
-    )
+    # one-segment view of the grouped builder (same policy, no duplication)
+    codes, nbits, _off = _ts_entries_grouped(ts, np.asarray([n], np.int64))
+    return codes, nbits
 
 
 def encode_timestamps(ts: np.ndarray) -> bytes:
@@ -320,44 +292,11 @@ def _val_entries_scalar(v: np.ndarray, n: int) -> tuple:
 
 
 def _val_entries_vec(v: np.ndarray, n: int) -> tuple:
-    head_codes = np.asarray([n & 0xFFFFFFFF, int(v[0])], np.uint64)
-    head_bits = np.asarray([32, 32], np.int64)
-    xors = v[1:] ^ v[:-1]
-    nz = xors != 0
-    codes = np.zeros(len(xors), np.uint64)
-    nbits = np.ones(len(xors), np.int64)  # zero-XOR slots: single '0' bit
-    xz = xors[nz].astype(np.uint64)
-    if len(xz):
-        # vectorized leading/trailing zero counts for the nonzero 32-bit words
-        lz = (31 - np.floor(np.log2(xz.astype(np.float64))).astype(np.int64)).clip(0, 31)
-        low = (xz & (~xz + np.uint64(1))).astype(np.float64)  # lowest set bit
-        tz = np.round(np.log2(low)).astype(np.int64)
-        # block-fixed window: one '11' header per _VALUE_BLOCK nonzero XORs
-        # establishes (lead, length) = the block's (min lead, min trail)
-        # envelope; block members reuse it via '10'. Every member fits by
-        # construction, so the stream is branch-free and array-expressible.
-        starts = np.arange(0, len(xz), _VALUE_BLOCK)
-        bl = np.minimum.reduceat(lz, starts)
-        bt = np.minimum.reduceat(tz, starts)
-        bid = np.arange(len(xz)) // _VALUE_BLOCK
-        mbl, mbt = bl[bid], bt[bid]
-        mml = 32 - mbl - mbt
-        meaningful = xz >> mbt.astype(np.uint64)
-        leader = np.arange(len(xz)) % _VALUE_BLOCK == 0
-        hdr = (
-            (np.uint64(0b11) << np.uint64(11))
-            | (mbl.astype(np.uint64) << np.uint64(6))
-            | (mml - 1).astype(np.uint64)
-        )
-        nz_codes = np.where(
-            leader,
-            (hdr << mml.astype(np.uint64)) | meaningful,
-            (np.uint64(0b10) << mml.astype(np.uint64)) | meaningful,
-        )
-        nz_bits = np.where(leader, 13 + mml, 2 + mml)
-        codes[nz] = nz_codes
-        nbits[nz] = nz_bits
-    return np.concatenate([head_codes, codes]), np.concatenate([head_bits, nbits])
+    # one-segment view of the grouped builder (same policy, no duplication)
+    codes, nbits, _off = _val_entries_grouped(
+        v.view(np.float32), np.asarray([n], np.int64)
+    )
+    return codes, nbits
 
 
 def encode_values(values: np.ndarray) -> bytes:
