@@ -135,6 +135,37 @@ def with_fingerprint(
     )
 
 
+def with_fingerprint_portable(
+    df: DataFrame, text_col: str = "text", k_smallest: int = 8
+) -> DataFrame:
+    """``with_fingerprint``'s cross-engine twin: md5-based trigram hashes
+    (15-hex-digit prefix → int64, the repo's portable-hash idiom — see
+    with_simhash_portable) instead of Spark-only xxhash64, with empty
+    words filtered on both sides so the split-semantics edge cases can't
+    diverge between engines. Sketch semantics unchanged: fp_robust =
+    digest of the k smallest distinct word-trigram hashes (winnowing-
+    style, stable under small edits); fp_exact = md5 of the raw text."""
+    words = F.filter(_words(text_col), lambda w: F.length(w) > 0)
+    n = F.greatest(F.size(words) - 2, F.lit(0))
+    # sequence(1, 0) would *descend* — guard short/empty docs explicitly
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, 3))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    smallest = F.slice(F.array_sort(F.array_distinct(grams)), 1, k_smallest)
+    return df.withColumns(
+        {
+            "fp_exact": F.md5(F.col(text_col)),
+            "fp_robust": F.md5(
+                F.concat_ws(",", F.transform(smallest, lambda x: x.cast("string")))
+            ),
+        }
+    )
+
+
 # ------------------------------------------------------------- PII scan --
 
 # Patterns restricted to the Java-regex ∩ RE2 common subset (no

@@ -1756,6 +1756,95 @@ WHERE day < mx - to_days(keep_days)
 """
 
 
+def q_fingerprints(spark, sf):
+    """Winnowing-style document fingerprints, cross-engine: the portable
+    md5 variant (textstats.with_fingerprint_portable) so DuckDB
+    recomputes BOTH fingerprints exactly — the trigram hash lists, the
+    k-smallest-distinct selection, and the final digests."""
+    from rove_spark.operators.textstats import with_fingerprint_portable
+
+    _utc(spark)
+    docs = read_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    out = with_fingerprint_portable(docs)
+    return out.select("doc_id", "fp_exact", "fp_robust")
+
+
+def _sql_fingerprints(k_smallest: int = 8) -> str:
+    horner = "CAST(0 AS BIGINT)"
+    for c in range(1, 16):
+        horner = f"({horner} * 16 + (strpos('0123456789abcdef', substr(h, {c}, 1)) - 1))"
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, text,
+         list_transform(
+           range(1, greatest(len(w) - 2, 0) + 1),
+           i -> md5(array_to_string(list_slice(w, i, i + 2), ' '))
+         ) AS gh
+  FROM w
+), gi AS (
+  SELECT doc_id, text, list_transform(gh, h -> {horner}) AS grams FROM g
+), sm AS (
+  SELECT doc_id, text,
+         list_slice(list_sort(list_distinct(grams)), 1, {k_smallest}) AS smallest
+  FROM gi
+)
+SELECT doc_id, md5(text) AS fp_exact,
+       md5(array_to_string(list_transform(smallest, x -> CAST(x AS VARCHAR)), ',')) AS fp_robust
+FROM sm
+"""
+
+
+def q_verify_digests(spark, sf):
+    """Per-turn text-equality verifier digests (verify.text_checksums —
+    the input_hint per-row invariant's proof mechanism), cross-engine:
+    documents become a synthetic transcript (conv = doc_id % 50, turn =
+    doc_id) and the oracle recomputes BOTH digests exactly in DuckDB —
+    sha256 over the same (turn, text) byte stream, the 15-hex-digit →
+    int64 fold (Horner), the order-free bit_xor fold, and the
+    order-sensitive sha256-of-ordered-hashes. Any divergence in how
+    either engine orders, drops, or mutates turns hash-mismatches."""
+    from rove_spark.operators.verify import text_checksums
+
+    _utc(spark)
+    docs = read_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    conv = docs.select(
+        (F.col("doc_id") % 50).alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        "text",
+    )
+    out = text_checksums(conv)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("conv_id"),
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+        F.col("xor_digest").cast("bigint").alias("xor_digest"),
+        "seq_digest",
+    )
+
+
+def _sql_verify_digests() -> str:
+    # 15 lowercase-hex digits → int64 via Horner (fits: 2^60 < 2^63);
+    # matches Spark's conv(substr(h,1,15), 16, 10) cast long exactly
+    horner = "CAST(0 AS BIGINT)"
+    for c in range(1, 16):
+        horner = f"({horner} * 16 + (strpos('0123456789abcdef', substr(h, {c}, 1)) - 1))"
+    return f"""
+WITH turns AS (
+  SELECT doc_id % 50 AS conv_id, doc_id AS turn_idx,
+         sha256(concat_ws(chr(0), CAST(doc_id AS VARCHAR), text)) AS h
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(bit_xor({horner}) AS BIGINT) AS xor_digest,
+       sha256(string_agg(h, '' ORDER BY turn_idx)) AS seq_digest
+FROM turns GROUP BY conv_id
+"""
+
+
 def q_retention_drop(spark, sf):
     """Retention drop EFFECT, not just the plan (round-3 verdict item 6):
     write a day-partitioned tier table to a temp path, run
@@ -2130,6 +2219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "retention_plan": q_retention_plan,
         "retention_drop": q_retention_drop,
+        "verify_digests": q_verify_digests,
+        "fingerprints": q_fingerprints,
         "csv_snapshot": q_csv_snapshot,
         "histogram_tier": q_histogram_tier,
         "token_stats": q_token_stats,
@@ -2186,6 +2277,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "retention_plan": _sql_retention_plan(),
         "retention_drop": SQL_RETENTION_DROP,
+        "verify_digests": _sql_verify_digests(),
+        "fingerprints": _sql_fingerprints(),
         "csv_snapshot": _sql_csv_snapshot(),
         "histogram_tier": _sql_histogram_tier(),
         "token_stats": SQL_TOKEN_STATS,

@@ -70,6 +70,28 @@ def test_fingerprints(spark, docs):
     assert fps[1].fp_robust == fps[2].fp_robust
 
 
+def test_fingerprint_portable_matches_semantics(spark, docs):
+    """Portable (md5) variant keeps the winnowing property — robust fp
+    stable under a tiny suffix edit, exact fp not — and differs from the
+    xxhash variant only in the hash family."""
+    base = docs.filter(F.col("doc_id") == 1).select("text").first()[0]
+    pair = spark.createDataFrame(
+        [(1, base), (2, base + " extra")], "doc_id long, text string"
+    )
+    fps = {
+        r.doc_id: r
+        for r in textstats.with_fingerprint_portable(pair, k_smallest=4).collect()
+    }
+    assert fps[1].fp_exact != fps[2].fp_exact
+    assert fps[1].fp_robust == fps[2].fp_robust
+    # deterministic across invocations
+    again = {
+        r.doc_id: r
+        for r in textstats.with_fingerprint_portable(pair, k_smallest=4).collect()
+    }
+    assert fps[1].fp_robust == again[1].fp_robust
+
+
 def test_on_documents_table(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = textstats.with_quality(textstats.with_langid(textstats.with_token_stats(docs)))
