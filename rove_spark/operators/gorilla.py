@@ -57,11 +57,12 @@ _M64 = 0xFFFFFFFFFFFFFFFF
 
 
 class _BatchPacker:
-    """Accumulates many blobs' (code, nbits) entries, packs them ALL with
-    one `_pack_bits` call, and slices the per-blob bytes back out. Each
-    blob is padded to a byte boundary so the slice is self-contained —
-    identical bytes to packing it alone. Amortizes the vectorized packing
-    overhead across every chunk of an ``applyInPandas`` group."""
+    """Accumulates many blobs' (code, nbits) entries via `add_many`, packs
+    them ALL with one `_pack_bits` call, and slices the per-blob bytes
+    back out. Each blob is padded to a byte boundary so the slice is
+    self-contained — identical bytes to packing it alone. Amortizes the
+    vectorized packing overhead across every chunk of an
+    ``applyInPandas`` group."""
 
     __slots__ = ("_codes", "_nbits", "_bit", "_spans")
 
@@ -70,20 +71,6 @@ class _BatchPacker:
         self._nbits: list = []
         self._bit = 0
         self._spans: list[tuple[int, int]] = []
-
-    def add(self, codes, nbits) -> int:
-        """Queue one blob's entries; returns its index for `blobs()`."""
-        total = int(np.sum(nbits)) if isinstance(nbits, np.ndarray) else sum(nbits)
-        pad = (-total) % 8
-        self._codes.append(np.asarray(codes, dtype=np.uint64))
-        self._nbits.append(np.asarray(nbits, dtype=np.int64))
-        if pad:
-            self._codes.append(np.zeros(1, np.uint64))
-            self._nbits.append(np.full(1, pad, np.int64))
-        start = self._bit // 8
-        self._bit += total + pad
-        self._spans.append((start, self._bit // 8))
-        return len(self._spans) - 1
 
     def add_many(self, codes: np.ndarray, nbits: np.ndarray, offsets: np.ndarray) -> None:
         """Queue ``len(offsets)-1`` blobs whose entries are consecutive
@@ -218,6 +205,14 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     return _pack_bits(*_ts_entries(ts))
 
 
+def _s64(x: int) -> int:
+    """Wrap to the signed-64 domain — all codec arithmetic is mod 2^64,
+    so decode reconstructs each int64 exactly even when intermediate
+    deltas/delta-of-deltas exceed the type (pathological inputs like
+    [0, 2^62, -2^62]): this is what makes the codec genuinely total."""
+    return ((x + (1 << 63)) & _M64) - (1 << 63)
+
+
 def decode_timestamps(blob: bytes) -> np.ndarray:
     r = _BitReader(blob)
     n = r.read(32)
@@ -225,12 +220,14 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
     if n == 0:
         return out
     t0 = r.read(64)
-    out[0] = t0 - (1 << 64) if t0 >= (1 << 63) else t0
+    cur = t0 - (1 << 64) if t0 >= (1 << 63) else t0
+    out[0] = cur
     if n == 1:
         return out
     d = r.read(64)
     delta = d - (1 << 64) if d >= (1 << 63) else d
-    out[1] = out[0] + delta
+    cur = _s64(cur + delta)
+    out[1] = cur
     for i in range(2, n):
         if r.read(1) == 0:
             pass
@@ -240,11 +237,12 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
                 cls += 1
             if cls < 4:
                 lo, _hi, _p, _pl, vbits = _TS_CLASSES[cls - 1]
-                delta += r.read(vbits) + lo
+                delta = _s64(delta + r.read(vbits) + lo)
             else:
                 raw = r.read(64)
-                delta += raw - (1 << 64) if raw >= (1 << 63) else raw
-        out[i] = out[i - 1] + delta
+                delta = _s64(delta + (raw - (1 << 64) if raw >= (1 << 63) else raw))
+        cur = _s64(cur + delta)
+        out[i] = cur
     return out
 
 

@@ -144,8 +144,16 @@ def with_fingerprint_portable(
     words filtered on both sides so the split-semantics edge cases can't
     diverge between engines. Sketch semantics unchanged: fp_robust =
     digest of the k smallest distinct word-trigram hashes (winnowing-
-    style, stable under small edits); fp_exact = md5 of the raw text."""
-    words = F.filter(_words(text_col), lambda w: F.length(w) > 0)
+    style, stable under small edits); fp_exact = md5 of the raw text.
+
+    Splits on an EXPLICIT ASCII whitespace class instead of ``\\s``: Java
+    ``\\s`` includes vertical tab \\x0B, RE2's does not, and a hash-exact
+    oracle can't tolerate the divergence. The class below IS Java's
+    default ``\\s`` set, spelled portably for both regex engines."""
+    ws = r"[ \t\n\x0B\f\r]+"
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), ws), lambda w: F.length(w) > 0
+    )
     n = F.greatest(F.size(words) - 2, F.lit(0))
     # sequence(1, 0) would *descend* — guard short/empty docs explicitly
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))

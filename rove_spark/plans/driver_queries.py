@@ -1776,7 +1776,8 @@ def _sql_fingerprints(k_smallest: int = 8) -> str:
     return f"""
 WITH w AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                     x -> len(x) > 0) AS w
   FROM documents WHERE text IS NOT NULL
 ), g AS (
   SELECT doc_id, text,

@@ -30,7 +30,7 @@ from rove_spark.operators import checks as C
 from rove_spark.operators import spatial as SP
 from rove_spark.operators.rollup import build_tiers
 from rove_spark.plans.checkpoint import CheckpointManifest, params_hash
-from rove_spark.sources.tables import PartitionedTable
+from rove_spark.sources.tables import open_table
 
 
 def list_day_partitions(path: str | Path) -> set[str] | None:
@@ -304,7 +304,9 @@ class Engine:
         )
         metrics: dict[str, dict] = {d: {} for d in todo}
         for tier_name, tier_df in tiers.items():
-            table = PartitionedTable(out_dir / f"tier_{tier_name}", ["day"])
+            # open_table: parquet shim here; real Iceberg when the session
+            # carries the probe-gated catalog (sources/tables.py)
+            table = open_table(self.spark, out_dir / f"tier_{tier_name}", ["day"])
             tier_out = tier_df.withColumn(
                 "day", F.date_format(F.date_trunc("day", "bucket_ts"), "yyyy-MM-dd")
             )
@@ -333,7 +335,7 @@ class Engine:
 
             result["expired"] = {}
             for tier_name, cutoff in retention.items():
-                table = PartitionedTable(out_dir / f"tier_{tier_name}", ["day"])
+                table = open_table(self.spark, out_dir / f"tier_{tier_name}", ["day"])
                 result["expired"][tier_name] = retention_expire(table, cutoff)
         return result
 

@@ -109,11 +109,17 @@ def get_spark(
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         b = b.config("spark.local.dir", os.path.join(shm, "rove_spark_local"))
+    extra_conf = dict(extra_conf or {})
     iceberg_jar = probe_iceberg()
     if iceberg_jar:
         wh = os.environ.get("ROVE_WAREHOUSE", "/tmp/rove_warehouse")
+        # comma-merge with any caller-supplied jars: overwriting would drop
+        # the iceberg jar from the classpath while the catalog/extensions
+        # configs remain, failing session startup with ClassNotFound
+        caller_jars = extra_conf.pop("spark.jars", None)
+        jars = f"{iceberg_jar},{caller_jars}" if caller_jars else iceberg_jar
         b = (
-            b.config("spark.jars", iceberg_jar)
+            b.config("spark.jars", jars)
             .config(
                 "spark.sql.extensions",
                 "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
@@ -122,6 +128,6 @@ def get_spark(
             .config("spark.sql.catalog.rove.type", "hadoop")
             .config("spark.sql.catalog.rove.warehouse", os.path.join(wh, "iceberg"))
         )
-    for k, v in (extra_conf or {}).items():
+    for k, v in extra_conf.items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -193,8 +193,9 @@ class IcebergTable:
     constructed by `open_table` only when `session.probe_iceberg` found a
     runtime jar and the session carries the ``rove`` catalog. Exercised
     off-sandbox (no jar ships in this container); the shim remains the
-    tested default here. Snapshot lineage rides Iceberg's own snapshot
-    log (``<name>.snapshots``) instead of the shim's JSON manifest."""
+    tested default here. Snapshot history rides Iceberg's own snapshot
+    log (``<name>.snapshots``); write lineage (the shim's JSON-manifest
+    payload) is recorded as table properties keyed by snapshot id."""
 
     def __init__(self, spark: SparkSession, name: str, partition_by: list[str]):
         self.spark = spark
@@ -215,25 +216,49 @@ class IcebergTable:
             w.overwritePartitions()
         else:
             w.partitionedBy(*[F.col(c) for c in self.partition_by]).createOrReplace()
-        return self._last_snapshot_id()
+        return self._record_lineage(lineage)
 
     def append(self, df: DataFrame, lineage: dict | None = None) -> str:
         df.writeTo(self.name).append()
-        return self._last_snapshot_id()
+        return self._record_lineage(lineage)
 
     def expire_days_before(
         self, cutoff: str, day_col: str = "day", lineage: dict | None = None
     ) -> int:
         """Partition-level retention via Iceberg metadata delete: a DELETE
         whose predicate aligns with partition boundaries drops whole
-        partitions without rewriting data files."""
-        before = self.read().filter(f"{day_col} < '{cutoff}'").count()
+        partitions without rewriting data files. Returns the DROPPED
+        PARTITION count — the same unit as the parquet shim (callers like
+        ``run_job`` surface it as ``result['expired']``). The count reads
+        the pre-delete snapshot; a writer racing between count and DELETE
+        can skew the number (the DELETE itself is snapshot-isolated)."""
+        n_parts = (
+            self.read()
+            .filter(f"{day_col} < '{cutoff}'")
+            .select(day_col)
+            .distinct()
+            .count()
+        )
         self.spark.sql(f"DELETE FROM {self.name} WHERE {day_col} < '{cutoff}'")
-        return before
+        if n_parts:
+            self._record_lineage({**(lineage or {}), "retention_cutoff": cutoff})
+        return n_parts
 
     @property
     def snapshots(self) -> list[dict]:
         return [r.asDict() for r in self.spark.sql(f"SELECT * FROM {self.name}.snapshots").collect()]
+
+    def _record_lineage(self, lineage: dict | None) -> str:
+        """Attach the write's lineage payload (the shim's JSON-manifest
+        analog) to the table as a property keyed by the new snapshot id."""
+        snap = self._last_snapshot_id()
+        if lineage and snap:
+            payload = json.dumps(lineage, default=str).replace("'", "''")
+            self.spark.sql(
+                f"ALTER TABLE {self.name} SET TBLPROPERTIES "
+                f"('rove.lineage.{snap}' = '{payload}')"
+            )
+        return snap
 
     def _last_snapshot_id(self) -> str:
         rows = self.spark.sql(
@@ -242,14 +267,28 @@ class IcebergTable:
         return str(rows[0][0]) if rows else ""
 
 
+def _derive_table_name(path: str) -> str:
+    """Filesystem-ish path → valid catalog identifier under rove.db."""
+    import re as _re
+
+    leaf = _re.sub(r"[^A-Za-z0-9_]", "_", Path(path).name)
+    if not leaf or not (leaf[0].isalpha() or leaf[0] == "_"):
+        leaf = "t_" + leaf  # identifiers must not start with a digit
+    return "rove.db." + leaf
+
+
 def open_table(spark: SparkSession, path_or_name: str | Path, partition_by: list[str]):
     """Tier-table factory: a real ``IcebergTable`` when the session carries
     the probe-gated ``rove`` Iceberg catalog, else the parquet shim. The
     engine only touches the shared surface (read / overwrite_partitions /
-    append / expire_days_before / snapshots), so the swap is config-only."""
+    append / expire_days_before / snapshots), so the swap is config-only.
+
+    Only an explicit ``rove.``-qualified name is taken verbatim; anything
+    else (absolute/relative paths, even ones containing dots) derives a
+    sanitized ``rove.db.<leaf>`` identifier."""
+    name = str(path_or_name)
     if spark.conf.get("spark.sql.catalog.rove", None):
-        name = str(path_or_name)
-        if "." not in name:  # a filesystem-ish path → derive a table name
-            name = "rove.db." + Path(name).name.replace("=", "_").replace("-", "_")
+        if not name.startswith("rove."):
+            name = _derive_table_name(name)
         return IcebergTable(spark, name, partition_by)
     return PartitionedTable(path_or_name, partition_by)
