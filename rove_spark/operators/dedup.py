@@ -207,16 +207,51 @@ def _cap_buckets(
 
 
 def with_shingles(
-    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "shingles",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Distinct word n-gram shingle hashes (int64) per doc — the set the
-    Jaccard similarity is defined over. Pure column expressions."""
+    Jaccard similarity is defined over.
+
+    Two equivalent physical shapes (identical output SETS; the codegen
+    path returns them sorted):
+
+    - ``id_col=None``: pure column expressions (per-row array lambdas).
+      Generic — needs no row key — but higher-order-function lambdas are
+      INTERPRETED per element, so each trigram pays an interpreted
+      slice+concat+hash (the with_simhash_portable lesson, CLAUDE.md).
+    - ``id_col=...``: posexplode words → lead-window n-grams → one
+      codegen hash-aggregate (sort_array ∘ collect_set) → join back.
+      Two narrow shuffles on the id, everything whole-stage codegen —
+      measured ~3× on the 4 s shingle stage at sf0.1. This is the path
+      ``minhash_dedup`` uses (it always has an id)."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    # sequence(1, 0) would *descend* — short/empty docs get no shingles
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))))
-    return df.withColumn(out_col, F.array_distinct(grams))
+    if id_col is None:
+        k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+        # sequence(1, 0) would *descend* — short/empty docs get no shingles
+        idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))))
+        return df.withColumn(out_col, F.array_distinct(grams))
+    from pyspark.sql import Window
+
+    exploded = df.select(F.col(id_col).alias("_sid"), F.posexplode_outer(words))
+    win = Window.partitionBy("_sid").orderBy("pos")
+    leads = [F.col("col")] + [F.lead("col", j).over(win) for j in range(1, n)]
+    gram = F.xxhash64(F.concat_ws(" ", *leads))
+    grams = (
+        exploded.withColumn("_g", gram)
+        # the window's last (n-1) positions have no full n-gram
+        .withColumn("_ok", F.lead("col", n - 1).over(win).isNotNull())
+        .filter(F.col("_ok"))
+        .groupBy("_sid")
+        .agg(F.sort_array(F.collect_set("_g")).alias(out_col))
+    )
+    return df.join(
+        grams.withColumnRenamed("_sid", id_col), id_col, "left"
+    ).withColumn(out_col, F.coalesce(F.col(out_col), F.array().cast("array<bigint>")))
 
 
 def with_minhash(
@@ -252,6 +287,50 @@ def with_minhash(
         ]
     )
     return df.withColumn(out_col, sig)
+
+
+def _shingle_minhash_fused(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 13,
+    shingle_col: str = "shingles",
+    minhash_col: str = "minhash",
+) -> DataFrame:
+    """``with_shingles(id_col=...)`` + ``with_minhash`` in ONE codegen
+    aggregate: the exploded n-gram rows feed 64 ``min(xxhash64(seed_i,
+    gram))`` aggregates AND the sorted shingle set in a single groupBy —
+    no interpreted array lambdas anywhere (min over non-distinct grams ≡
+    min over the distinct set, so no pre-dedup is needed). Values are
+    IDENTICAL to the composed functions, including the empty-set
+    sentinel signature."""
+    from pyspark.sql import Window
+
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    exploded = df.select(F.col(id_col).alias("_sid"), F.posexplode_outer(words))
+    win = Window.partitionBy("_sid").orderBy("pos")
+    leads = [F.col("col")] + [F.lead("col", j).over(win) for j in range(1, n)]
+    grams = (
+        exploded.withColumn("_g", F.xxhash64(F.concat_ws(" ", *leads)))
+        .withColumn("_ok", F.lead("col", n - 1).over(win).isNotNull())
+        .filter(F.col("_ok"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed + i), F.col("_g"))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    g = grams.groupBy("_sid").agg(F.sort_array(F.collect_set("_g")).alias(shingle_col), *aggs)
+    g = g.withColumn(
+        minhash_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    ).drop(*[f"_m{i}" for i in range(num_hashes)])
+    sentinel = F.array(*[F.lit(-(1 << 62) - seed - i).cast("long") for i in range(num_hashes)])
+    return (
+        df.join(g.withColumnRenamed("_sid", id_col), id_col, "left")
+        .withColumn(shingle_col, F.coalesce(F.col(shingle_col), F.array().cast("array<bigint>")))
+        .withColumn(minhash_col, F.coalesce(F.col(minhash_col), sentinel))
+    )
 
 
 def lsh_candidate_pairs(
@@ -365,8 +444,10 @@ def minhash_dedup(
         base = reps
     else:
         base = df
-    sh = with_shingles(base, text_col, n=shingle_n)
-    mh = with_minhash(sh, num_hashes=num_hashes)
+    mh = _shingle_minhash_fused(
+        base, text_col, id_col, n=shingle_n, num_hashes=num_hashes
+    )
+    sh = mh  # carries the shingle sets too (one fused aggregate)
     cands = lsh_candidate_pairs(
         mh,
         id_col=id_col,
