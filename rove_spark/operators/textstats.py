@@ -136,7 +136,10 @@ def with_fingerprint(
 
 
 def with_fingerprint_portable(
-    df: DataFrame, text_col: str = "text", k_smallest: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    k_smallest: int = 8,
+    id_col: str | None = None,
 ) -> DataFrame:
     """``with_fingerprint``'s cross-engine twin: md5-based trigram hashes
     (15-hex-digit prefix → int64, the repo's portable-hash idiom — see
@@ -149,22 +152,48 @@ def with_fingerprint_portable(
     Splits on an EXPLICIT ASCII whitespace class instead of ``\\s``: Java
     ``\\s`` includes vertical tab \\x0B, RE2's does not, and a hash-exact
     oracle can't tolerate the divergence. The class below IS Java's
-    default ``\\s`` set, spelled portably for both regex engines."""
+    default ``\\s`` set, spelled portably for both regex engines.
+
+    With ``id_col`` the trigram hashes compute on exploded rows through
+    one codegen aggregate instead of interpreted per-element array
+    lambdas — same shape (and same ~4× win) as
+    ``dedup._shingle_minhash_fused``; identical output values."""
     ws = r"[ \t\n\x0B\f\r]+"
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), ws), lambda w: F.length(w) > 0
-    )
-    n = F.greatest(F.size(words) - 2, F.lit(0))
-    # sequence(1, 0) would *descend* — guard short/empty docs explicitly
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, 3))), 1, 15), 16, 10
-        ).cast("long"),
-    )
-    smallest = F.slice(F.array_sort(F.array_distinct(grams)), 1, k_smallest)
-    return df.withColumns(
+    split_words = F.split(F.lower(F.col(text_col)), ws)
+    if id_col is None:
+        words = F.filter(split_words, lambda w: F.length(w) > 0)
+        n = F.greatest(F.size(words) - 2, F.lit(0))
+        # sequence(1, 0) would *descend* — guard short/empty docs explicitly
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idx,
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, 3))), 1, 15), 16, 10
+            ).cast("long"),
+        )
+        smallest = F.slice(F.array_sort(F.array_distinct(grams)), 1, k_smallest)
+    else:
+        from pyspark.sql import Window
+
+        exploded = (
+            df.select(F.col(id_col).alias("_fid"), F.posexplode_outer(split_words))
+            .filter(F.length("col") > 0)  # empty-word filter, pre-window
+        )
+        win = Window.partitionBy("_fid").orderBy("pos")
+        leads = [F.col("col"), F.lead("col", 1).over(win), F.lead("col", 2).over(win)]
+        gram = F.conv(
+            F.substring(F.md5(F.concat_ws(" ", *leads)), 1, 15), 16, 10
+        ).cast("long")
+        sm = (
+            exploded.withColumn("_g", gram)
+            .withColumn("_ok", F.lead("col", 2).over(win).isNotNull())
+            .filter(F.col("_ok"))
+            .groupBy("_fid")
+            .agg(F.slice(F.sort_array(F.collect_set("_g")), 1, k_smallest).alias("_sm"))
+        )
+        df = df.join(sm.withColumnRenamed("_fid", id_col), id_col, "left")
+        smallest = F.coalesce(F.col("_sm"), F.array().cast("array<bigint>"))
+    out = df.withColumns(
         {
             "fp_exact": F.md5(F.col(text_col)),
             "fp_robust": F.md5(
@@ -172,6 +201,7 @@ def with_fingerprint_portable(
             ),
         }
     )
+    return out.drop("_sm") if id_col is not None else out
 
 
 # ------------------------------------------------------------- PII scan --

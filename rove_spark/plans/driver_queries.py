@@ -1765,7 +1765,7 @@ def q_fingerprints(spark, sf):
 
     _utc(spark)
     docs = read_table(spark, sf, "documents").filter(F.col("text").isNotNull())
-    out = with_fingerprint_portable(docs)
+    out = with_fingerprint_portable(docs, id_col="doc_id")
     return out.select("doc_id", "fp_exact", "fp_robust")
 
 
