@@ -116,6 +116,21 @@ def main() -> None:
         )
     )
 
+    from rove_spark.operators.dedup import _shingle_minhash_fused
+
+    sections.append(
+        (
+            "Fused shingle + 64-lane MinHash aggregate",
+            "Higher-order-function lambdas are interpreted per element, so "
+            "the trigram/signature math runs on EXPLODED rows instead: "
+            "Generate (posexplode) → Window (lead n-grams) → ONE "
+            "HashAggregate pair computing the shingle set and all 64 "
+            "min-hash lanes inside WholeStageCodegen (round-4: 4× vs the "
+            "array-lambda shape, exact value equivalence).",
+            formatted(_shingle_minhash_fused(docs, "text", "doc_id")),
+        )
+    )
+
     out = ["# PLANS — physical plans of the key operators\n"]
     out.append(
         "Generated by `python scripts/explain_report.py`; properties asserted "
