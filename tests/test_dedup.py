@@ -141,6 +141,26 @@ def test_dedup_components(spark, docs):
     assert got[5] == 5  # singleton
 
 
+def test_fused_shingle_minhash_equals_composed(spark, docs):
+    """The codegen explode/window/aggregate path must produce EXACTLY the
+    composed with_shingles∘with_minhash values — shingle sets,
+    signatures, and the empty-set sentinel (doc with <3 words)."""
+    extra = spark.createDataFrame([(9001, "tiny doc"), (9002, "")], "doc_id long, text string")
+    base = docs.select("doc_id", "text").unionByName(extra)
+    comp = dedup.with_minhash(dedup.with_shingles(base)).select(
+        "doc_id", F.sort_array(F.array_distinct("shingles")).alias("s"), "minhash"
+    )
+    fused = dedup._shingle_minhash_fused(base, "text", "doc_id").select(
+        "doc_id", F.col("shingles").alias("s"), "minhash"
+    )
+    j = comp.alias("c").join(fused.alias("f"), "doc_id")
+    assert j.count() == base.count()
+    bad = j.filter(
+        (F.col("c.s") != F.col("f.s")) | (F.col("c.minhash") != F.col("f.minhash"))
+    ).count()
+    assert bad == 0
+
+
 def test_dedup_components_chain_converges_logarithmically(spark):
     """Planted 64-node path graph: pointer doubling must converge within
     ~⌈log₂ 64⌉ rounds (plain one-hop propagation would need 63 —

@@ -62,6 +62,68 @@ def test_values_constant_compresses_to_bits():
     np.testing.assert_array_equal(gorilla.decode_values(blob), v)
 
 
+@given(st.data())
+@settings(max_examples=25, deadline=None)
+def test_grouped_entry_builders_equal_per_chunk_encoders(data):
+    """The segmented group encoders must slice into byte-identical
+    timestamp blobs (same class policy as the scalar path) and
+    decode-identical value blobs, across random segment structures
+    including empty and 1-point segments."""
+    n_seg = data.draw(st.integers(1, 12))
+    lens = [data.draw(st.integers(0, 40)) for _ in range(n_seg)]
+    ts_chunks = [
+        np.sort(
+            np.asarray(
+                data.draw(st.lists(st.integers(-(2**40), 2**40), min_size=ln, max_size=ln)),
+                dtype=np.int64,
+            )
+        )
+        for ln in lens
+    ]
+    T = (
+        np.concatenate(ts_chunks)
+        if any(lens)
+        else np.empty(0, np.int64)
+    )
+    tc, tb, toff = gorilla._ts_entries_grouped(T, np.asarray(lens, np.int64))
+    for k, c in enumerate(ts_chunks):
+        blob = gorilla._pack_bits(tc[toff[k] : toff[k + 1]], tb[toff[k] : toff[k + 1]])
+        assert blob == gorilla.encode_timestamps(c), k
+    v_chunks = [
+        np.asarray(
+            data.draw(st.lists(st.floats(width=32, allow_nan=False), min_size=ln, max_size=ln)),
+            dtype=np.float32,
+        )
+        for ln in lens
+    ]
+    V = np.concatenate(v_chunks) if any(lens) else np.empty(0, np.float32)
+    vc, vb, voff = gorilla._val_entries_grouped(V, np.asarray(lens, np.int64))
+    for k, c in enumerate(v_chunks):
+        blob = gorilla._pack_bits(vc[voff[k] : voff[k + 1]], vb[voff[k] : voff[k + 1]])
+        got = gorilla.decode_values(blob)
+        np.testing.assert_array_equal(got.view(np.uint32), c.view(np.uint32))
+    # _BatchPacker.add_many slices == packing each blob alone
+    p = gorilla._BatchPacker()
+    p.add_many(tc, tb, toff)
+    p.add_many(vc, vb, voff)
+    blobs = p.blobs()
+    for k, c in enumerate(ts_chunks):
+        assert blobs[k] == gorilla.encode_timestamps(c)
+
+
+def test_timestamps_pathological_int64_roundtrip():
+    """Totality: delta-of-deltas beyond ±2^63 wrap mod 2^64 and decode
+    exactly (the docstring's 'total over int64' claim, made true in
+    round 4 — previously OverflowError)."""
+    for ts in (
+        [0, 2**62, -(2**62), 5, 2**62],
+        [-(2**63), 2**63 - 1, 0],
+        [2**63 - 1, -(2**63)],
+    ):
+        a = np.asarray(ts, np.int64)
+        np.testing.assert_array_equal(gorilla.decode_timestamps(gorilla.encode_timestamps(a)), a)
+
+
 def test_chunk_roundtrip_with_gaps():
     ts = np.arange(0, 600, 60, dtype=np.int64)
     values = np.asarray([1.5, np.nan, 2.5, 3.5, np.nan, 4.0, 4.0, 5.0, 6.0, 7.25], np.float32)

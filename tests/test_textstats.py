@@ -92,6 +92,25 @@ def test_fingerprint_portable_matches_semantics(spark, docs):
     assert fps[1].fp_robust == again[1].fp_robust
 
 
+def test_fingerprint_portable_codegen_path_equals_lambda_path(spark, docs):
+    """with_fingerprint_portable(id_col=...) — explode/window/codegen —
+    must equal the generic array-lambda path exactly, including empty
+    and <3-word docs."""
+    extra = spark.createDataFrame([(9001, "one two"), (9002, "")], "doc_id long, text string")
+    base = docs.select("doc_id", "text").unionByName(extra)
+    a = textstats.with_fingerprint_portable(base).select("doc_id", "fp_exact", "fp_robust")
+    b = textstats.with_fingerprint_portable(base, id_col="doc_id").select(
+        "doc_id", "fp_exact", "fp_robust"
+    )
+    j = a.alias("a").join(b.alias("b"), "doc_id")
+    assert j.count() == base.count()
+    bad = j.filter(
+        (F.col("a.fp_exact") != F.col("b.fp_exact"))
+        | (F.col("a.fp_robust") != F.col("b.fp_robust"))
+    ).count()
+    assert bad == 0
+
+
 def test_on_documents_table(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = textstats.with_quality(textstats.with_langid(textstats.with_token_stats(docs)))
