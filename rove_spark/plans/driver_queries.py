@@ -1547,6 +1547,18 @@ def _sql_sct_small(levels: int = 7, rounds: int = 1, flag_name: str = "flag_sct_
 )"""
 
     all_rounds = ",\n".join(round_ctes(r) for r in range(1, rounds + 1))
+    # depth guard: the unroll covers groups ≤ 3·2^levels. At a larger sf
+    # an undersplit (>3-station) leaf would silently drop from the bk=3
+    # filter and present as an sct hash-mismatch "regression"; error()
+    # instead so the failure names the oracle-depth limit explicitly.
+    guard_union = " UNION ALL ".join(
+        f"SELECT bk FROM r{r}fin" for r in range(1, rounds + 1)
+    )
+    guard = (
+        f"guard AS (SELECT CASE WHEN coalesce(max(bk), 0) > 3 THEN error("
+        f"'sct oracle KD unroll (levels={levels}) too shallow for this "
+        f"station count — raise levels') ELSE 0 END AS ok FROM ({guard_union}))"
+    )
     return f"""
 WITH dv AS MATERIALIZED (
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, avg(value) AS dv
@@ -1559,14 +1571,16 @@ WITH dv AS MATERIALIZED (
 ), ex1 AS (
   SELECT user_id, ts FROM h WHERE FALSE
 ),
-{all_rounds}
+{all_rounds},
+{guard}
 SELECT h.user_id, h.ts,
        CAST(CASE WHEN h.dv IS NULL THEN 5
                  WHEN ex{rounds + 1}.user_id IS NOT NULL THEN 1
                  WHEN coalesce(cnt{rounds}.n_inner, 0) < {SCT_NUM_MIN} THEN 6
-                 ELSE 0 END AS INT) AS {flag_name}
+                 ELSE 0 END AS INT) + guard.ok AS {flag_name}
 FROM h LEFT JOIN ex{rounds + 1} USING (user_id, ts)
        LEFT JOIN cnt{rounds} USING (user_id, ts)
+       CROSS JOIN guard
 """
 
 
@@ -1855,8 +1869,7 @@ def q_retention_drop(spark, sf):
     recomputes the surviving (day, n_rows, n_turns) set with the same
     day arithmetic in DuckDB — proving the deletes removed exactly the
     planned partitions and nothing else."""
-    import hashlib
-    import shutil
+    import tempfile
 
     from rove_spark.operators.rollup import retention_expire
     from rove_spark.sources.tables import PartitionedTable
@@ -1867,8 +1880,10 @@ def q_retention_drop(spark, sf):
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         "user_id",
     ).agg(F.count(F.lit(1)).alias("n_turns"))
-    path = f"/tmp/rove_retention_drop_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
-    shutil.rmtree(path, ignore_errors=True)
+    # per-invocation unique dir: a fixed sf-keyed path raced two concurrent
+    # harness runs (one deletes partitions under the other's lazy read-back)
+    # and any later rebuild of the same query invalidated the returned frame
+    path = tempfile.mkdtemp(prefix="rove_retention_drop_")
     table = PartitionedTable(path, ["day"])
     table.overwrite_partitions(tier, lineage={"query": "retention_drop"})
     cutoff = ev.agg(

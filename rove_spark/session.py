@@ -112,22 +112,32 @@ def get_spark(
     extra_conf = dict(extra_conf or {})
     iceberg_jar = probe_iceberg()
     if iceberg_jar:
-        wh = os.environ.get("ROVE_WAREHOUSE", "/tmp/rove_warehouse")
-        # comma-merge with any caller-supplied jars: overwriting would drop
-        # the iceberg jar from the classpath while the catalog/extensions
-        # configs remain, failing session startup with ClassNotFound
-        caller_jars = extra_conf.pop("spark.jars", None)
-        jars = f"{iceberg_jar},{caller_jars}" if caller_jars else iceberg_jar
-        b = (
-            b.config("spark.jars", jars)
-            .config(
-                "spark.sql.extensions",
-                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
-            )
-            .config("spark.sql.catalog.rove", "org.apache.iceberg.spark.SparkCatalog")
-            .config("spark.sql.catalog.rove.type", "hadoop")
-            .config("spark.sql.catalog.rove.warehouse", os.path.join(wh, "iceberg"))
-        )
+        for k, v in _iceberg_confs(iceberg_jar, extra_conf).items():
+            b = b.config(k, v)
     for k, v in extra_conf.items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def _iceberg_confs(iceberg_jar: str, extra_conf: dict[str, str]) -> dict[str, str]:
+    """Iceberg catalog configs, COMMA-MERGED with caller-supplied
+    ``spark.jars`` / ``spark.sql.extensions`` popped from ``extra_conf``.
+    Overwriting either would half-break the session: dropping the jar
+    fails startup with ClassNotFound, while a caller extensions entry
+    applied after this block would silently replace the Iceberg
+    extensions while the rove catalog confs remain — leaving Iceberg
+    DDL/DELETE broken in a session ``open_table`` still routes to
+    ``IcebergTable``."""
+    wh = os.environ.get("ROVE_WAREHOUSE", "/tmp/rove_warehouse")
+    caller_jars = extra_conf.pop("spark.jars", None)
+    iceberg_ext = "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+    caller_ext = extra_conf.pop("spark.sql.extensions", None)
+    return {
+        "spark.jars": f"{iceberg_jar},{caller_jars}" if caller_jars else iceberg_jar,
+        "spark.sql.extensions": (
+            f"{iceberg_ext},{caller_ext}" if caller_ext else iceberg_ext
+        ),
+        "spark.sql.catalog.rove": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.rove.type": "hadoop",
+        "spark.sql.catalog.rove.warehouse": os.path.join(wh, "iceberg"),
+    }

@@ -268,13 +268,22 @@ class IcebergTable:
 
 
 def _derive_table_name(path: str) -> str:
-    """Filesystem-ish path → valid catalog identifier under rove.db."""
+    """Filesystem-ish path → valid catalog identifier under rove.db.
+
+    The identifier embeds a digest of the full *resolved* path, not just
+    the leaf: two jobs writing tier_1m under different out_dirs must map
+    to different catalog tables, or they silently clobber each other's
+    data while their per-out_dir checkpoint manifests still claim
+    isolation."""
+    import hashlib as _hashlib
     import re as _re
 
+    resolved = str(Path(path).resolve())
     leaf = _re.sub(r"[^A-Za-z0-9_]", "_", Path(path).name)
     if not leaf or not (leaf[0].isalpha() or leaf[0] == "_"):
         leaf = "t_" + leaf  # identifiers must not start with a digit
-    return "rove.db." + leaf
+    digest = _hashlib.md5(resolved.encode()).hexdigest()[:8]
+    return f"rove.db.{leaf}_{digest}"
 
 
 def open_table(spark: SparkSession, path_or_name: str | Path, partition_by: list[str]):

@@ -69,3 +69,14 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.schema is not None
+
+
+def test_sct_oracle_depth_guard_fires():
+    """An undersplit KD leaf must raise a named oracle-depth error, not
+    silently drop rows into a hash mismatch (ADVICE r4): levels=1 covers
+    only 3*2=6 stations, far below sf0.01's 150."""
+    from rove_spark.plans.driver_queries import _sql_sct_small
+
+    con = _duck()
+    with pytest.raises(duckdb.Error, match="too shallow"):
+        con.execute(_sql_sct_small(levels=1))

@@ -41,6 +41,39 @@ def test_open_table_name_derivation():
 
     t = open_table(_FakeSpark(), "/tmp/tiers-1d", ["day"])
     assert isinstance(t, IcebergTable)
-    assert t.name == "rove.db.tiers_1d"
+    # leaf + digest of the full resolved path: same leaf under two
+    # out_dirs must NOT collide on one catalog table (ADVICE r4)
+    assert t.name.startswith("rove.db.tiers_1d_")
+    other = open_table(_FakeSpark(), "/tmp/elsewhere/tiers-1d", ["day"])
+    assert other.name != t.name
+    # deterministic: same path → same identifier (resume must re-find it)
+    assert open_table(_FakeSpark(), "/tmp/tiers-1d", ["day"]).name == t.name
     t2 = open_table(_FakeSpark(), "rove.db.mytable", ["day"])
     assert t2.name == "rove.db.mytable"
+
+
+def test_iceberg_conf_merge_preserves_caller_entries():
+    """Caller-supplied spark.jars AND spark.sql.extensions comma-merge with
+    the Iceberg entries instead of being overwritten (ADVICE r4: a caller
+    extensions entry applied after the Iceberg block silently replaced the
+    IcebergSparkSessionExtensions while the catalog confs remained)."""
+    from rove_spark.session import _iceberg_confs
+
+    extra = {
+        "spark.jars": "/opt/custom.jar",
+        "spark.sql.extensions": "com.example.MyExtensions",
+        "spark.foo": "bar",
+    }
+    confs = _iceberg_confs("/opt/iceberg.jar", extra)
+    assert confs["spark.jars"] == "/opt/iceberg.jar,/opt/custom.jar"
+    assert confs["spark.sql.extensions"] == (
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions,"
+        "com.example.MyExtensions"
+    )
+    # both merged keys popped so the later extra_conf loop can't overwrite
+    assert "spark.jars" not in extra and "spark.sql.extensions" not in extra
+    assert extra == {"spark.foo": "bar"}
+    # without caller entries: plain Iceberg values
+    plain = _iceberg_confs("/opt/iceberg.jar", {})
+    assert plain["spark.jars"] == "/opt/iceberg.jar"
+    assert plain["spark.sql.extensions"].endswith("IcebergSparkSessionExtensions")
