@@ -889,3 +889,106 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cosine")
     )
     return pairs
+
+
+def md5_hyperplanes(n_planes: int, dim: int) -> list[tuple[int, int, float]]:
+    """Deterministic cross-engine hyperplane components: for plane p and
+    dimension d, w(p,d) = u32(md5('plane|p|d')) / 2^32 * 2 - 1 ∈ [-1, 1).
+    Any engine with md5 can rebuild the identical planes (DuckDB via the
+    ``synthetic_coords_sql`` strpos-polynomial recipe), which is what
+    makes the embedding near-dup driver query exactly oracle-able —
+    uniform components are fine for sign-LSH (symmetric about 0)."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"plane|{p}|{d}".encode()).hexdigest()
+            out.append((p, d, int(h[:8], 16) / 4294967296.0 * 2.0 - 1.0))
+    return out
+
+
+def embedding_near_dup_pairs_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cross-engine-reproducible twin of ``embedding_near_dup_pairs``:
+    md5-derived hyperplanes (``md5_hyperplanes``) instead of a seeded
+    numpy RNG, and a fully relational plan instead of per-plane
+    higher-order-function dot products — posexplode the vector once,
+    broadcast-join the (plane, dim, weight) literal table, and compute
+    all ``bands·planes_per_band`` sketch dots as ONE groupBy with plain
+    sums (HOF lambdas are interpreted per element; the explode+aggregate
+    shape is the measured-fast path, CLAUDE.md).
+
+    Components are cast to DOUBLE before multiplying so both engines do
+    f64 arithmetic (DuckDB promotes FLOAT·DOUBLE to f64; a Spark-side
+    f32 product would round differently at ~1e-8 and could flip sketch
+    signs / 6-dp cosine rounding at boundaries). Remaining cross-engine
+    drift is summation order only (~1e-15 relative) — sign decisions and
+    6-dp rounding are robust to it w.h.p.
+
+    Returns (id_a, id_b, cosine) for pairs sharing ≥1 band sketch with
+    exact cosine ≥ threshold; ``cosine`` rounded to 6 dp for stable
+    cross-engine value hashing."""
+    spark = df.sparkSession
+    if dim is None:
+        dim = int(df.select(F.size(vec_col)).first()[0])
+    n_planes = bands * planes_per_band
+    planes = spark.createDataFrame(
+        md5_hyperplanes(n_planes, dim), "p INT, d INT, w DOUBLE"
+    )
+    comp = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    )
+    dots = (
+        comp.join(F.broadcast(planes), "d")
+        .groupBy("_id", "p")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    sk = dots.groupBy(
+        "_id", (F.col("p") / planes_per_band).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, 1).otherwise(0)
+            # python F.shiftleft requires a literal bit count; SQL's takes
+            # a column expression
+            * F.expr(f"shiftleft(1, p % {planes_per_band})")
+        ).alias("sketch")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.sketch") == F.col("b.sketch"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    norms = comp.groupBy("_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("n"))
+    dp = (
+        cand.join(comp.select(F.col("_id").alias("id_a"), "d", F.col("x").alias("xa")), "id_a")
+        .join(
+            comp.select(F.col("_id").alias("id_b"), "d", F.col("x").alias("xb")),
+            ["id_b", "d"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dp"))
+    )
+    cos = F.col("dp") / (F.col("na") * F.col("nb"))
+    return (
+        dp.join(norms.select(F.col("_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(norms.select(F.col("_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )

@@ -2213,6 +2213,70 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_embedding_neardup(spark, sf):
+    """Embedding near-dup via portable sign-LSH (round-4 verdict item 2 —
+    the one dedup operator that had no oracle row): md5-derived
+    hyperplanes (8 bands × 4 planes), band-sketch bucket self-join, exact
+    cosine verify on candidates only. Threshold 0.30 because the testdata
+    embeddings have no planted high-cosine dups (max pairwise cosine
+    ≈0.51 at sf0.01) — the operator path exercised is identical at any
+    threshold, and planted-pair recall stays gated in test_dedup. The
+    DuckDB oracle rebuilds the identical planes from md5 hex and the
+    identical candidates, so the pair set + 6-dp cosines hash-match."""
+    from rove_spark.operators.dedup import embedding_near_dup_pairs_portable
+
+    _utc(spark)
+    emb = read_table(spark, sf, "embeddings")
+    return embedding_near_dup_pairs_portable(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.30
+    )
+
+
+def _sql_embedding_neardup(
+    threshold: float = 0.30, bands: int = 8, planes_per_band: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of q_embedding_neardup: planes from the same
+    md5('plane|p|d') u32 recipe (strpos polynomial — no hex-parse
+    builtin), components cast to DOUBLE (f64 products in both engines),
+    integer band sketches (no string-ordering dependence)."""
+    n_planes = bands * planes_per_band
+    u32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH planes AS MATERIALIZED (
+  SELECT p, d, (({u32}) / 4294967296.0) * 2.0 - 1.0 AS w
+  FROM (SELECT p.p AS p, d.d AS d,
+               md5('plane|' || CAST(p.p AS VARCHAR) || '|' || CAST(d.d AS VARCHAR)) AS h
+        FROM range({n_planes}) p(p), range({dim}) d(d))
+), comp AS MATERIALIZED (
+  SELECT vec_id, i AS d, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings, range({dim}) t(i)
+), dots AS MATERIALIZED (
+  SELECT c.vec_id, pl.p, sum(c.x * pl.w) AS dot
+  FROM comp c JOIN planes pl ON pl.d = c.d GROUP BY 1, 2
+), sk AS MATERIALIZED (
+  SELECT vec_id, p // {planes_per_band} AS band,
+         sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END) * (1 << (p % {planes_per_band}))) AS sketch
+  FROM dots GROUP BY 1, 2
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sk a JOIN sk b ON a.band = b.band AND a.sketch = b.sketch AND a.vec_id < b.vec_id
+), norms AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(x * x)) AS n FROM comp GROUP BY 1
+), dp AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, sum(ca.x * cb.x) AS dp
+  FROM cand c JOIN comp ca ON ca.vec_id = c.id_a
+              JOIN comp cb ON cb.vec_id = c.id_b AND cb.d = ca.d
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dp / (na.n * nb.n), 6) AS cosine
+FROM dp JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+WHERE dp / (na.n * nb.n) >= {threshold}
+"""
+
+
 # ------------------------------------------------------------- registry --
 
 
@@ -2255,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
+        "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "polygon_filter": q_polygon_filter,
         "fill_forward": q_fill_forward,
@@ -2306,6 +2371,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn": SQL_KNN,
         "buddy_check": _sql_buddy(),
         "minhash_neardup": SQL_MINHASH,
+        "embedding_neardup": _sql_embedding_neardup(),
         "multimodal_features": _sql_multimodal(),
         "sct_isolated": _sql_sct_isolated(),
         "sct_small": _sql_sct_small(),

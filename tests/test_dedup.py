@@ -452,3 +452,49 @@ def test_fuzz_collapse_equals_direct_random_corpus(spark):
         (r.id_a, r.id_b, r.hamming) for r in dedup.simhash_dedup(df).collect()
     }
     assert sh_coll == sh_direct and len(sh_coll) > 20
+
+
+def test_embedding_portable_planted_recall(spark):
+    """The md5-hyperplane portable variant finds planted near-dups at its
+    banded threshold, with exact cosine verification (driver-query twin)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    dim, rows, vid = 16, [], 0
+    planted = set()
+    for _ in range(20):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        near = base + rng.standard_normal(dim) * 0.03
+        near /= np.linalg.norm(near)
+        if float(base @ near) >= 0.95:
+            planted.add((vid, vid + 1))
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in near]))
+        vid += 2
+    for _ in range(40):
+        v = rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_near_dup_pairs_portable(
+            df, threshold=0.95, dim=dim
+        ).collect()
+    }
+    found = planted & set(got)
+    assert len(found) / max(1, len(planted)) >= 0.9
+    # exact verify: every returned cosine really is >= threshold
+    assert all(c >= 0.95 for c in got.values())
+
+
+def test_md5_hyperplanes_deterministic_and_bounded():
+    p1 = dedup.md5_hyperplanes(4, 8)
+    p2 = dedup.md5_hyperplanes(4, 8)
+    assert p1 == p2
+    assert len(p1) == 32
+    assert all(-1.0 <= w < 1.0 for _, _, w in p1)
+    # roughly sign-balanced (uniform over [-1,1))
+    pos = sum(1 for _, _, w in p1 if w >= 0)
+    assert 8 <= pos <= 24
