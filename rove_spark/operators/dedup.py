@@ -891,9 +891,11 @@ def embedding_near_dup_pairs(
     return pairs
 
 
-def md5_hyperplanes(n_planes: int, dim: int) -> list[tuple[int, int, float]]:
+def md5_hyperplanes(
+    n_planes: int, dim: int, tag: str = "plane"
+) -> list[tuple[int, int, float]]:
     """Deterministic cross-engine hyperplane components: for plane p and
-    dimension d, w(p,d) = u32(md5('plane|p|d')) / 2^32 * 2 - 1 ∈ [-1, 1).
+    dimension d, w(p,d) = u32(md5('<tag>|p|d')) / 2^32 * 2 - 1 ∈ [-1, 1).
     Any engine with md5 can rebuild the identical planes (DuckDB via the
     ``synthetic_coords_sql`` strpos-polynomial recipe), which is what
     makes the embedding near-dup driver query exactly oracle-able —
@@ -903,7 +905,7 @@ def md5_hyperplanes(n_planes: int, dim: int) -> list[tuple[int, int, float]]:
     out = []
     for p in range(n_planes):
         for d in range(dim):
-            h = hashlib.md5(f"plane|{p}|{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{tag}|{p}|{d}".encode()).hexdigest()
             out.append((p, d, int(h[:8], 16) / 4294967296.0 * 2.0 - 1.0))
     return out
 

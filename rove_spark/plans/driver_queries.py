@@ -2277,6 +2277,113 @@ WHERE dp / (na.n * nb.n) >= {threshold}
 """
 
 
+def _portable_centroids(spark, n_centroids: int = 8, dim: int = 64):
+    """Deterministic md5-derived coarse centroids (tag 'centroid') as a
+    (centroid_id, centroid array<double>) frame. Cosine ranking is
+    scale-invariant in the centroid, so no normalization — which keeps
+    the DuckDB twin to one sqrt per centroid."""
+    from rove_spark.operators.dedup import md5_hyperplanes
+
+    comps = md5_hyperplanes(n_centroids, dim, tag="centroid")
+    cent = [[0.0] * dim for _ in range(n_centroids)]
+    for c, d, w in comps:
+        cent[c][d] = w
+    return spark.createDataFrame(
+        [(i, cent[i]) for i in range(n_centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+
+
+def q_ivf_knn_partial(spark, sf):
+    """IVF at PARTIAL probe (n_probe=2 of 8 lists) under an EXACT oracle
+    (round-4 verdict item 4): with deterministic md5-derived centroids the
+    probed-list set is recomputable in SQL, so the oracle checks
+    subset-correctness — returned rows must be exactly the top-k restricted
+    to the probed lists. A probe-ranking or list-restriction regression
+    fails the hash check, not just a pytest recall gate. The trained
+    k-means quantizer stays covered by q_ivf_knn (full probe ≡ brute
+    force) + the test_ann recall gates."""
+    from rove_spark.operators.ann import ivf_topk
+
+    _utc(spark)
+    emb = read_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(
+        emb, q, k=10, n_probe=2, centroids=_portable_centroids(spark)
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _sql_ivf_partial(
+    n_centroids: int = 8, n_probe: int = 2, k: int = 10, dim: int = 64
+) -> str:
+    """DuckDB twin of q_ivf_knn_partial: rebuild the md5 centroids, assign
+    every vector to its max-cosine list (ties → lower centroid_id), pick
+    each query's n_probe best lists the same way, then exact top-k within
+    the probed lists only."""
+    u32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH cent AS MATERIALIZED (
+  SELECT c, d, (({u32}) / 4294967296.0) * 2.0 - 1.0 AS w
+  FROM (SELECT p.p AS c, d.d AS d,
+               md5('centroid|' || CAST(p.p AS VARCHAR) || '|' || CAST(d.d AS VARCHAR)) AS h
+        FROM range({n_centroids}) p(p), range({dim}) d(d))
+), cnorm AS MATERIALIZED (
+  SELECT c, sqrt(sum(w * w)) AS cn FROM cent GROUP BY 1
+), comp AS MATERIALIZED (
+  SELECT vec_id, i AS d, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings, range({dim}) t(i)
+), vnorm AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(x * x)) AS vn FROM comp GROUP BY 1
+), vc AS MATERIALIZED (
+  SELECT comp.vec_id, cent.c, sum(comp.x * cent.w) AS dot
+  FROM comp JOIN cent ON cent.d = comp.d GROUP BY 1, 2
+), vcr AS MATERIALIZED (
+  SELECT vc.vec_id, vc.c,
+         row_number() OVER (PARTITION BY vc.vec_id
+                            ORDER BY vc.dot / cn.cn DESC, vc.c ASC) AS r
+  FROM vc JOIN cnorm cn ON cn.c = vc.c
+), assign AS MATERIALIZED (
+  SELECT vec_id, c AS centroid_id FROM vcr WHERE r = 1
+), probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, c AS centroid_id FROM vcr
+  WHERE vec_id < 5 AND r <= {n_probe}
+), cand AS MATERIALIZED (
+  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)
+), qc AS MATERIALIZED (
+  SELECT vec_id AS query_id, d, x FROM comp WHERE vec_id < 5
+), dots AS MATERIALIZED (
+  SELECT c.query_id, c.vec_id, sum(qc.x * comp.x) AS dot
+  FROM cand c JOIN qc ON qc.query_id = c.query_id
+              JOIN comp ON comp.vec_id = c.vec_id AND comp.d = qc.d
+  GROUP BY 1, 2
+), scored AS MATERIALIZED (
+  SELECT d.query_id, d.vec_id, d.dot / (qn.vn * vn.vn) AS cosine
+  FROM dots d JOIN vnorm qn ON qn.vec_id = d.query_id
+              JOIN vnorm vn ON vn.vec_id = d.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(r AS INT) AS rank
+FROM ranked WHERE r <= {k}
+"""
+
+
 # ------------------------------------------------------------- registry --
 
 
@@ -2317,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "knn_cosine": q_knn_cosine,
         "ivf_knn": q_ivf_knn,
+        "ivf_knn_partial": q_ivf_knn_partial,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
@@ -2369,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": SQL_KNN,
         "simhash_neardup": SQL_SIMHASH,
         "ivf_knn": SQL_KNN,
+        "ivf_knn_partial": _sql_ivf_partial(),
         "buddy_check": _sql_buddy(),
         "minhash_neardup": SQL_MINHASH,
         "embedding_neardup": _sql_embedding_neardup(),
