@@ -2277,6 +2277,72 @@ WHERE dp / (na.n * nb.n) >= {threshold}
 """
 
 
+def q_rollup_1m_stream(spark, sf):
+    """Streaming 1m tier ≡ batch (round-4 verdict item 3): run
+    ``streaming.rollup_stream.stream_rollup`` over the events parquet with
+    ``Trigger.AvailableNow`` and return the finalized tier — the oracle is
+    the SAME SQL as batch rollup_1m, so the stream must equal batch
+    exactly. Complete-mode memory sink because append mode only emits
+    windows the watermark has passed: the final minutes of the dataset
+    would be held back in state forever and the stream would undercount
+    vs batch (the memory sink is the stream≡batch proof harness, not the
+    production sink — the production path appends finalized windows to
+    the tier table as the watermark closes them)."""
+    import uuid
+
+    from rove_spark.streaming.rollup_stream import stream_rollup
+
+    _utc(spark)
+    import os
+    import tempfile
+
+    batch_schema = read_table(spark, sf, "events").schema
+    # FileStreamSource needs a directory; the testdata table is a single
+    # parquet file — symlink it into a per-invocation temp dir (read-only
+    # testdata untouched)
+    stream_dir = tempfile.mkdtemp(prefix="rove_stream_src_")
+    os.symlink(
+        f"{sf.rstrip('/')}/events.parquet", os.path.join(stream_dir, "events.parquet")
+    )
+    src = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    # watermarks reject TIMESTAMP_NTZ event time; session TZ is UTC so the
+    # NTZ→LTZ cast (and the NTZ cast back on output) is value-identity
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    tier = stream_rollup(
+        src,
+        window="1 minute",
+        series_col="user_id",
+        ts_col="ts",
+        role_col=None,
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_sum_cents"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        ],
+    )
+    name = f"rollup_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        tier.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.col("bucket_ts").cast("timestamp_ntz").alias("bucket_ts"),
+        "n_events",
+        "value_sum_cents",
+        "value_min",
+        "value_max",
+    )
+
+
 def _portable_centroids(spark, n_centroids: int = 8, dim: int = 64):
     """Deterministic md5-derived coarse centroids (tag 'centroid') as a
     (centroid_id, centroid array<double>) frame. Cosine ranking is
@@ -2402,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
+        "rollup_1m_stream": q_rollup_1m_stream,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "retention_plan": q_retention_plan,
@@ -2462,6 +2529,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": _sql_rollup("minute"),
         "rollup_1h": _sql_rollup("hour"),
         "rollup_1d": _sql_rollup("day"),
+        "rollup_1m_stream": _sql_rollup("minute"),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "retention_plan": _sql_retention_plan(),

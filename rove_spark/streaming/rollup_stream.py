@@ -45,30 +45,35 @@ def stream_rollup(
     role_col: str | None = "role",
     text_col: str = "text",
     tool_col: str = "tool",
+    aggs: list | None = None,
 ) -> DataFrame:
     """Streaming 1m-tier aggregate (schema-compatible with the batch tier:
-    same stat columns, ``bucket_ts`` = window start)."""
+    same stat columns, ``bucket_ts`` = window start).
+
+    ``aggs`` overrides the transcript-shaped stat columns with caller
+    aggregate expressions (aliased Columns) — the streaming machinery
+    (watermark, tumbling window, incremental group state) is identical
+    for any mergeable aggregate set, which is what lets the driver's
+    stream≡batch query reuse the batch 1m oracle's value stats."""
     keys = [F.col(series_col), F.window(F.col(ts_col), window).alias("w")]
     if role_col:
         keys.append(F.col(role_col))
-    agg = (
-        stream_df.withWatermark(ts_col, watermark)
-        .withColumn("_tl", F.length(text_col).cast("long"))
-        .groupBy(*keys)
-        .agg(
+    src = stream_df.withWatermark(ts_col, watermark)
+    if aggs is None:
+        src = src.withColumn("_tl", F.length(text_col).cast("long"))
+        aggs = [
             F.count(F.lit(1)).alias("n_turns"),
             F.sum("_tl").alias("text_len_sum"),
             F.min("_tl").alias("text_len_min"),
             F.max("_tl").alias("text_len_max"),
             F.sum(F.col(tool_col).isNotNull().cast("long")).alias("n_tool_calls"),
-        )
-    )
+        ]
+    agg = src.groupBy(*keys).agg(*aggs)
     out_cols = [F.col(series_col), F.col("w.start").alias("bucket_ts")]
     if role_col:
         out_cols.append(F.col(role_col))
-    return agg.select(
-        *out_cols, "n_turns", "text_len_sum", "text_len_min", "text_len_max", "n_tool_calls"
-    )
+    stat_cols = [c for c in agg.columns if c not in {series_col, "w", role_col}]
+    return agg.select(*out_cols, *stat_cols)
 
 
 _STEP_STATE = StructType(
