@@ -80,3 +80,39 @@ def test_sct_oracle_depth_guard_fires():
     con = _duck()
     with pytest.raises(duckdb.Error, match="too shallow"):
         con.execute(_sql_sct_small(levels=1))
+
+
+def test_driver_cap_window_covers_every_family():
+    """The driver harness records only the FIRST 50 queries() entries
+    (round-4 verdict item 1: three relational queries silently fell out).
+    Guard the invariant structurally: exactly 50 head entries, every
+    must-verify operator family inside them, and everything past the cap
+    is an explicitly-subsumed redundancy."""
+    q = list(entry_mod.queries())
+    head, tail = set(q[:50]), q[50:]
+    must_verify = {
+        # one representative per distinct operator family
+        "step_check", "spike_check", "flatline_check", "range_check",
+        "special_value_check", "range_check_dynamic", "model_consistency_check",
+        "gapfill", "gapfill_mixed", "asof_join",
+        "rollup_1m", "rollup_1d", "rollup_1m_stream", "rollup_flag_density",
+        "histogram_tier", "hll_tier", "retention_plan", "retention_drop",
+        "gorilla_roundtrip", "verify_digests",
+        "buddy_check", "sct", "sct_iter",
+        "csv_snapshot", "polygon_filter",
+        "dedup_exact", "dedup_clusters", "minhash_neardup", "simhash_neardup",
+        "embedding_neardup",
+        "knn_cosine", "ivf_knn", "ivf_knn_partial",
+        "langid", "quality_score", "token_stats", "fingerprints",
+        "pii_scan", "repetition_stats", "multimodal_features",
+        "stratified_sample", "zscore_check",
+        "sessionize", "topk_users", "cube_rollup",
+        "tpch_shipping", "tpch_pricing", "inactive_users",
+        "tpch_region_volume", "skew_salted_agg",
+    }
+    assert must_verify <= head, f"fell past the cap: {sorted(must_verify - head)}"
+    allowed_tail = {
+        "sct_small", "sct_isolated", "rollup_1h", "rollup_by_type",
+        "fill_forward", "hash_sample",
+    }
+    assert set(tail) <= allowed_tail, f"non-redundant query in tail: {tail}"
