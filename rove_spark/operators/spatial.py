@@ -437,6 +437,73 @@ def haversine_sql(lat_a: str, lon_a: str, lat_b: str, lon_b: str) -> str:
     )
 
 
+def _celled(
+    base: DataFrame, cell_deg: float | None, halo_deg: float, ref_lat: float = 60.0
+) -> tuple[DataFrame, list[str]]:
+    """Cell bucketing + pruned halo duplication for spatial checks, shared
+    by the grouped-kernel driver and the relational buddy path. ``base``
+    must carry (series_id, ts, value, lat, lon, elev). Returns the frame
+    with ``cell``/``is_halo`` columns and the group keys. The halo
+    guarantee: every station within ``halo_deg`` (lat-degrees) of a cell
+    has a copy inside that cell, so any per-cell computation over home
+    rows sees its complete neighborhood."""
+    if cell_deg is None:
+        return (
+            base.withColumn("cell", F.lit(0)).withColumn("is_halo", F.lit(False)),
+            ["ts"],
+        )
+    # km-consistent cells: longitude is scaled by cos(ref_lat) so a
+    # cell spans ~cell_deg·111 km on BOTH axes — otherwise the lon
+    # direction covers only cos(lat) of the intended radius and
+    # in-radius neighbors are silently dropped. ref_lat is a regional
+    # assumption (our synthetic domain is 58-61N); at global scale the
+    # bucketing key would be a proper equal-area cell (S2/H3-style),
+    # same join shape.
+    cos_ref = math.cos(math.radians(ref_lat))
+    # home cell + as many neighbor rings as the check radius needs:
+    # a station can influence checks up to halo_deg (lat-degrees) away
+    rings = max(1, math.ceil(halo_deg / cell_deg))
+    if rings > 3:
+        raise ValueError(
+            f"cell_deg={cell_deg} needs {rings} halo rings for a "
+            f"{halo_deg:.2f}-degree check radius — duplication cost "
+            f"explodes; use cell_deg >= {halo_deg / 3:.2f}"
+        )
+    cell_x = F.floor(F.col("lon") * cos_ref / cell_deg).cast("int")
+    cell_y = F.floor(F.col("lat") / cell_deg).cast("int")
+    offsets = [
+        (dx, dy) for dx in range(-rings, rings + 1) for dy in range(-rings, rings + 1)
+    ]
+    off_df = base.sparkSession.createDataFrame(offsets, "dx int, dy int")
+    # halo pruning: a halo copy only matters if the point can be
+    # within the check radius of SOME point in the target cell, i.e.
+    # its planar distance to the cell rectangle is ≤ halo_deg. The
+    # 1.25 margin covers equirectangular-vs-haversine and cos(ref_lat)
+    # distortion (<~10% on regional domains) — prune only what
+    # provably cannot contribute. Cuts the (2r+1)² duplication to the
+    # actual radius band (bucketed ≡ global stays exact; tested).
+    prune_deg = halo_deg * 1.25 + 1e-9
+    tx = (F.col("cx") + F.col("dx")).cast("double") * cell_deg
+    ty = (F.col("cy") + F.col("dy")).cast("double") * cell_deg
+    px = F.col("lon") * cos_ref
+    py = F.col("lat")
+    gap_x = F.greatest(F.lit(0.0), tx - px, px - (tx + cell_deg))
+    gap_y = F.greatest(F.lit(0.0), ty - py, py - (ty + cell_deg))
+    in_band = (gap_x * gap_x + gap_y * gap_y) <= F.lit(prune_deg * prune_deg)
+    grouped = (
+        base.withColumn("cx", cell_x)
+        .withColumn("cy", cell_y)
+        .crossJoin(F.broadcast(off_df))
+        .withColumn("is_halo", (F.col("dx") != 0) | (F.col("dy") != 0))
+        .filter(~F.col("is_halo") | in_band)
+        .withColumn(
+            "cell", F.concat_ws(":", F.col("cx") + F.col("dx"), F.col("cy") + F.col("dy"))
+        )
+        .drop("cx", "cy", "dx", "dy")
+    )
+    return grouped, ["ts", "cell"]
+
+
 def _grouped_spatial(
     df: DataFrame,
     kernel,
@@ -461,63 +528,7 @@ def _grouped_spatial(
         F.col("lon").cast("double"),
         F.coalesce(F.col("elev"), F.lit(0.0)).cast("double").alias("elev"),
     )
-
-    if cell_deg is None:
-        grouped = base.withColumn("cell", F.lit(0)).withColumn("is_halo", F.lit(False))
-        group_keys = ["ts"]
-    else:
-        # km-consistent cells: longitude is scaled by cos(ref_lat) so a
-        # cell spans ~cell_deg·111 km on BOTH axes — otherwise the lon
-        # direction covers only cos(lat) of the intended radius and
-        # in-radius neighbors are silently dropped. ref_lat is a regional
-        # assumption (our synthetic domain is 58-61N); at global scale the
-        # bucketing key would be a proper equal-area cell (S2/H3-style),
-        # same join shape.
-        import math
-
-        cos_ref = math.cos(math.radians(ref_lat))
-        # home cell + as many neighbor rings as the check radius needs:
-        # a station can influence checks up to halo_deg (lat-degrees) away
-        rings = max(1, math.ceil(halo_deg / cell_deg))
-        if rings > 3:
-            raise ValueError(
-                f"cell_deg={cell_deg} needs {rings} halo rings for a "
-                f"{halo_deg:.2f}-degree check radius — duplication cost "
-                f"explodes; use cell_deg >= {halo_deg / 3:.2f}"
-            )
-        cell_x = F.floor(F.col("lon") * cos_ref / cell_deg).cast("int")
-        cell_y = F.floor(F.col("lat") / cell_deg).cast("int")
-        offsets = [
-            (dx, dy)
-            for dx in range(-rings, rings + 1)
-            for dy in range(-rings, rings + 1)
-        ]
-        off_df = df.sparkSession.createDataFrame(offsets, "dx int, dy int")
-        # halo pruning: a halo copy only matters if the point can be
-        # within the check radius of SOME point in the target cell, i.e.
-        # its planar distance to the cell rectangle is ≤ halo_deg. The
-        # 1.25 margin covers equirectangular-vs-haversine and cos(ref_lat)
-        # distortion (<~10% on regional domains) — prune only what
-        # provably cannot contribute. Cuts the (2r+1)² duplication to the
-        # actual radius band (bucketed ≡ global stays exact; tested).
-        prune_deg = halo_deg * 1.25 + 1e-9
-        tx = (F.col("cx") + F.col("dx")).cast("double") * cell_deg
-        ty = (F.col("cy") + F.col("dy")).cast("double") * cell_deg
-        px = F.col("lon") * cos_ref
-        py = F.col("lat")
-        gap_x = F.greatest(F.lit(0.0), tx - px, px - (tx + cell_deg))
-        gap_y = F.greatest(F.lit(0.0), ty - py, py - (ty + cell_deg))
-        in_band = (gap_x * gap_x + gap_y * gap_y) <= F.lit(prune_deg * prune_deg)
-        grouped = (
-            base.withColumn("cx", cell_x)
-            .withColumn("cy", cell_y)
-            .crossJoin(F.broadcast(off_df))
-            .withColumn("is_halo", (F.col("dx") != 0) | (F.col("dy") != 0))
-            .filter(~F.col("is_halo") | in_band)
-            .withColumn("cell", F.concat_ws(":", F.col("cx") + F.col("dx"), F.col("cy") + F.col("dy")))
-            .drop("cx", "cy", "dx", "dy")
-        )
-        group_keys = ["ts", "cell"]
+    grouped, group_keys = _celled(base, cell_deg, halo_deg, ref_lat)
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("series_id").reset_index(drop=True)
@@ -545,6 +556,131 @@ def _grouped_spatial(
     )
 
 
+def haversine_col(lat_a, lon_a, lat_b, lon_b):
+    """Column-expression twin of ``_haversine_block``'s formula (same
+    operand tree: 2·R·asin(sqrt(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)))) —
+    whole-stage-codegen haversine for the relational spatial paths."""
+    dlat = (F.radians(lat_a) - F.radians(lat_b)) / 2
+    dlon = (F.radians(lon_a) - F.radians(lon_b)) / 2
+    a = F.pow(F.sin(dlat), 2) + F.cos(F.radians(lat_a)) * F.cos(F.radians(lat_b)) * F.pow(
+        F.sin(dlon), 2
+    )
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(F.least(F.lit(1.0), F.greatest(F.lit(0.0), a))))
+
+
+def buddy_check_relational(
+    df: DataFrame,
+    value_col: str,
+    radius: float,
+    num_min: int,
+    threshold: float,
+    max_elev_diff: float = -1.0,
+    elev_gradient: float = 0.0,
+    min_std: float = 1.0,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    cell_deg: float | None = None,
+    ref_lat: float = 60.0,
+) -> DataFrame:
+    """Single-iteration buddy check as a PURE relational plan — no Python
+    workers (round-4 verdict item 6). The SQL_BUDDY oracle proved the
+    first iteration is plain relational math (haversine pair predicate +
+    neighbor count/mean/variance + a flag CASE); this computes it with
+    whole-stage-codegen column expressions: home rows join every row of
+    their (ts, cell) — the halo guarantee makes that the complete
+    neighborhood — then one groupBy builds the moments.
+
+    Exactly the semantics of ``buddy_check_kernel`` at num_iterations=1
+    (equality-gated in test_spatial): buddies are present values within
+    ``radius`` (optionally elevation-gated/adjusted), variance is the
+    biased Σ(v−m)²/n form computed as E[x²]−m² (same reals; flag
+    decisions are fp-robust), std floored at ``min_std``, FAIL on
+    z>threshold with ≥num_min buddies, ISOLATED below num_min,
+    DATA_MISSING on null.
+
+    Scale shape: one shuffle to the (ts, cell) join, one partial-agg
+    groupBy back to (series, ts). Pair volume is bounded by cell size ×
+    local density — same bound as the kernel's O(block·n) but streamed
+    through codegen instead of materialized in numpy blocks."""
+    base = df.select(
+        F.col(series_col).cast("string").alias("series_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col("lat").cast("double"),
+        F.col("lon").cast("double"),
+        F.coalesce(F.col("elev"), F.lit(0.0)).cast("double").alias("elev"),
+    )
+    grouped, group_keys = _celled(
+        base, cell_deg, halo_deg=radius / 111_000.0, ref_lat=ref_lat
+    )
+    join_keys = group_keys if cell_deg is not None else ["ts"]
+    # join_keys always includes "ts" (group_keys is ["ts"] or ["ts", "cell"]).
+    # Only the NEIGHBOR side needs the halo explode: a home row is just
+    # base plus its own cell key, so build it directly from base instead
+    # of filtering the exploded frame — the self-join then materializes
+    # the (rows × rings) halo once, not twice (~25% of the whole check
+    # at sf0.1).
+    if cell_deg is not None:
+        cos_ref = math.cos(math.radians(ref_lat))
+        home_cell = F.concat_ws(
+            ":",
+            F.floor(F.col("lon") * cos_ref / cell_deg).cast("int"),
+            F.floor(F.col("lat") / cell_deg).cast("int"),
+        )
+        home = base.withColumn("cell", home_cell).select(
+            *join_keys, "series_id", "value", "lat", "lon", "elev"
+        )
+    else:
+        home = base.select(*join_keys, "series_id", "value", "lat", "lon", "elev")
+    nbr = grouped.select(
+        *join_keys,
+        F.col("series_id").alias("_bsid"),
+        F.col("value").alias("_bv"),
+        F.col("lat").alias("_blat"),
+        F.col("lon").alias("_blon"),
+        F.col("elev").alias("_belev"),
+    )
+    dist = haversine_col(F.col("lat"), F.col("lon"), F.col("_blat"), F.col("_blon"))
+    is_buddy = (
+        (dist <= F.lit(radius))
+        & (F.col("series_id") != F.col("_bsid"))
+        & F.col("_bv").isNotNull()
+    )
+    if max_elev_diff >= 0:
+        is_buddy = is_buddy & (
+            F.abs(F.col("elev") - F.col("_belev")) <= F.lit(max_elev_diff)
+        )
+        if elev_gradient != 0.0:
+            adj = F.col("_bv") + F.lit(elev_gradient) * (F.col("elev") - F.col("_belev"))
+        else:
+            adj = F.col("_bv")
+    else:
+        adj = F.col("_bv")
+    pairs = home.join(nbr, join_keys).select(
+        "series_id", "ts", "value", F.when(is_buddy, adj).alias("_adj")
+    )
+    stats = pairs.groupBy("series_id", "ts").agg(
+        F.first("value").alias("value"),
+        F.count("_adj").alias("_cnt"),
+        F.avg("_adj").alias("_mean"),
+        F.coalesce(
+            F.avg(F.col("_adj") * F.col("_adj")) - F.avg("_adj") * F.avg("_adj"),
+            F.lit(0.0),
+        ).alias("_var"),
+    )
+    std = F.greatest(F.sqrt(F.greatest(F.col("_var"), F.lit(0.0))), F.lit(min_std))
+    z = F.abs(F.col("value") - F.col("_mean")) / std
+    flag = (
+        F.when(F.col("value").isNull(), F.lit(int(Flag.DATA_MISSING)))
+        .when((F.col("_cnt") >= num_min) & (z > threshold), F.lit(int(Flag.FAIL)))
+        .when(F.col("_cnt") < num_min, F.lit(int(Flag.ISOLATED)))
+        .otherwise(F.lit(int(Flag.PASS)))
+    )
+    return stats.select(
+        "series_id", "ts", flag.cast("tinyint").alias("flag_buddy_check")
+    )
+
+
 def buddy_check(
     df: DataFrame,
     value_col: str,
@@ -559,9 +695,31 @@ def buddy_check(
     ts_col: str = "ts",
     cell_deg: float | None = None,
     ref_lat: float = 60.0,
+    force_kernel: bool = False,
 ) -> DataFrame:
     """Neighborhood-consistency check (titanlib-style; call-site surface at
-    ``harness.rs:102-114``). Returns (series_id, ts, flag_buddy_check)."""
+    ``harness.rs:102-114``). Returns (series_id, ts, flag_buddy_check).
+
+    Single-iteration calls (the default and the reference's common case)
+    route to ``buddy_check_relational`` — pure codegen, no Python workers;
+    FAIL-exclusion re-iterations (num_iterations > 1) need the stateful
+    pool and run the numpy kernel. ``force_kernel`` pins the kernel path
+    (equality-gate tests)."""
+    if num_iterations <= 1 and not force_kernel:
+        return buddy_check_relational(
+            df,
+            value_col,
+            radius=radius,
+            num_min=num_min,
+            threshold=threshold,
+            max_elev_diff=max_elev_diff,
+            elev_gradient=elev_gradient,
+            min_std=min_std,
+            series_col=series_col,
+            ts_col=ts_col,
+            cell_deg=cell_deg,
+            ref_lat=ref_lat,
+        )
     return _grouped_spatial(
         df,
         buddy_check_kernel,

@@ -341,3 +341,49 @@ def test_small_box_z_matches_lu_inverse():
             sigma2 = max(1e-9, float(innov @ A) / k)
             z_lu = cv / math.sqrt(sigma2 * (1.0 + eps2))
             assert np.allclose(z, z_lu, rtol=1e-9, atol=1e-9), (k, z, z_lu)
+
+
+def test_relational_equals_kernel(spark):
+    """The codegen single-iteration buddy path (round-4 verdict item 6)
+    must produce EXACTLY the numpy kernel's flags — missing values,
+    isolation, outliers, bucketed and global, with and without the
+    elevation gate/gradient."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(120):
+        v = 20.0 + float(rng.normal(0, 0.5))
+        if i in (7, 33):
+            v = 90.0
+        val = None if i in (5, 50) else v
+        rows.append(
+            (
+                f"s{i:03d}",
+                T0,
+                val,
+                60.0 + float(rng.uniform(0, 0.6)),
+                10.0 + float(rng.uniform(0, 0.6)),
+                float(rng.uniform(0, 300)),
+            )
+        )
+    # a remote pair → ISOLATED coverage
+    rows.append(("iso1", T0, 10.0, 65.0, 10.0, 0.0))
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, value double, lat double, lon double, elev double"
+    )
+    for kw in (
+        dict(radius=30000, num_min=3, threshold=3.0),
+        dict(radius=30000, num_min=3, threshold=3.0, cell_deg=0.4),
+        dict(radius=30000, num_min=2, threshold=3.0, max_elev_diff=150.0,
+             elev_gradient=-0.0065, cell_deg=0.4),
+    ):
+        kern = {
+            (r.series_id, r.ts): r.flag_buddy_check
+            for r in spatial.buddy_check(
+                df, "value", force_kernel=True, **kw
+            ).collect()
+        }
+        rel = {
+            (r.series_id, r.ts): r.flag_buddy_check
+            for r in spatial.buddy_check_relational(df, "value", **kw).collect()
+        }
+        assert rel == kern, f"flag divergence for {kw}"
