@@ -1,0 +1,297 @@
+"""Minimal from-scratch baseline JPEG decoder — pure stdlib + numpy.
+
+Companion to ``operators/png.py`` (round-4 verdict item 8): makes
+`multimodal`'s image decode real for the second-most-common payload
+format in containers without PIL. Implements the public JPEG standard
+(ITU-T T.81) baseline sequential DCT profile:
+
+- marker walk: SOI, APPn/COM (skipped), DQT, DHT, DRI, SOF0, SOS, EOI;
+- canonical Huffman decoding (DC categories + AC run/size), with
+  0xFF00 byte-unstuffing and RSTn restart-marker handling;
+- per-MCU block decode: DC prediction, zigzag, dequantize, float
+  8x8 IDCT (orthonormal DCT-III via one matrix product pair);
+- chroma upsampling (any H/V sampling factors incl. 4:2:0 / 4:2:2)
+  by nearest-neighbor block replication, YCbCr -> RGB per JFIF.
+
+Scope: 8-bit baseline (SOF0). Progressive (SOF2), arithmetic coding,
+hierarchical and 12-bit modes raise ValueError — never a silent wrong
+decode (same contract as the PNG decoder).
+
+Performance shape: the entropy decode is an inherently sequential bit
+stream — per-block Python loops, vectorized IDCT/color math. Decode
+runs inside Arrow-batched executors (one Python crossing per batch),
+the same story as the Gorilla bit reader and PNG defilters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["is_jpeg", "decode_jpeg", "decode_jpeg_gray"]
+
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II basis; IDCT(X) = C.T @ X @ C
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * _k * (2 * _n + 1) / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+        )
+
+
+def is_jpeg(data: bytes) -> bool:
+    return bytes(data[:2]) == b"\xff\xd8"
+
+
+class _Huff:
+    """Canonical Huffman table: (length, code) -> symbol."""
+
+    def __init__(self, counts: bytes, symbols: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                self.lut[(ln, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(d):
+                # past the segment: feed zeros (T.81 allows the final
+                # EOB to be padded); block decode will terminate
+                self.bits = (self.bits << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed literal 0xFF
+                    self.pos += 2
+                else:  # a real marker ends the entropy segment
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.bits = ((self.bits << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: _Huff) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.bits = 0
+        self.nbits = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.marker = None
+            self.pos += 2  # past FF Dn
+        else:
+            # tolerate encoders that omit the trailing restart
+            d = self.data
+            while self.pos + 1 < len(d):
+                if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                    self.pos += 2
+                    return
+                self.pos += 1
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 sign extension of an s-bit magnitude."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Baseline JPEG bytes → (pixels uint8[h, w, channels], width, height).
+    channels is 1 (grayscale) or 3 (RGB from YCbCr per JFIF)."""
+    data = bytes(data)
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    restart_interval = 0
+    frame = None
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        seg = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                qt[tq] = np.frombuffer(seg[i + 1 : i + 65], np.uint8).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = seg[i + 1 : i + 17]
+                nsym = sum(counts)
+                table = _Huff(counts, seg[i + 17 : i + 17 + nsym])
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if seg[0] != 8:
+                raise ValueError(f"unsupported JPEG precision {seg[0]}")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode (marker 0xFF{marker:02X}) — only "
+                "baseline sequential DCT (SOF0/SOF1) is implemented"
+            )
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c : 3 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 15)
+            scan = sel
+            pos += 2 + ln
+            break
+        pos += 2 + ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64))
+
+    rd = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                rd.sync_restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t = huff_dc[scan[c["id"]][0]]
+                ac_t = huff_ac[scan[c["id"]][1]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, np.int64)
+                        s = rd.decode_symbol(dc_t)
+                        pred[ci] += _extend(rd.read_bits(s), s)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.decode_symbol(ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overrun")
+                            coef[k] = _extend(rd.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, np.float64)
+                        block[ZIGZAG] = coef * q
+                        px = _C.T @ block.reshape(8, 8) @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_idx += 1
+
+    # upsample to full resolution and crop to (h, w)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        px = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return px.reshape(h, w, 1), w, h
+    if len(full) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), w, h
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """JPEG bytes → flat grayscale uint8 pixels (row-major). Color images
+    fold RGB to luma with the same ITU-R 601-2 integer transform as the
+    PNG path (L = (R*299 + G*587 + B*114) // 1000)."""
+    px, _w, _h = decode_jpeg(data)
+    if px.shape[2] == 1:
+        return px.reshape(-1)
+    r = px[:, :, 0].astype(np.int64)
+    g = px[:, :, 1].astype(np.int64)
+    b = px[:, :, 2].astype(np.int64)
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8).reshape(-1)

@@ -91,10 +91,10 @@ def _probe_decoder_caps() -> dict:
 
         image_cap = "pil"
     except ImportError:
-        # from-scratch stdlib PNG decoder (operators/png.py) — real
-        # decode for PNG payloads even without PIL; other image formats
-        # raise per payload at decode time
-        image_cap = "stdlib-png"
+        # from-scratch stdlib decoders (operators/png.py + jpeg.py) —
+        # real decode for PNG and baseline-JPEG payloads even without
+        # PIL; other image formats raise per payload at decode time
+        image_cap = "stdlib"
     return {
         "image": image_cap,  # truthy: some real image decode always exists
         "audio": True,  # stdlib wave: PCM WAV decode needs no extra libs
@@ -133,10 +133,20 @@ def _real_decode_bytes(payload: bytes, kind: str, n_out: int) -> np.ndarray:
             img = Image.open(io.BytesIO(payload)).convert("L")
             samples = np.asarray(img, dtype=np.uint8).reshape(-1).astype(np.int64)
         else:
-            # stdlib PNG path (same ITU-R 601-2 luma as PIL convert("L"))
-            from rove_spark.operators.png import decode_png_gray
+            # stdlib path, routed by payload magic (both decoders fold
+            # color with the same ITU-R 601-2 luma as PIL convert("L"))
+            from rove_spark.operators.jpeg import decode_jpeg_gray, is_jpeg
+            from rove_spark.operators.png import decode_png_gray, is_png
 
-            samples = decode_png_gray(payload).astype(np.int64)
+            if is_png(payload):
+                samples = decode_png_gray(payload).astype(np.int64)
+            elif is_jpeg(payload):
+                samples = decode_jpeg_gray(payload).astype(np.int64)
+            else:
+                raise ValueError(
+                    "unrecognized image payload (stdlib decoders cover "
+                    "PNG and baseline JPEG; install PIL for other formats)"
+                )
     else:  # video: first frame, grayscale, via ffmpeg pipe
         import subprocess
 

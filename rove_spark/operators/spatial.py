@@ -610,6 +610,13 @@ def buddy_check_relational(
         F.col("lon").cast("double"),
         F.coalesce(F.col("elev"), F.lit(0.0)).cast("double").alias("elev"),
     )
+    # the self-join below references base TWICE (home + neighbor sides);
+    # without a materialization point Catalyst recomputes the caller's
+    # whole upstream (e.g. a 10M-row hourly aggregate) once per side.
+    # Lazy localCheckpoint materializes the narrow (series, ts, value,
+    # coords) frame once on first use — tiny relative to the upstream,
+    # and it truncates the plan the same way dedup's propagation does.
+    base = base.localCheckpoint(eager=False)
     grouped, group_keys = _celled(
         base, cell_deg, halo_deg=radius / 111_000.0, ref_lat=ref_lat
     )

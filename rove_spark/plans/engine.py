@@ -16,6 +16,7 @@ materialization (see checkpoint.py).
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 from datetime import datetime, timedelta
 from pathlib import Path
@@ -31,6 +32,8 @@ from rove_spark.operators import spatial as SP
 from rove_spark.operators.rollup import build_tiers
 from rove_spark.plans.checkpoint import CheckpointManifest, params_hash
 from rove_spark.sources.tables import open_table
+
+log = logging.getLogger(__name__)
 
 
 def list_day_partitions(path: str | Path) -> set[str] | None:
@@ -248,6 +251,15 @@ class Engine:
         if input_path is not None:
             all_days = list_day_partitions(input_path)
         if all_days is None:
+            # r4 verdict: make this fallback LOUD — an API caller composing
+            # run_job from a DataFrame alone silently buys a full-table
+            # scan (100 TB at deployment scale) just to list ~365 strings
+            log.warning(
+                "run_job: no input_path and no day-partition listing — "
+                "enumerating days with a FULL-TABLE distinct() scan. Pass "
+                "input_path (day-partitioned) so day enumeration is a "
+                "metadata read; this fallback is O(table), not O(days)."
+            )
             all_days = {r.d for r in df.select(day.alias("d")).distinct().collect()}
         done = manifest.done_partitions(fp)
         todo = sorted(all_days - done)

@@ -4,13 +4,16 @@ ratios — the cheapest way to catch a hidden O(n^2) before the design
 meets a real 100x.
 
 Scaling axis is TIME/CORPUS GROWTH, matching how 100 TB actually arrives:
-- events: 10 copies with timestamps shifted by k*400 days (and event_ids
-  offset) — series count and per-slice station density stay constant,
-  the number of time slices / series length grows 10x. A healthy spatial
-  check or codec should scale ~linearly; density growth would instead
-  grow buddy pair-volume quadratically BY DESIGN (more neighbors in
-  radius = more work per the check's semantics), which would not
-  distinguish algorithmic superlinearity.
+- events: 10 copies with timestamps shifted by k*(span+1 day) — a
+  CONTIGUOUS time extension (event_ids offset too). Series count and
+  per-slice station density stay constant, the number of time slices /
+  series length grows 10x. A healthy spatial check or codec should
+  scale ~linearly; density growth would instead grow buddy pair-volume
+  quadratically BY DESIGN (more neighbors in radius = more work per the
+  check's semantics), which would not distinguish algorithmic
+  superlinearity. Contiguity matters: a first cut shifted by 400 days
+  and the gap-filled grid spine (min..max per series) ballooned to ~56x
+  slots of mostly gaps, misreading as a 17x gorilla "superlinearity".
 - documents: 10 copies with doc_ids offset and a per-copy text marker
   (distinct texts scale 10x; near-dup cluster structure replicates
   per copy), so LSH bucket COUNT grows 10x at ~constant bucket size.
@@ -65,13 +68,18 @@ def generate(copies: int, out_dir: Path) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_ev = ev.count()
     n_docs = docs.count()
+    # contiguous extension: shift each copy by the base span + 1 day
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("timestamp")).alias("mn"),
+        F.max(F.col("ts").cast("timestamp")).alias("mx"),
+    ).first()
+    span_days = (bounds["mx"] - bounds["mn"]).days + 1
     k = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("k")
     ev_scaled = (
         ev.select("*", k)
         .select(
             (F.col("event_id") + F.col("k") * F.lit(n_ev)).alias("event_id"),
-            # shift far past any retention/rollup window interaction
-            (F.col("ts") + F.make_interval(days=F.col("k") * 400)).alias("ts"),
+            (F.col("ts") + F.make_interval(days=F.col("k") * F.lit(span_days))).alias("ts"),
             "user_id",
             "event_type",
             "value",

@@ -1,0 +1,287 @@
+"""Baseline-JPEG decoder kill tests (operators/jpeg.py).
+
+A from-scratch baseline ENCODER lives here as test tooling: markers,
+canonical Huffman (single-length tables — valid and trivially prefix
+free), zigzag, DC prediction, byte stuffing, restart markers. The
+strong gate is coefficient-level: random QUANTIZED coefficients are
+encoded (losslessly, Huffman + DC-diff), decoded by the operator, and
+compared EXACTLY against an independent numpy reference that applies
+the same dequantize → IDCT → upsample → color → round/clip pipeline.
+That kills bugs in marker parsing, Huffman decode, DC prediction,
+zigzag placement, dequantize, restart handling, subsampling and color
+conversion. An image-level encode(forward DCT)→decode test bounds the
+end-to-end numeric error."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rove_spark.operators.jpeg import ZIGZAG, _C, decode_jpeg, decode_jpeg_gray, is_jpeg
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:
+        while self.n:
+            self.write(1, 1)
+
+
+# single-length canonical tables: 12 DC symbols and 162 AC symbols all at
+# code length 8 (code = symbol index) — prefix-free by construction and
+# 0xFF never emitted as a full code (161 < 255)
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _dht(tc: int, th: int, syms: list[int]) -> bytes:
+    counts = [0] * 16
+    counts[7] = len(syms)  # all length 8
+    body = bytes([tc << 4 | th]) + bytes(counts) + bytes(syms)
+    return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _seg(marker: bytes, body: bytes) -> bytes:
+    return marker + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _cat(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_coef_blocks(
+    wr: _BitWriter, coef_zz: np.ndarray, pred: int, dc_idx: dict, ac_idx: dict
+) -> int:
+    """One 64-coefficient block (zigzag order) → bits. Returns new pred."""
+    dc = int(coef_zz[0])
+    diff = dc - pred
+    s = _cat(diff)
+    wr.write(dc_idx[s], 8)
+    if s:
+        wr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            wr.write(ac_idx[0xF0], 8)
+            run -= 16
+        s = _cat(v)
+        wr.write(ac_idx[(run << 4) | s], 8)
+        wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        wr.write(ac_idx[0x00], 8)
+    return dc
+
+
+def encode_baseline(
+    coef_planes: list[np.ndarray],
+    samplings: list[tuple[int, int]],
+    w: int,
+    h: int,
+    qt: np.ndarray,
+    restart_interval: int = 0,
+) -> bytes:
+    """Assemble a baseline JPEG from per-component ZIGZAG-ORDER quantized
+    coefficient arrays shaped [blocks_y, blocks_x, 64]."""
+    dc_idx = {s: i for i, s in enumerate(_DC_SYMS)}
+    ac_idx = {s: i for i, s in enumerate(_AC_SYMS)}
+    qt_zz = qt.reshape(-1)[ZIGZAG].astype(np.uint8)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(b"\xff\xdb", bytes([0]) + bytes(qt_zz))
+    out += _dht(0, 0, _DC_SYMS)
+    out += _dht(1, 0, _AC_SYMS)
+    if restart_interval:
+        out += _seg(b"\xff\xdd", restart_interval.to_bytes(2, "big"))
+    ncomp = len(coef_planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samplings[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += _seg(b"\xff\xc0", sof)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(b"\xff\xda", sos)
+
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    wr = _BitWriter()
+    pred = [0] * ncomp
+    mcu_idx = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                wr.align()
+                out += wr.out
+                wr = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                hs, vs = samplings[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = coef_planes[ci][my * vs + by, mx * hs + bx]
+                        pred[ci] = _encode_coef_blocks(wr, blk, pred[ci], dc_idx, ac_idx)
+            mcu_idx += 1
+    wr.align()
+    out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _reference_pixels(coef_planes, samplings, w, h, qt):
+    """Independent dequantize → IDCT → upsample → color pipeline (numpy,
+    no shared code with the decoder beyond the public ZIGZAG/_C arrays)."""
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    planes = []
+    qt_zz = qt.reshape(-1)[ZIGZAG].astype(np.int64)
+    for ci, cp in enumerate(coef_planes):
+        by, bx, _ = cp.shape
+        plane = np.zeros((by * 8, bx * 8))
+        for y in range(by):
+            for x in range(bx):
+                blk = np.zeros(64)
+                blk[ZIGZAG] = cp[y, x] * qt_zz
+                plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = (
+                    _C.T @ blk.reshape(8, 8) @ _C + 128.0
+                )
+        hs, vs = samplings[ci]
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[..., None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _rand_coefs(rng, by, bx):
+    """Sparse random quantized coefficients in zigzag order (realistic
+    energy profile: large DC, decaying AC, mostly zero tail)."""
+    c = np.zeros((by, bx, 64), np.int64)
+    c[:, :, 0] = rng.integers(-200, 201, (by, bx))
+    for k in range(1, 20):
+        mask = rng.random((by, bx)) < 0.4
+        c[:, :, k] = np.where(mask, rng.integers(-30, 31, (by, bx)), 0)
+    # a couple of deep-tail coefficients exercise ZRL (16-zero runs)
+    c[:, :, 55] = np.where(rng.random((by, bx)) < 0.3, 5, 0)
+    return c
+
+
+QT_ONES = np.ones((8, 8), np.int64)
+QT_MILD = np.full((8, 8), 3, np.int64)
+
+
+def test_gray_coefficient_exact_roundtrip():
+    rng = np.random.default_rng(7)
+    coefs = _rand_coefs(rng, 3, 4)  # 32x24
+    data = encode_baseline([coefs], [(1, 1)], 32, 24, QT_MILD)
+    assert is_jpeg(data)
+    px, w, h = decode_jpeg(data)
+    assert (w, h, px.shape) == (32, 24, (24, 32, 1))
+    ref = _reference_pixels([coefs], [(1, 1)], 32, 24, QT_MILD)
+    np.testing.assert_array_equal(px, ref)
+
+
+def test_color_420_coefficient_exact_roundtrip():
+    rng = np.random.default_rng(11)
+    # 2 MCUs x 2 MCUs of 16x16: Y is 4x4 blocks, Cb/Cr 2x2
+    planes = [_rand_coefs(rng, 4, 4), _rand_coefs(rng, 2, 2), _rand_coefs(rng, 2, 2)]
+    samp = [(2, 2), (1, 1), (1, 1)]
+    data = encode_baseline(planes, samp, 32, 32, QT_MILD)
+    px, w, h = decode_jpeg(data)
+    assert (w, h, px.shape) == (32, 32, (32, 32, 3))
+    ref = _reference_pixels(planes, samp, 32, 32, QT_MILD)
+    np.testing.assert_array_equal(px, ref)
+
+
+def test_color_422_with_restarts_and_crop():
+    rng = np.random.default_rng(13)
+    # 3x2 MCUs of 16x8; image cropped to 44x15 (non-multiple edges);
+    # restart every 2 MCUs exercises RSTn + DC-pred reset + alignment
+    planes = [_rand_coefs(rng, 2, 6), _rand_coefs(rng, 2, 3), _rand_coefs(rng, 2, 3)]
+    samp = [(2, 1), (1, 1), (1, 1)]
+    data = encode_baseline(planes, samp, 44, 15, QT_ONES, restart_interval=2)
+    px, w, h = decode_jpeg(data)
+    assert (w, h, px.shape) == (44, 15, (15, 44, 3))
+    ref = _reference_pixels(planes, samp, 44, 15, QT_ONES)
+    np.testing.assert_array_equal(px, ref)
+
+
+def test_image_level_forward_dct_roundtrip():
+    """Encode a real image through a forward DCT at q=1 and bound the
+    end-to-end reconstruction error (quantization-rounding only)."""
+    rng = np.random.default_rng(3)
+    x = np.linspace(0, 4 * np.pi, 32)
+    img = (
+        110
+        + 60 * np.sin(x)[None, :] * np.cos(x)[:, None]
+        + rng.integers(-6, 7, (32, 32))
+    ).clip(0, 255)
+    coefs = np.zeros((4, 4, 64), np.int64)
+    for by in range(4):
+        for bx in range(4):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            d = _C @ blk @ _C.T
+            coefs[by, bx] = np.round(d.reshape(-1)[ZIGZAG]).astype(np.int64)
+    data = encode_baseline([coefs], [(1, 1)], 32, 32, QT_ONES)
+    px, _, _ = decode_jpeg(data)
+    err = np.abs(px[:, :, 0].astype(np.int64) - np.round(img).astype(np.int64))
+    assert err.max() <= 4 and err.mean() <= 1.0
+
+
+def test_gray_luma_matches_color_fold():
+    rng = np.random.default_rng(17)
+    planes = [_rand_coefs(rng, 2, 2), _rand_coefs(rng, 2, 2), _rand_coefs(rng, 2, 2)]
+    samp = [(1, 1), (1, 1), (1, 1)]  # 4:4:4
+    data = encode_baseline(planes, samp, 16, 16, QT_MILD)
+    flat = decode_jpeg_gray(data)
+    px, _, _ = decode_jpeg(data)
+    r = px[:, :, 0].astype(np.int64)
+    g = px[:, :, 1].astype(np.int64)
+    b = px[:, :, 2].astype(np.int64)
+    np.testing.assert_array_equal(
+        flat, ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8).reshape(-1)
+    )
+
+
+def test_unsupported_modes_raise():
+    rng = np.random.default_rng(1)
+    coefs = _rand_coefs(rng, 1, 1)
+    data = bytearray(encode_baseline([coefs], [(1, 1)], 8, 8, QT_ONES))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG1234")

@@ -117,18 +117,18 @@ def test_real_audio_decode_end_to_end(spark):
 
 def test_real_decode_missing_capability_raises(spark):
     """Undecodable payloads raise — never a silent fallback to the stub:
-    a corrupt PNG fails loudly in the stdlib decoder."""
+    a payload matching no stdlib decoder's magic fails loudly."""
     import pytest
 
     from rove_spark.operators.multimodal import DECODER_CAPS, decode_assets
 
-    if DECODER_CAPS["image"] != "stdlib-png":
+    if DECODER_CAPS["image"] != "stdlib":
         pytest.skip("PIL present — it handles corrupt payloads differently")
     df = spark.createDataFrame(
         [("i1", "image", bytearray(b"\x89PNG fake not real"))],
         "asset_id string, kind string, payload binary",
     )
-    with pytest.raises(Exception, match="not a PNG|bad magic"):
+    with pytest.raises(Exception, match="not a PNG|bad magic|unrecognized image payload"):
         decode_assets(df, out_pixels=8, decode_real=True).collect()
 
 
@@ -265,3 +265,37 @@ def test_real_feature_extraction_audio(spark):
     v = np.array(out[0].feature)
     assert v.shape == (16,)
     assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_real_decode_jpeg_payload(spark):
+    """Baseline-JPEG payloads decode for real through the stdlib router
+    (magic-based PNG/JPEG dispatch in _real_decode_bytes)."""
+    import numpy as np
+    import pytest
+
+    from rove_spark.operators.multimodal import DECODER_CAPS, decode_assets
+    from tests.test_jpeg import QT_ONES, _rand_coefs, encode_baseline
+
+    if DECODER_CAPS["image"] == "pil":
+        pytest.skip("PIL present — stdlib router not in play")
+    rng = np.random.default_rng(23)
+    payload = encode_baseline([_rand_coefs(rng, 1, 1)], [(1, 1)], 8, 8, QT_ONES)
+    df = spark.createDataFrame(
+        [("j1", "image", bytearray(payload)),
+         ("x1", "image", bytearray(b"GIF89a not supported"))],
+        "asset_id string, kind string, payload binary",
+    )
+    from rove_spark.operators.jpeg import decode_jpeg_gray
+
+    expected = [int(v) for v in decode_jpeg_gray(payload)[:8]]
+    got = {
+        r.asset_id: r.decoded
+        for r in decode_assets(
+            df.filter("asset_id = 'j1'"), out_pixels=8, decode_real=True
+        ).collect()
+    }
+    assert got["j1"] == expected
+    with pytest.raises(Exception, match="unrecognized image payload"):
+        decode_assets(
+            df.filter("asset_id = 'x1'"), out_pixels=8, decode_real=True
+        ).collect()
