@@ -161,3 +161,30 @@ def test_skew_salted_agg_two_phase(spark):
 
     plan = _plan(q_skew_salted_agg(spark, "/root/testdata/sf0.001"))
     assert "salt" in plan and plan.count("HashAggregate") >= 4  # partial+final × 2 phases
+
+
+def test_relational_buddy_has_no_python_stages(spark, parquet_transcripts):
+    """The single-iteration buddy path (round 5) is whole-JVM: no
+    ArrowEval/FlatMapGroupsInPandas stages, and neighbor moments come
+    from a hash aggregate over the pair join."""
+    from rove_spark.operators.spatial import buddy_check, with_synthetic_coords
+
+    df = spark.read.parquet(parquet_transcripts).select(
+        "conv_id", "ts", F.length("text").cast("double").alias("tl")
+    )
+    located = with_synthetic_coords(df)
+    out = buddy_check(
+        located, "tl", radius=30000, num_min=2, threshold=3.0, cell_deg=0.5
+    )
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+    # the kernel path, by contrast, IS a grouped pandas stage
+    kern = _plan(
+        buddy_check(
+            located, "tl", radius=30000, num_min=2, threshold=3.0,
+            cell_deg=0.5, force_kernel=True,
+        )
+    )
+    assert "FlatMapGroupsInPandas" in kern
