@@ -2228,12 +2228,17 @@ def q_embedding_neardup(spark, sf):
     _utc(spark)
     emb = read_table(spark, sf, "embeddings")
     return embedding_near_dup_pairs_portable(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.30
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.30,
+        bands=8,
+        planes_per_band=6,
     )
 
 
 def _sql_embedding_neardup(
-    threshold: float = 0.30, bands: int = 8, planes_per_band: int = 4, dim: int = 64
+    threshold: float = 0.30, bands: int = 8, planes_per_band: int = 6, dim: int = 64
 ) -> str:
     """DuckDB twin of q_embedding_neardup: planes from the same
     md5('plane|p|d') u32 recipe (strpos polynomial — no hex-parse
