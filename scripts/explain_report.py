@@ -96,10 +96,32 @@ def main() -> None:
     located = located.withColumn("ts", F.to_timestamp(F.lit("2024-01-01")))
     sections.append(
         (
-            "Buddy check (spatial grouped UDF)",
-            "Same explicit repartition + Arrow-grouped execution; the halo "
-            "join (cell_deg mode) adds a broadcast of the 9 cell offsets.",
+            "Buddy check — relational single-iteration path (default, round 5)",
+            "Pure codegen, NO Python stages: home rows (base + own cell "
+            "key) join every row of their (ts, cell) under the halo "
+            "guarantee, haversine predicate inside WholeStageCodegen, one "
+            "partial+final HashAggregate pair builds the neighbor "
+            "count/mean/variance, flag CASE on top. The lazy "
+            "localCheckpoint shows as a scan of an ExistingRDD — the "
+            "caller's upstream is materialized once, not once per side "
+            "of the self-join.",
             formatted(buddy_check(located, "v", radius=50_000, num_min=2, threshold=3.0)),
+        )
+    )
+
+    sections.append(
+        (
+            "Buddy check — grouped-kernel path (multi-iteration)",
+            "FAIL-exclusion re-iterations need the stateful pool: explicit "
+            "repartition + Arrow-grouped execution (FlatMapGroupsInPandas); "
+            "the halo join (cell_deg mode) adds a broadcast of the cell "
+            "offsets.",
+            formatted(
+                buddy_check(
+                    located, "v", radius=50_000, num_min=2, threshold=3.0,
+                    num_iterations=3,
+                )
+            ),
         )
     )
 
