@@ -940,7 +940,19 @@ def embedding_near_dup_pairs_portable(
     cross-engine value hashing."""
     spark = df.sparkSession
     if dim is None:
-        dim = int(df.select(F.size(vec_col)).first()[0])
+        bounds = df.agg(
+            F.min(F.size(vec_col)).alias("mn"), F.max(F.size(vec_col)).alias("mx")
+        ).first()
+        if bounds["mn"] is None:
+            raise ValueError("embedding_near_dup_pairs_portable: empty input frame")
+        if bounds["mn"] != bounds["mx"]:
+            raise ValueError(
+                f"ragged embedding column {vec_col!r}: lengths "
+                f"{bounds['mn']}..{bounds['mx']} — posexplode would silently "
+                "drop tail dimensions of longer vectors; fix upstream or "
+                "pass dim explicitly"
+            )
+        dim = int(bounds["mn"])
     n_planes = bands * planes_per_band
     planes = spark.createDataFrame(
         md5_hyperplanes(n_planes, dim), "p INT, d INT, w DOUBLE"
@@ -949,6 +961,11 @@ def embedding_near_dup_pairs_portable(
         F.col(id_col).alias("_id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
     )
+    # comp is referenced four times (sketch dots, norms, both sides of the
+    # exact-cosine verify); without a materialization point Catalyst
+    # re-scans and re-explodes the table per reference — same fix as the
+    # buddy self-join (lazy localCheckpoint, materialized on first use)
+    comp = comp.localCheckpoint(eager=False)
     dots = (
         comp.join(F.broadcast(planes), "d")
         .groupBy("_id", "p")

@@ -204,16 +204,32 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
             )
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            sel = {}
+            sel = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]
-                sel[cid] = (tt >> 4, tt & 15)
+                sel.append((cid, tt >> 4, tt & 15))
             scan = sel
             pos += 2 + ln
             break
         pos += 2 + ln
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    # single interleaved scan only: MCU order follows the SOS component
+    # list (T.81 — it may differ from SOF order), and a non-interleaved
+    # multi-scan baseline file (ns < ncomp per scan) is out of scope —
+    # raise by name, never a silent wrong decode (round-5 review)
+    if len(scan) != len(frame["comps"]):
+        raise ValueError(
+            f"unsupported JPEG scan layout: {len(scan)} of "
+            f"{len(frame['comps'])} components in SOS — only a single "
+            "interleaved scan is implemented"
+        )
+    by_id = {c["id"]: c for c in frame["comps"]}
+    scan_comps = []
+    for cid, td, ta in scan:
+        if cid not in by_id:
+            raise ValueError(f"JPEG SOS references unknown component id {cid}")
+        scan_comps.append((by_id[cid], td, ta))
 
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -224,6 +240,10 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
     for c in comps:
         planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64))
 
+    # decode order = SOS order; plane/pred indices = SOF positions
+    decode_order = [
+        (comps.index(c), c, huff_dc[td], huff_ac[ta]) for c, td, ta in scan_comps
+    ]
     rd = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu_idx = 0
@@ -232,9 +252,7 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
             if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
                 rd.sync_restart()
                 pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dc_t = huff_dc[scan[c["id"]][0]]
-                ac_t = huff_ac[scan[c["id"]][1]]
+            for ci, c, dc_t, ac_t in decode_order:
                 q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):

@@ -1880,10 +1880,16 @@ def q_retention_drop(spark, sf):
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         "user_id",
     ).agg(F.count(F.lit(1)).alias("n_turns"))
+    import atexit
+    import shutil
+
     # per-invocation unique dir: a fixed sf-keyed path raced two concurrent
     # harness runs (one deletes partitions under the other's lazy read-back)
-    # and any later rebuild of the same query invalidated the returned frame
+    # and any later rebuild of the same query invalidated the returned
+    # frame. Cleanup at process exit (not earlier: the returned DataFrame
+    # reads the dir lazily until the caller collects).
     path = tempfile.mkdtemp(prefix="rove_retention_drop_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     table = PartitionedTable(path, ["day"])
     table.overwrite_partitions(tier, lineage={"query": "retention_drop"})
     cutoff = ev.agg(
@@ -2216,7 +2222,7 @@ FROM lineitem GROUP BY 1
 def q_embedding_neardup(spark, sf):
     """Embedding near-dup via portable sign-LSH (round-4 verdict item 2 —
     the one dedup operator that had no oracle row): md5-derived
-    hyperplanes (8 bands × 4 planes), band-sketch bucket self-join, exact
+    hyperplanes (8 bands × 6 planes), band-sketch bucket self-join, exact
     cosine verify on candidates only. Threshold 0.30 because the testdata
     embeddings have no planted high-cosine dups (max pairwise cosine
     ≈0.51 at sf0.01) — the operator path exercised is identical at any
@@ -2335,7 +2341,14 @@ def q_rollup_1m_stream(spark, sf):
         .start()
     )
     try:
-        q.awaitTermination(300)
+        # awaitTermination returns False on timeout — stopping then would
+        # commit a PARTIAL memory table and present as a stream≡batch
+        # hash mismatch instead of a named error (round-5 review)
+        if not q.awaitTermination(600):
+            raise TimeoutError(
+                "rollup_1m_stream: AvailableNow run exceeded 600 s — "
+                "refusing to return a partially-committed memory table"
+            )
     finally:
         q.stop()
     return spark.table(name).select(

@@ -19,11 +19,14 @@ persistent tiered storage is a north_rule addition.
 from __future__ import annotations
 
 import json
+import logging
 import time
 import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
 
 TESTDATA_TABLES = [
     "region",
@@ -286,6 +289,17 @@ def _derive_table_name(path: str) -> str:
     return f"rove.db.{leaf}_{digest}"
 
 
+def _derive_table_name_legacy(name_path: str) -> str:
+    """Pre-round-5 identifier (leaf only, no path digest) — kept solely
+    for the ``open_table`` migration probe."""
+    import re as _re
+
+    leaf = _re.sub(r"[^A-Za-z0-9_]", "_", Path(name_path).name)
+    if not leaf or not (leaf[0].isalpha() or leaf[0] == "_"):
+        leaf = "t_" + leaf
+    return "rove.db." + leaf
+
+
 def open_table(spark: SparkSession, path_or_name: str | Path, partition_by: list[str]):
     """Tier-table factory: a real ``IcebergTable`` when the session carries
     the probe-gated ``rove`` Iceberg catalog, else the parquet shim. The
@@ -294,10 +308,33 @@ def open_table(spark: SparkSession, path_or_name: str | Path, partition_by: list
 
     Only an explicit ``rove.``-qualified name is taken verbatim; anything
     else (absolute/relative paths, even ones containing dots) derives a
-    sanitized ``rove.db.<leaf>`` identifier."""
+    sanitized ``rove.db.<leaf>_<md5(path)[:8]>`` identifier.
+
+    Migration: identifiers before round 5 were plain ``rove.db.<leaf>``
+    (no path digest). If a table exists under the legacy name and none
+    exists under the digest name, the legacy table is used (logged) —
+    otherwise an upgraded deployment would silently resume against a
+    brand-new empty table while its checkpoint manifest still claims the
+    old days done, permanently dropping them from the tier."""
     name = str(path_or_name)
     if spark.conf.get("spark.sql.catalog.rove", None):
         if not name.startswith("rove."):
             name = _derive_table_name(name)
+            legacy = _derive_table_name_legacy(name_path=str(path_or_name))
+            try:
+                if spark.catalog.tableExists(legacy) and not spark.catalog.tableExists(
+                    name
+                ):
+                    log.warning(
+                        "open_table: using pre-round-5 legacy identifier %s for "
+                        "%s (digest name %s has no table yet). Rename the table "
+                        "to the digest identifier to finish the migration.",
+                        legacy,
+                        path_or_name,
+                        name,
+                    )
+                    name = legacy
+            except AttributeError:
+                pass  # catalog-less session double (tests)
         return IcebergTable(spark, name, partition_by)
     return PartitionedTable(path_or_name, partition_by)

@@ -130,7 +130,7 @@ def main() -> None:
 
     one_x = BASE / "x1"
     ten_x = BASE / "x10"
-    if not args.skip_gen or not ten_x.exists():
+    if not args.skip_gen or not (ten_x.exists() and one_x.exists()):
         # 1x goes through the same writer so parquet layout is comparable
         print("generating scaled inputs ...", flush=True)
         generate(1, one_x)

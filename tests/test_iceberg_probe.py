@@ -77,3 +77,40 @@ def test_iceberg_conf_merge_preserves_caller_entries():
     plain = _iceberg_confs("/opt/iceberg.jar", {})
     assert plain["spark.jars"] == "/opt/iceberg.jar"
     assert plain["spark.sql.extensions"].endswith("IcebergSparkSessionExtensions")
+
+
+def test_open_table_prefers_existing_legacy_name():
+    """Migration guard (round-5 review): a table created under the
+    pre-digest naming scheme must keep being used — otherwise a resumed
+    job pairs an old checkpoint manifest with a brand-new empty table
+    and silently drops the done days from the tier."""
+
+    class _FakeConf:
+        def get(self, k, d=None):
+            return "org.apache.iceberg.spark.SparkCatalog"
+
+    class _FakeCatalog:
+        def __init__(self, existing):
+            self.existing = existing
+
+        def tableExists(self, name):
+            return name in self.existing
+
+    class _FakeSpark:
+        conf = _FakeConf()
+
+        def __init__(self, existing):
+            self.catalog = _FakeCatalog(existing)
+
+    # legacy exists, digest does not → legacy wins
+    t = open_table(_FakeSpark({"rove.db.tiers_1d"}), "/tmp/tiers-1d", ["day"])
+    assert t.name == "rove.db.tiers_1d"
+    # digest exists → digest wins even if legacy also exists
+    digest_name = open_table(_FakeSpark(set()), "/tmp/tiers-1d", ["day"]).name
+    t2 = open_table(
+        _FakeSpark({"rove.db.tiers_1d", digest_name}), "/tmp/tiers-1d", ["day"]
+    )
+    assert t2.name == digest_name
+    # neither exists (fresh deployment) → digest name
+    t3 = open_table(_FakeSpark(set()), "/tmp/tiers-1d", ["day"])
+    assert t3.name == digest_name

@@ -101,6 +101,7 @@ def encode_baseline(
     h: int,
     qt: np.ndarray,
     restart_interval: int = 0,
+    sos_order: list[int] | None = None,
 ) -> bytes:
     """Assemble a baseline JPEG from per-component ZIGZAG-ORDER quantized
     coefficient arrays shaped [blocks_y, blocks_x, 64]."""
@@ -119,8 +120,9 @@ def encode_baseline(
         hs, vs = samplings[ci]
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
     out += _seg(b"\xff\xc0", sof)
+    order = sos_order if sos_order is not None else list(range(ncomp))
     sos = bytes([ncomp])
-    for ci in range(ncomp):
+    for ci in order:
         sos += bytes([ci + 1, 0x00])
     sos += bytes([0, 63, 0])
     out += _seg(b"\xff\xda", sos)
@@ -142,7 +144,7 @@ def encode_baseline(
                 out += bytes([0xFF, 0xD0 + (rst % 8)])
                 rst += 1
                 pred = [0] * ncomp
-            for ci in range(ncomp):
+            for ci in order:  # entropy interleave follows SOS order (T.81)
                 hs, vs = samplings[ci]
                 for by in range(vs):
                     for bx in range(hs):
@@ -285,3 +287,32 @@ def test_unsupported_modes_raise():
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG1234")
+
+
+def test_sos_order_differs_from_sof_order():
+    """T.81 defines MCU interleave by the SOS component list, which may
+    permute SOF order — the decoder must follow the scan (round-5
+    review: SOF-order iteration consumed entropy data against the wrong
+    components, silently wrong pixels)."""
+    rng = np.random.default_rng(29)
+    planes = [_rand_coefs(rng, 2, 2), _rand_coefs(rng, 2, 2), _rand_coefs(rng, 2, 2)]
+    samp = [(1, 1), (1, 1), (1, 1)]
+    data = encode_baseline(planes, samp, 16, 16, QT_MILD, sos_order=[2, 0, 1])
+    px, _, _ = decode_jpeg(data)
+    ref = _reference_pixels(planes, samp, 16, 16, QT_MILD)
+    np.testing.assert_array_equal(px, ref)
+
+
+def test_partial_scan_raises_named_error():
+    rng = np.random.default_rng(31)
+    planes = [_rand_coefs(rng, 1, 1), _rand_coefs(rng, 1, 1), _rand_coefs(rng, 1, 1)]
+    samp = [(1, 1), (1, 1), (1, 1)]
+    data = bytearray(encode_baseline(planes, samp, 8, 8, QT_ONES))
+    sos = data.index(b"\xff\xda")
+    # rewrite SOS to claim 1 component: length 2+1+2+3=8, ns=1, comp 1
+    new_sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+    # original SOS body length
+    old_len = int.from_bytes(data[sos + 2 : sos + 4], "big")
+    data[sos : sos + 2 + old_len] = new_sos
+    with pytest.raises(ValueError, match="single\\s+interleaved|interleaved"):
+        decode_jpeg(bytes(data))
