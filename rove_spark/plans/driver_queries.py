@@ -2468,6 +2468,130 @@ FROM ranked WHERE r <= {k}
 """
 
 
+PIPELINE_TOML = f"""
+# driver-contract pipeline: the same thresholds as the standalone check
+# queries, composed through the O1 TOML loader and O2 sequential executor
+[[step]]
+name = "step_check"
+[step.step_check]
+max = {STEP_MAX}
+high = {STEP_HIGH}
+
+[[step]]
+name = "spike_check"
+[step.spike_check]
+max = {SPIKE_MAX}
+high = {SPIKE_HIGH}
+
+[[step]]
+name = "range_check"
+[step.range_check]
+min = {RANGE_MIN}
+max = {RANGE_MAX}
+
+[[step]]
+name = "flatline_check"
+[step.flatline_check]
+max = {FLAT_MAX}
+
+[[step]]
+name = "special_value_check"
+[step.special_value_check]
+special_values = {SPECIAL_VALUES}
+"""
+
+
+def q_pipeline_toml(spark, sf):
+    """O1/O2 orchestrator end-to-end under the oracle (round 5): parse a
+    TOML pipeline (config.parse_pipeline — the pipeline.rs:160-188
+    surface), run the sequential executor (Engine.run_pipeline, ONE lazy
+    composed plan), melt the wide flags to the reference's long
+    TestResult format (proto/rove.proto:65-71). The DuckDB twin
+    recomputes every step's flag independently and unions them — passing
+    proves the LOADER+EXECUTOR composition preserves each check's exact
+    semantics, not just the checks in isolation."""
+    from rove_spark.config import parse_pipeline
+    from rove_spark.plans.engine import Engine, melt_flags
+
+    _utc(spark)
+    ev = _events(spark, sf)
+    pipe = parse_pipeline("driver_pipeline", PIPELINE_TOML)
+    eng = Engine(spark, pipelines={"driver_pipeline": pipe})
+    out = eng.run_pipeline(
+        ev, "driver_pipeline", value_col="value", series_col="user_id",
+        order_cols=_EV_ORDER,
+    )
+    melted = melt_flags(
+        out, [st.name for st in pipe.steps], series_col="user_id", ts_col="ts"
+    )
+    return melted.select(
+        F.col("identifier").cast("bigint").alias("identifier"),
+        "time",
+        "test",
+        F.col("flag").cast("int").alias("flag"),
+    )
+
+
+SQL_PIPELINE_TOML = f"""
+WITH w AS (
+  SELECT user_id, ts, value,
+         lag(value) OVER win AS pv, lead(value) OVER win AS nv,
+         lag(ts) OVER win AS pts, lead(ts) OVER win AS nts
+  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flat0 AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN value IS DISTINCT FROM lag(value) OVER win THEN 1 ELSE 0 END AS changed,
+         row_number() OVER win AS rn
+  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flatg AS (
+  SELECT user_id, ts, value, rn, event_id,
+         CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+  FROM flat0
+), flatr AS (
+  SELECT user_id, ts, value, rn,
+         row_number() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id) AS run_len
+  FROM flatg
+)
+SELECT CAST(user_id AS BIGINT) AS identifier, ts AS time, 'step_check' AS test,
+       CAST(CASE WHEN pts IS NULL THEN 3
+                 WHEN value IS NULL OR pv IS NULL THEN 5
+                 WHEN abs(value - pv) >= {STEP_MAX} THEN 1
+                 WHEN abs(value - pv) >= {STEP_HIGH} THEN 2
+                 ELSE 0 END AS INT) AS flag
+FROM w
+UNION ALL
+SELECT CAST(user_id AS BIGINT), ts, 'spike_check',
+       CAST(CASE WHEN pts IS NULL OR nts IS NULL THEN 3
+                 WHEN value IS NULL OR pv IS NULL OR nv IS NULL THEN 5
+                 WHEN (value-pv)*(value-nv) > 0
+                      AND least(abs(value-pv), abs(value-nv)) >= {SPIKE_MAX} THEN 1
+                 WHEN (value-pv)*(value-nv) > 0
+                      AND least(abs(value-pv), abs(value-nv)) >= {SPIKE_HIGH} THEN 2
+                 ELSE 0 END AS INT)
+FROM w
+UNION ALL
+SELECT CAST(user_id AS BIGINT), ts, 'range_check',
+       CAST(CASE WHEN value IS NULL THEN 5
+                 WHEN value < {RANGE_MIN} OR value > {RANGE_MAX} THEN 1
+                 ELSE 0 END AS INT)
+FROM events
+UNION ALL
+SELECT CAST(user_id AS BIGINT), ts, 'flatline_check',
+       CAST(CASE WHEN value IS NULL THEN 5
+                 WHEN run_len >= {FLAT_MAX + 1} THEN 1
+                 WHEN rn <= {FLAT_MAX} THEN 3
+                 ELSE 0 END AS INT)
+FROM flatr
+UNION ALL
+SELECT CAST(user_id AS BIGINT), ts, 'special_value_check',
+       CAST(CASE WHEN value IS NULL THEN 5
+                 WHEN value IN ({", ".join(str(v) for v in SPECIAL_VALUES)}) THEN 1
+                 ELSE 0 END AS INT)
+FROM events
+"""
+
+
 # ------------------------------------------------------------- registry --
 
 
@@ -2489,9 +2613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_check_dynamic": q_range_check_dynamic,
         "model_consistency_check": q_model_consistency,
         # shaping (A1/A3)
-        "gapfill": q_gapfill,
         "gapfill_mixed": q_gapfill_mixed,
         "asof_join": q_asof_join,
+        # orchestrator (O1 TOML loader + O2 sequential executor)
+        "pipeline_toml": q_pipeline_toml,
         # tiers + streaming + retention + codec + verifier
         "rollup_1m": q_rollup_1m,
         "rollup_1d": q_rollup_1d,
@@ -2546,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail = {
         # past the driver's 50-query cap: coverage subsumed above,
         # still run by tests/test_driver_contract.py
+        "gapfill": q_gapfill,  # same grid_fill operator as gapfill_mixed (head)
         "sct_small": q_sct_small,  # ⊂ sct_iter (same KD/adjugate oracle at rounds=2)
         "sct_isolated": q_sct_isolated,  # isolation partition re-derived per round inside sct_iter
         "rollup_1h": q_rollup_1h,  # cascade exactness proven by rollup_1d (1m→1h→1d) + pytest
@@ -2566,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         "range_check_dynamic": SQL_RANGE_DYNAMIC,
         "model_consistency_check": SQL_MODEL,
         "gapfill": SQL_GAPFILL,
+        "pipeline_toml": SQL_PIPELINE_TOML,
         "gapfill_mixed": SQL_GAPFILL_MIXED,
         "asof_join": SQL_ASOF,
         "rollup_1m": _sql_rollup("minute"),
