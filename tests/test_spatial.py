@@ -387,3 +387,45 @@ def test_relational_equals_kernel(spark):
             for r in spatial.buddy_check_relational(df, "value", **kw).collect()
         }
         assert rel == kern, f"flag divergence for {kw}"
+
+
+def test_sct_small_relational_equals_kernel(spark):
+    """The codegen num_max=3 SCT path must produce EXACTLY the kernel's
+    flags: missing values, isolation, KD subdivision order, the 3x3
+    adjugate solve and the z partition."""
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(90):
+        v = 15.0 + float(rng.normal(0, 1.0))
+        if i in (11, 40):
+            v = 120.0
+        val = None if i == 7 else v
+        rows.append(
+            (
+                f"s{i:03d}",
+                T0,
+                val,
+                60.0 + float(rng.uniform(0, 0.5)),
+                10.0 + float(rng.uniform(0, 0.5)),
+                float(rng.uniform(0, 400)),
+            )
+        )
+    rows.append(("iso1", T0, 9.0, 66.0, 10.0, 0.0))  # isolated
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, value double, lat double, lon double, elev double"
+    )
+    # 3-station leave-one-out z saturates near sqrt(2) as the outlier
+    # grows (sigma2 scales with it), so the FAIL threshold must sit below
+    kw = dict(num_min=3, num_max=3, pos=1.2, neg=1.2, num_iterations=1, cell_deg=None)
+    kern = {
+        (r.series_id, r.ts): r.flag_sct
+        for r in spatial.sct(df, "value", **kw).collect()
+    }
+    rel = {
+        (r.series_id, r.ts): r.flag_sct
+        for r in spatial.sct(df, "value", use_relational=True, **kw).collect()
+    }
+    assert rel == kern
+    assert Flag.FAIL in set(rel.values())  # the planted outliers actually fail
+    assert rel[("iso1", T0)] == Flag.ISOLATED
+    assert rel[("s007", T0)] == Flag.DATA_MISSING
