@@ -2592,6 +2592,71 @@ FROM events
 """
 
 
+def q_step_check_stream(spark, sf):
+    """Stateful streaming step_check ≡ batch (round 5): the
+    applyInPandasWithState operator (streaming/rollup_stream.py — state
+    carries the last (ts, value) per series across micro-batches) run
+    with Trigger.AvailableNow over the events parquet, gated by the SAME
+    lag-window SQL as the batch check. (user_id, ts) is unique in the
+    testdata at every sf (verified), so the keyed comparison is exact.
+    Append-mode memory sink: applyInPandasWithState emits flags for
+    every input row as it processes it — unlike windowed aggregates,
+    nothing is held back behind the watermark."""
+    import os
+    import tempfile
+    import uuid
+
+    batch_schema = read_table(spark, sf, "events").schema
+    stream_dir = tempfile.mkdtemp(prefix="rove_stream_step_")
+    os.symlink(
+        f"{sf.rstrip('/')}/events.parquet", os.path.join(stream_dir, "events.parquet")
+    )
+    _utc(spark)
+    from rove_spark.streaming.rollup_stream import stream_step_check
+
+    src = (
+        spark.readStream.schema(batch_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    flagged = stream_step_check(
+        src, "value", max_=STEP_MAX, high=STEP_HIGH, series_col="user_id"
+    )
+    name = f"step_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("step_check_stream: AvailableNow run exceeded 600 s")
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("series_id").cast("bigint").alias("user_id"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("flag_step_check").cast("int").alias("flag_step"),
+    )
+
+
+SQL_STEP_STREAM = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+       CAST(CASE WHEN pts IS NULL THEN 3
+                 WHEN value IS NULL OR pv IS NULL THEN 5
+                 WHEN abs(value - pv) >= {STEP_MAX} THEN 1
+                 WHEN abs(value - pv) >= {STEP_HIGH} THEN 2
+                 ELSE 0 END AS INT) AS flag_step
+FROM (SELECT user_id, ts, value,
+             lag(value) OVER w AS pv,
+             lag(ts) OVER w AS pts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+"""
+
+
 # ------------------------------------------------------------- registry --
 
 
@@ -2621,7 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": q_rollup_1m,
         "rollup_1d": q_rollup_1d,
         "rollup_1m_stream": q_rollup_1m_stream,
-        "rollup_flag_density": q_rollup_flag_density,
+        "step_check_stream": q_step_check_stream,
         "histogram_tier": q_histogram_tier,
         "hll_tier": q_hll_tier,
         "retention_plan": q_retention_plan,
@@ -2672,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the driver's 50-query cap: coverage subsumed above,
         # still run by tests/test_driver_contract.py
         "gapfill": q_gapfill,  # same grid_fill operator as gapfill_mixed (head)
+        "rollup_flag_density": q_rollup_flag_density,  # conditional-sum flag stats ⊂ the rollup aggregate family (rollup_1m/1d head rows)
         "sct_small": q_sct_small,  # ⊂ sct_iter (same KD/adjugate oracle at rounds=2)
         "sct_isolated": q_sct_isolated,  # isolation partition re-derived per round inside sct_iter
         "rollup_1h": q_rollup_1h,  # cascade exactness proven by rollup_1d (1m→1h→1d) + pytest
@@ -2699,6 +2765,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h": _sql_rollup("hour"),
         "rollup_1d": _sql_rollup("day"),
         "rollup_1m_stream": _sql_rollup("minute"),
+        "step_check_stream": SQL_STEP_STREAM,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "retention_plan": _sql_retention_plan(),

@@ -95,7 +95,7 @@ def test_driver_cap_window_covers_every_family():
         "step_check", "spike_check", "flatline_check", "range_check",
         "special_value_check", "range_check_dynamic", "model_consistency_check",
         "gapfill_mixed", "asof_join", "pipeline_toml",
-        "rollup_1m", "rollup_1d", "rollup_1m_stream", "rollup_flag_density",
+        "rollup_1m", "rollup_1d", "rollup_1m_stream", "step_check_stream",
         "histogram_tier", "hll_tier", "retention_plan", "retention_drop",
         "gorilla_roundtrip", "verify_digests",
         "buddy_check", "sct", "sct_iter",
@@ -112,7 +112,7 @@ def test_driver_cap_window_covers_every_family():
     }
     assert must_verify <= head, f"fell past the cap: {sorted(must_verify - head)}"
     allowed_tail = {
-        "gapfill", "sct_small", "sct_isolated", "rollup_1h", "rollup_by_type",
-        "fill_forward", "hash_sample",
+        "gapfill", "rollup_flag_density", "sct_small", "sct_isolated",
+        "rollup_1h", "rollup_by_type", "fill_forward", "hash_sample",
     }
     assert set(tail) <= allowed_tail, f"non-redundant query in tail: {tail}"
