@@ -2657,6 +2657,144 @@ FROM (SELECT user_id, ts, value,
 """
 
 
+def q_spike_check_stream(spark, sf):
+    """Stateful streaming spike_check ≡ batch (round 5): the one-row
+    LOOKAHEAD operator — state buffers (prev, cur) per series; a point is
+    emitted only when its successor arrives, so each series' final point
+    stays pending (the batch trailing-context INCONCLUSIVE, deferred
+    instead of emitted). The oracle is the batch lag/lead SQL restricted
+    to ``nts IS NOT NULL`` — exactly the decidable set."""
+    import os
+    import tempfile
+    import uuid
+
+    batch_schema = read_table(spark, sf, "events").schema
+    stream_dir = tempfile.mkdtemp(prefix="rove_stream_spike_")
+    os.symlink(
+        f"{sf.rstrip('/')}/events.parquet", os.path.join(stream_dir, "events.parquet")
+    )
+    _utc(spark)
+    from rove_spark.streaming.rollup_stream import stream_spike_check
+
+    src = (
+        spark.readStream.schema(batch_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    flagged = stream_spike_check(
+        src, "value", max_=SPIKE_MAX, high=SPIKE_HIGH, series_col="user_id"
+    )
+    name = f"spike_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("spike_check_stream: AvailableNow run exceeded 600 s")
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("series_id").cast("bigint").alias("user_id"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("flag_spike_check").cast("int").alias("flag_spike"),
+    )
+
+
+SQL_SPIKE_STREAM = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+       CAST(CASE WHEN pts IS NULL THEN 3
+                 WHEN value IS NULL OR pv IS NULL OR nv IS NULL THEN 5
+                 WHEN (value-pv)*(value-nv) > 0
+                      AND least(abs(value-pv), abs(value-nv)) >= {SPIKE_MAX} THEN 1
+                 WHEN (value-pv)*(value-nv) > 0
+                      AND least(abs(value-pv), abs(value-nv)) >= {SPIKE_HIGH} THEN 2
+                 ELSE 0 END AS INT) AS flag_spike
+FROM (SELECT user_id, ts, value,
+             lag(value) OVER w AS pv, lead(value) OVER w AS nv,
+             lag(ts) OVER w AS pts, lead(ts) OVER w AS nts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+WHERE nts IS NOT NULL
+"""
+
+
+def q_flatline_check_stream(spark, sf):
+    """Stateful streaming flatline_check ≡ batch (round 5): state carries
+    (last_value, run_length, rows_seen) per series — constant memory,
+    exact run continuity across micro-batches. Same quantization as the
+    batch flatline query (floor(value/40)); the oracle is the batch
+    run-length SQL keyed by (user_id, ts)."""
+    import os
+    import tempfile
+    import uuid
+
+    batch_schema = read_table(spark, sf, "events").schema
+    stream_dir = tempfile.mkdtemp(prefix="rove_stream_flat_")
+    os.symlink(
+        f"{sf.rstrip('/')}/events.parquet", os.path.join(stream_dir, "events.parquet")
+    )
+    _utc(spark)
+    from rove_spark.streaming.rollup_stream import stream_flatline_check
+
+    src = (
+        spark.readStream.schema(batch_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("qv", F.floor(F.col("value") / 40.0).cast("double"))
+    )
+    flagged = stream_flatline_check(src, "qv", max_=FLAT_MAX, series_col="user_id")
+    name = f"flat_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("flatline_check_stream: AvailableNow run exceeded 600 s")
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("series_id").cast("bigint").alias("user_id"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("flag_flatline_check").cast("int").alias("flag_flatline"),
+    )
+
+
+SQL_FLATLINE_STREAM = f"""
+WITH base AS (
+  SELECT user_id, ts, floor(value / 40.0) AS qv FROM events
+), lagged AS (
+  SELECT user_id, ts, qv,
+         CASE WHEN qv IS DISTINCT FROM lag(qv) OVER w THEN 1 ELSE 0 END AS changed,
+         row_number() OVER w AS rn
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id, ts, qv, rn,
+         CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+  FROM lagged
+), r AS (
+  SELECT user_id, ts, qv, rn,
+         row_number() OVER (PARTITION BY user_id, grp ORDER BY ts) AS run_len
+  FROM g
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+       CAST(CASE WHEN qv IS NULL THEN 5
+                 WHEN run_len >= {FLAT_MAX + 1} THEN 1
+                 WHEN rn <= {FLAT_MAX} THEN 3
+                 ELSE 0 END AS INT) AS flag_flatline
+FROM r
+"""
+
+
 # ------------------------------------------------------------- registry --
 
 
@@ -2674,7 +2812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spike_check": q_spike_check,
         "flatline_check": q_flatline_check,
         "range_check": q_range_check,
-        "special_value_check": q_special_value_check,
         "range_check_dynamic": q_range_check_dynamic,
         "model_consistency_check": q_model_consistency,
         # shaping (A1/A3)
@@ -2687,6 +2824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d": q_rollup_1d,
         "rollup_1m_stream": q_rollup_1m_stream,
         "step_check_stream": q_step_check_stream,
+        "spike_check_stream": q_spike_check_stream,
+        "flatline_check_stream": q_flatline_check_stream,
         "histogram_tier": q_histogram_tier,
         "hll_tier": q_hll_tier,
         "retention_plan": q_retention_plan,
@@ -2707,7 +2846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         # ANN
-        "knn_cosine": q_knn_cosine,
         "ivf_knn": q_ivf_knn,
         "ivf_knn_partial": q_ivf_knn_partial,
         # text / multimodal
@@ -2737,6 +2875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the driver's 50-query cap: coverage subsumed above,
         # still run by tests/test_driver_contract.py
         "gapfill": q_gapfill,  # same grid_fill operator as gapfill_mixed (head)
+        "knn_cosine": q_knn_cosine,  # same SQL oracle as ivf_knn (full probe ≡ brute force)
+        "special_value_check": q_special_value_check,  # exact CASE oracle appears verbatim inside pipeline_toml's union (head)
         "rollup_flag_density": q_rollup_flag_density,  # conditional-sum flag stats ⊂ the rollup aggregate family (rollup_1m/1d head rows)
         "sct_small": q_sct_small,  # ⊂ sct_iter (same KD/adjugate oracle at rounds=2)
         "sct_isolated": q_sct_isolated,  # isolation partition re-derived per round inside sct_iter
@@ -2766,6 +2906,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d": _sql_rollup("day"),
         "rollup_1m_stream": _sql_rollup("minute"),
         "step_check_stream": SQL_STEP_STREAM,
+        "spike_check_stream": SQL_SPIKE_STREAM,
+        "flatline_check_stream": SQL_FLATLINE_STREAM,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "retention_plan": _sql_retention_plan(),

@@ -93,16 +93,17 @@ def test_driver_cap_window_covers_every_family():
     must_verify = {
         # one representative per distinct operator family
         "step_check", "spike_check", "flatline_check", "range_check",
-        "special_value_check", "range_check_dynamic", "model_consistency_check",
+        "range_check_dynamic", "model_consistency_check",
         "gapfill_mixed", "asof_join", "pipeline_toml",
         "rollup_1m", "rollup_1d", "rollup_1m_stream", "step_check_stream",
+        "spike_check_stream", "flatline_check_stream",
         "histogram_tier", "hll_tier", "retention_plan", "retention_drop",
         "gorilla_roundtrip", "verify_digests",
         "buddy_check", "sct", "sct_iter",
         "csv_snapshot", "polygon_filter",
         "dedup_exact", "dedup_clusters", "minhash_neardup", "simhash_neardup",
         "embedding_neardup",
-        "knn_cosine", "ivf_knn", "ivf_knn_partial",
+        "ivf_knn", "ivf_knn_partial",
         "langid", "quality_score", "token_stats", "fingerprints",
         "pii_scan", "repetition_stats", "multimodal_features",
         "stratified_sample", "zscore_check",
@@ -112,7 +113,8 @@ def test_driver_cap_window_covers_every_family():
     }
     assert must_verify <= head, f"fell past the cap: {sorted(must_verify - head)}"
     allowed_tail = {
-        "gapfill", "rollup_flag_density", "sct_small", "sct_isolated",
-        "rollup_1h", "rollup_by_type", "fill_forward", "hash_sample",
+        "gapfill", "knn_cosine", "special_value_check", "rollup_flag_density",
+        "sct_small", "sct_isolated", "rollup_1h", "rollup_by_type",
+        "fill_forward", "hash_sample",
     }
     assert set(tail) <= allowed_tail, f"non-redundant query in tail: {tail}"
