@@ -225,11 +225,16 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
             "interleaved scan is implemented"
         )
     by_id = {c["id"]: c for c in frame["comps"]}
-    scan_comps = []
-    for cid, td, ta in scan:
-        if cid not in by_id:
-            raise ValueError(f"JPEG SOS references unknown component id {cid}")
-        scan_comps.append((by_id[cid], td, ta))
+    scan_ids = [cid for cid, _, _ in scan]
+    # a repeated id would pass the count check and silently decode one
+    # component twice against the other's entropy data — require the scan
+    # to cover each frame component exactly once
+    if set(scan_ids) != set(by_id) or len(scan_ids) != len(set(scan_ids)):
+        raise ValueError(
+            f"JPEG SOS component ids {scan_ids} do not cover the frame "
+            f"components {sorted(by_id)} exactly once"
+        )
+    scan_comps = [(by_id[cid], td, ta) for cid, td, ta in scan]
 
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)

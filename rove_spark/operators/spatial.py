@@ -1000,14 +1000,23 @@ def sct(
     when a single slice outgrows one Python worker. Measured + documented
     in BENCH.md round 5."""
     if params.pop("use_relational", False):
+        # EXACTLY num_min == num_max == 3: the relational path hardcodes
+        # 3-station leaves (bk == 3) and solves every one of them, while
+        # the kernel skips any box with k < num_min and can produce
+        # 1-2-station boxes from odd splits (solved when num_min allows).
+        # Outside this point the two paths provably diverge — the r5
+        # review caught the guard admitting num_min defaults / num_max<3.
         if not (
-            params.get("num_max", 100) <= 3
+            params.get("num_max", 100) == 3
+            and params.get("num_min", 5) == 3
             and params.get("num_iterations", 5) <= 1
             and cell_deg is None
         ):
             raise ValueError(
-                "use_relational requires num_max<=3, num_iterations<=1 and "
-                "cell_deg=None (the exactly-relational bounded-box mode)"
+                "use_relational requires num_min=3, num_max=3, "
+                "num_iterations<=1 and cell_deg=None — the exactly-"
+                "relational bounded-box regime the kernel-equality gate "
+                "and the DuckDB oracle cover"
             )
         return sct_small_relational(
             df,

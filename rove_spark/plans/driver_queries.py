@@ -2288,6 +2288,62 @@ WHERE dp / (na.n * nb.n) >= {threshold}
 """
 
 
+def _run_stream_query(
+    spark,
+    sf: str,
+    prefix: str,
+    build,
+    output_mode: str,
+    select_cols,
+):
+    """Shared harness for the stream≡batch driver queries: symlink the
+    single-file events table into a temp dir (FileStreamSource needs a
+    directory; cleaned at process exit), cast the NTZ event time for the
+    watermark, run ``build(src)`` with Trigger.AvailableNow into a memory
+    sink, and FAIL LOUDLY on timeout — stopping a live query would commit
+    a partial memory table that presents as a stream≡batch hash mismatch
+    instead of a named error. ``output_mode``: 'complete' for windowed
+    aggregates (append emits only watermark-passed windows — the final
+    minutes would be held in state forever), 'append' for the stateful
+    per-row checks (they emit each flag as the row becomes decidable)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    batch_schema = read_table(spark, sf, "events").schema
+    stream_dir = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
+    os.symlink(
+        f"{sf.rstrip('/')}/events.parquet", os.path.join(stream_dir, "events.parquet")
+    )
+    _utc(spark)
+    src = (
+        spark.readStream.schema(batch_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    name = f"{prefix}{uuid.uuid4().hex[:12]}"
+    q = (
+        build(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError(
+                f"{prefix}: AvailableNow run exceeded 600 s — refusing to "
+                "return a partially-committed memory table"
+            )
+    finally:
+        q.stop()
+    return spark.table(name).select(*select_cols)
+
+
 def q_rollup_1m_stream(spark, sf):
     """Streaming 1m tier ≡ batch (round-4 verdict item 3): run
     ``streaming.rollup_stream.stream_rollup`` over the events parquet with
@@ -2299,65 +2355,37 @@ def q_rollup_1m_stream(spark, sf):
     vs batch (the memory sink is the stream≡batch proof harness, not the
     production sink — the production path appends finalized windows to
     the tier table as the watermark closes them)."""
-    import uuid
-
     from rove_spark.streaming.rollup_stream import stream_rollup
 
-    _utc(spark)
-    import os
-    import tempfile
+    def build(src):
+        return stream_rollup(
+            src,
+            window="1 minute",
+            series_col="user_id",
+            ts_col="ts",
+            role_col=None,
+            aggs=[
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_sum_cents"),
+                F.min("value").alias("value_min"),
+                F.max("value").alias("value_max"),
+            ],
+        )
 
-    batch_schema = read_table(spark, sf, "events").schema
-    # FileStreamSource needs a directory; the testdata table is a single
-    # parquet file — symlink it into a per-invocation temp dir (read-only
-    # testdata untouched)
-    stream_dir = tempfile.mkdtemp(prefix="rove_stream_src_")
-    os.symlink(
-        f"{sf.rstrip('/')}/events.parquet", os.path.join(stream_dir, "events.parquet")
-    )
-    src = spark.readStream.schema(batch_schema).parquet(stream_dir)
-    # watermarks reject TIMESTAMP_NTZ event time; session TZ is UTC so the
-    # NTZ→LTZ cast (and the NTZ cast back on output) is value-identity
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    tier = stream_rollup(
-        src,
-        window="1 minute",
-        series_col="user_id",
-        ts_col="ts",
-        role_col=None,
-        aggs=[
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_sum_cents"),
-            F.min("value").alias("value_min"),
-            F.max("value").alias("value_max"),
+    return _run_stream_query(
+        spark,
+        sf,
+        "rove_rollup_stream_",
+        build,
+        "complete",
+        [
+            "user_id",
+            F.col("bucket_ts").cast("timestamp_ntz").alias("bucket_ts"),
+            "n_events",
+            "value_sum_cents",
+            "value_min",
+            "value_max",
         ],
-    )
-    name = f"rollup_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        tier.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # awaitTermination returns False on timeout — stopping then would
-        # commit a PARTIAL memory table and present as a stream≡batch
-        # hash mismatch instead of a named error (round-5 review)
-        if not q.awaitTermination(600):
-            raise TimeoutError(
-                "rollup_1m_stream: AvailableNow run exceeded 600 s — "
-                "refusing to return a partially-committed memory table"
-            )
-    finally:
-        q.stop()
-    return spark.table(name).select(
-        "user_id",
-        F.col("bucket_ts").cast("timestamp_ntz").alias("bucket_ts"),
-        "n_events",
-        "value_sum_cents",
-        "value_min",
-        "value_max",
     )
 
 
@@ -2602,43 +2630,21 @@ def q_step_check_stream(spark, sf):
     Append-mode memory sink: applyInPandasWithState emits flags for
     every input row as it processes it — unlike windowed aggregates,
     nothing is held back behind the watermark."""
-    import os
-    import tempfile
-    import uuid
-
-    batch_schema = read_table(spark, sf, "events").schema
-    stream_dir = tempfile.mkdtemp(prefix="rove_stream_step_")
-    os.symlink(
-        f"{sf.rstrip('/')}/events.parquet", os.path.join(stream_dir, "events.parquet")
-    )
-    _utc(spark)
     from rove_spark.streaming.rollup_stream import stream_step_check
 
-    src = (
-        spark.readStream.schema(batch_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
-    flagged = stream_step_check(
-        src, "value", max_=STEP_MAX, high=STEP_HIGH, series_col="user_id"
-    )
-    name = f"step_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        flagged.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(600):
-            raise TimeoutError("step_check_stream: AvailableNow run exceeded 600 s")
-    finally:
-        q.stop()
-    return spark.table(name).select(
-        F.col("series_id").cast("bigint").alias("user_id"),
-        F.col("ts").cast("timestamp_ntz").alias("ts"),
-        F.col("flag_step_check").cast("int").alias("flag_step"),
+    return _run_stream_query(
+        spark,
+        sf,
+        "rove_step_stream_",
+        lambda src: stream_step_check(
+            src, "value", max_=STEP_MAX, high=STEP_HIGH, series_col="user_id"
+        ),
+        "append",
+        [
+            F.col("series_id").cast("bigint").alias("user_id"),
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.col("flag_step_check").cast("int").alias("flag_step"),
+        ],
     )
 
 
@@ -2664,43 +2670,21 @@ def q_spike_check_stream(spark, sf):
     stays pending (the batch trailing-context INCONCLUSIVE, deferred
     instead of emitted). The oracle is the batch lag/lead SQL restricted
     to ``nts IS NOT NULL`` — exactly the decidable set."""
-    import os
-    import tempfile
-    import uuid
-
-    batch_schema = read_table(spark, sf, "events").schema
-    stream_dir = tempfile.mkdtemp(prefix="rove_stream_spike_")
-    os.symlink(
-        f"{sf.rstrip('/')}/events.parquet", os.path.join(stream_dir, "events.parquet")
-    )
-    _utc(spark)
     from rove_spark.streaming.rollup_stream import stream_spike_check
 
-    src = (
-        spark.readStream.schema(batch_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
-    flagged = stream_spike_check(
-        src, "value", max_=SPIKE_MAX, high=SPIKE_HIGH, series_col="user_id"
-    )
-    name = f"spike_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        flagged.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(600):
-            raise TimeoutError("spike_check_stream: AvailableNow run exceeded 600 s")
-    finally:
-        q.stop()
-    return spark.table(name).select(
-        F.col("series_id").cast("bigint").alias("user_id"),
-        F.col("ts").cast("timestamp_ntz").alias("ts"),
-        F.col("flag_spike_check").cast("int").alias("flag_spike"),
+    return _run_stream_query(
+        spark,
+        sf,
+        "rove_spike_stream_",
+        lambda src: stream_spike_check(
+            src, "value", max_=SPIKE_MAX, high=SPIKE_HIGH, series_col="user_id"
+        ),
+        "append",
+        [
+            F.col("series_id").cast("bigint").alias("user_id"),
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.col("flag_spike_check").cast("int").alias("flag_spike"),
+        ],
     )
 
 
@@ -2728,42 +2712,23 @@ def q_flatline_check_stream(spark, sf):
     exact run continuity across micro-batches. Same quantization as the
     batch flatline query (floor(value/40)); the oracle is the batch
     run-length SQL keyed by (user_id, ts)."""
-    import os
-    import tempfile
-    import uuid
-
-    batch_schema = read_table(spark, sf, "events").schema
-    stream_dir = tempfile.mkdtemp(prefix="rove_stream_flat_")
-    os.symlink(
-        f"{sf.rstrip('/')}/events.parquet", os.path.join(stream_dir, "events.parquet")
-    )
-    _utc(spark)
     from rove_spark.streaming.rollup_stream import stream_flatline_check
 
-    src = (
-        spark.readStream.schema(batch_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withColumn("qv", F.floor(F.col("value") / 40.0).cast("double"))
-    )
-    flagged = stream_flatline_check(src, "qv", max_=FLAT_MAX, series_col="user_id")
-    name = f"flat_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        flagged.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(600):
-            raise TimeoutError("flatline_check_stream: AvailableNow run exceeded 600 s")
-    finally:
-        q.stop()
-    return spark.table(name).select(
-        F.col("series_id").cast("bigint").alias("user_id"),
-        F.col("ts").cast("timestamp_ntz").alias("ts"),
-        F.col("flag_flatline_check").cast("int").alias("flag_flatline"),
+    def build(src):
+        src = src.withColumn("qv", F.floor(F.col("value") / 40.0).cast("double"))
+        return stream_flatline_check(src, "qv", max_=FLAT_MAX, series_col="user_id")
+
+    return _run_stream_query(
+        spark,
+        sf,
+        "rove_flat_stream_",
+        build,
+        "append",
+        [
+            F.col("series_id").cast("bigint").alias("user_id"),
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.col("flag_flatline_check").cast("int").alias("flag_flatline"),
+        ],
     )
 
 

@@ -311,30 +311,50 @@ def open_table(spark: SparkSession, path_or_name: str | Path, partition_by: list
     sanitized ``rove.db.<leaf>_<md5(path)[:8]>`` identifier.
 
     Migration: identifiers before round 5 were plain ``rove.db.<leaf>``
-    (no path digest). If a table exists under the legacy name and none
-    exists under the digest name, the legacy table is used (logged) —
-    otherwise an upgraded deployment would silently resume against a
-    brand-new empty table while its checkpoint manifest still claims the
-    old days done, permanently dropping them from the tier."""
+    (no path digest). A legacy table carries no marker of which out_dir
+    created it, so silently adopting it could cross-wire two out_dirs
+    sharing a leaf name — the exact clobber the digest prevents. If a
+    table exists under the legacy name and none under the digest name,
+    open_table therefore FAILS LOUDLY and demands an explicit choice:
+    set ``ROVE_ADOPT_LEGACY_TABLES=1`` to adopt the legacy table (single
+    pre-round-5 deployment), or rename it to the digest identifier.
+    Proceeding silently either way loses data: adopting can mix
+    out_dirs; ignoring pairs an old checkpoint manifest with a fresh
+    empty table and permanently drops the done days from the tier."""
+    import os
+
     name = str(path_or_name)
     if spark.conf.get("spark.sql.catalog.rove", None):
         if not name.startswith("rove."):
             name = _derive_table_name(name)
             legacy = _derive_table_name_legacy(name_path=str(path_or_name))
             try:
-                if spark.catalog.tableExists(legacy) and not spark.catalog.tableExists(
-                    name
-                ):
+                legacy_exists = spark.catalog.tableExists(legacy)
+                digest_exists = spark.catalog.tableExists(name)
+            except AttributeError:
+                legacy_exists = digest_exists = False  # session double (tests)
+            if legacy_exists and not digest_exists:
+                if os.environ.get("ROVE_ADOPT_LEGACY_TABLES") == "1":
                     log.warning(
-                        "open_table: using pre-round-5 legacy identifier %s for "
-                        "%s (digest name %s has no table yet). Rename the table "
-                        "to the digest identifier to finish the migration.",
+                        "open_table: ROVE_ADOPT_LEGACY_TABLES=1 — adopting "
+                        "pre-round-5 identifier %s for %s (digest name %s). "
+                        "Rename the table to finish the migration.",
                         legacy,
                         path_or_name,
                         name,
                     )
                     name = legacy
-            except AttributeError:
-                pass  # catalog-less session double (tests)
+                else:
+                    raise RuntimeError(
+                        f"open_table: legacy table {legacy} exists but digest "
+                        f"table {name} does not. A legacy identifier carries no "
+                        "record of its out_dir, so adopting it automatically "
+                        "could cross-wire out_dirs sharing a leaf name, while "
+                        "ignoring it would resume against an empty table with "
+                        "a manifest claiming days done. Set "
+                        "ROVE_ADOPT_LEGACY_TABLES=1 to adopt it (safe for a "
+                        f"single pre-upgrade deployment), or rename {legacy} "
+                        f"to {name}."
+                    )
         return IcebergTable(spark, name, partition_by)
     return PartitionedTable(path_or_name, partition_by)

@@ -102,9 +102,22 @@ def test_open_table_prefers_existing_legacy_name():
         def __init__(self, existing):
             self.catalog = _FakeCatalog(existing)
 
-    # legacy exists, digest does not → legacy wins
-    t = open_table(_FakeSpark({"rove.db.tiers_1d"}), "/tmp/tiers-1d", ["day"])
-    assert t.name == "rove.db.tiers_1d"
+    import pytest
+
+    # legacy exists, digest does not → HARD ERROR (a legacy identifier
+    # carries no out_dir record; silent adoption could cross-wire
+    # out_dirs, silent ignore pairs an old manifest with an empty table)
+    with pytest.raises(RuntimeError, match="ROVE_ADOPT_LEGACY_TABLES"):
+        open_table(_FakeSpark({"rove.db.tiers_1d"}), "/tmp/tiers-1d", ["day"])
+    # ... unless adoption is explicitly opted into
+    import os
+
+    os.environ["ROVE_ADOPT_LEGACY_TABLES"] = "1"
+    try:
+        t = open_table(_FakeSpark({"rove.db.tiers_1d"}), "/tmp/tiers-1d", ["day"])
+        assert t.name == "rove.db.tiers_1d"
+    finally:
+        del os.environ["ROVE_ADOPT_LEGACY_TABLES"]
     # digest exists → digest wins even if legacy also exists
     digest_name = open_table(_FakeSpark(set()), "/tmp/tiers-1d", ["day"]).name
     t2 = open_table(

@@ -316,3 +316,18 @@ def test_partial_scan_raises_named_error():
     data[sos : sos + 2 + old_len] = new_sos
     with pytest.raises(ValueError, match="single\\s+interleaved|interleaved"):
         decode_jpeg(bytes(data))
+
+
+def test_duplicate_sos_component_raises():
+    """A repeated SOS component id must raise, not silently decode one
+    component against another's entropy data (round-5 review)."""
+    rng = np.random.default_rng(37)
+    planes = [_rand_coefs(rng, 1, 1), _rand_coefs(rng, 1, 1), _rand_coefs(rng, 1, 1)]
+    data = bytearray(encode_baseline(planes, [(1, 1)] * 3, 8, 8, QT_ONES))
+    sos = data.index(b"\xff\xda")
+    # components (1, 2, 3) -> (1, 1, 2): same length, duplicate id
+    assert data[sos + 5] == 1 and data[sos + 7] == 2 and data[sos + 9] == 3
+    data[sos + 7] = 1
+    data[sos + 9] = 2
+    with pytest.raises(ValueError, match="exactly once"):
+        decode_jpeg(bytes(data))
