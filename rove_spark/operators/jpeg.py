@@ -162,6 +162,13 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        # code — skip them, else a fill byte reads as marker 0xFF and the
+        # bogus segment length desyncs the walk past real DQT/DHT segments
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -593,10 +593,23 @@ def buddy_check_relational(
     Exactly the semantics of ``buddy_check_kernel`` at num_iterations=1
     (equality-gated in test_spatial): buddies are present values within
     ``radius`` (optionally elevation-gated/adjusted), variance is the
-    biased Σ(v−m)²/n form computed as E[x²]−m² (same reals; flag
-    decisions are fp-robust), std floored at ``min_std``, FAIL on
+    biased Σ(v−m)²/n form, std floored at ``min_std``, FAIL on
     z>threshold with ≥num_min buddies, ISOLATED below num_min,
     DATA_MISSING on null.
+
+    Numerics: moments are computed on values SHIFTED by the home row's own
+    value c (a constant within each group, available on every pair row):
+    var = E[(x−c)²] − E[x−c]², z = |E[x−c]| / std for present homes. The
+    shift puts the working values at O(neighborhood spread) instead of
+    O(|mean|), so the one-pass form keeps the kernel's centered-sum
+    stability class even at mean ≈ 1e7 with unit spread (where raw
+    E[x²]−m² cancels catastrophically and would silently floor std to
+    min_std) — large-offset case gated in test_relational_equals_kernel.
+
+    Duplicate (series_id, ts) rows round-trip like the kernel path: a
+    per-row identity (frozen by the localCheckpoint materialization) is
+    carried through the join so each input row gets its own flag instead
+    of collapsing nondeterministically into one.
 
     Scale shape: one shuffle to the (ts, cell) join, one partial-agg
     groupBy back to (series, ts). Pair volume is bounded by cell size ×
@@ -609,6 +622,9 @@ def buddy_check_relational(
         F.col("lat").cast("double"),
         F.col("lon").cast("double"),
         F.coalesce(F.col("elev"), F.lit(0.0)).cast("double").alias("elev"),
+        # row identity: frozen by the localCheckpoint below, so duplicate
+        # (series_id, ts) inputs each keep their own output row
+        F.monotonically_increasing_id().alias("_rid"),
     )
     # the self-join below references base TWICE (home + neighbor sides);
     # without a materialization point Catalyst recomputes the caller's
@@ -635,10 +651,10 @@ def buddy_check_relational(
             F.floor(F.col("lat") / cell_deg).cast("int"),
         )
         home = base.withColumn("cell", home_cell).select(
-            *join_keys, "series_id", "value", "lat", "lon", "elev"
+            *join_keys, "series_id", "_rid", "value", "lat", "lon", "elev"
         )
     else:
-        home = base.select(*join_keys, "series_id", "value", "lat", "lon", "elev")
+        home = base.select(*join_keys, "series_id", "_rid", "value", "lat", "lon", "elev")
     nbr = grouped.select(
         *join_keys,
         F.col("series_id").alias("_bsid"),
@@ -663,20 +679,30 @@ def buddy_check_relational(
             adj = F.col("_bv")
     else:
         adj = F.col("_bv")
+    # shift every buddy value by the home row's own value (constant within
+    # the group): the moments then work on O(spread)-sized numbers — see
+    # the docstring's numerics note
+    shift = F.coalesce(F.col("value"), F.lit(0.0))
     pairs = home.join(nbr, join_keys).select(
-        "series_id", "ts", "value", F.when(is_buddy, adj).alias("_adj")
+        "series_id",
+        "ts",
+        "_rid",
+        "value",
+        (F.when(is_buddy, adj) - shift).alias("_y"),
     )
-    stats = pairs.groupBy("series_id", "ts").agg(
+    stats = pairs.groupBy("series_id", "ts", "_rid").agg(
         F.first("value").alias("value"),
-        F.count("_adj").alias("_cnt"),
-        F.avg("_adj").alias("_mean"),
+        F.count("_y").alias("_cnt"),
+        F.avg("_y").alias("_dmean"),
         F.coalesce(
-            F.avg(F.col("_adj") * F.col("_adj")) - F.avg("_adj") * F.avg("_adj"),
+            F.avg(F.col("_y") * F.col("_y")) - F.avg("_y") * F.avg("_y"),
             F.lit(0.0),
         ).alias("_var"),
     )
     std = F.greatest(F.sqrt(F.greatest(F.col("_var"), F.lit(0.0))), F.lit(min_std))
-    z = F.abs(F.col("value") - F.col("_mean")) / std
+    # |home − mean| = |home − (shift + dmean)| = |dmean| for present homes
+    # (shift = home value); null homes flag DATA_MISSING before z is read
+    z = F.abs(F.col("_dmean")) / std
     flag = (
         F.when(F.col("value").isNull(), F.lit(int(Flag.DATA_MISSING)))
         .when((F.col("_cnt") >= num_min) & (z > threshold), F.lit(int(Flag.FAIL)))
@@ -865,13 +891,29 @@ def sct_small_relational(
         elig = elig.localCheckpoint(eager=False)
 
     leaf_w = Window.partitionBy("ts", "path")
+    # relational guard (mirrors the DuckDB oracle's error() depth guard):
+    # a leaf that still holds >3 stations after `levels` cuts means the
+    # KD loop under-ran — raise instead of letting the `== 3` filter drop
+    # it silently and PASS every station in it. raise_error is routed
+    # through the filter predicate so column pruning can't elide it.
+    bk_checked = F.when(
+        F.col("_bk") > 3,
+        F.raise_error(
+            F.concat(
+                F.lit("sct_small_relational: KD leaf with >3 stations at ts="),
+                F.col("ts").cast("string"),
+                F.lit(" path="),
+                F.col("path"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_bk"))
     fin = elig.select(
         "*",
         F.count(F.lit(1)).over(leaf_w).alias("_bk"),
         F.row_number()
         .over(Window.partitionBy("ts", "path").orderBy("series_id"))
         .alias("_rn"),
-    ).filter(F.col("_bk") == 3)
+    ).filter(bk_checked == 3)
     piv = fin.groupBy("ts", "path").agg(
         *[
             F.max(F.when(F.col("_rn") == r, F.col(c))).alias(f"{o}{r}")

@@ -2315,9 +2315,14 @@ def _run_stream_query(
     batch_schema = read_table(spark, sf, "events").schema
     stream_dir = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
-    os.symlink(
-        f"{sf.rstrip('/')}/events.parquet", os.path.join(stream_dir, "events.parquet")
-    )
+    # abspath: a relative sf would make the symlink (created inside the
+    # /tmp dir) dangle, and FileStreamSource reads ZERO files — presenting
+    # as a confusing stream≡batch hash mismatch instead of a named error
+    target = f"{os.path.abspath(sf).rstrip('/')}/events.parquet"
+    link = os.path.join(stream_dir, "events.parquet")
+    os.symlink(target, link)
+    if not os.path.exists(link):
+        raise FileNotFoundError(f"{prefix}: stream symlink does not resolve: {target}")
     _utc(spark)
     src = (
         spark.readStream.schema(batch_schema)

@@ -389,6 +389,71 @@ def test_relational_equals_kernel(spark):
         assert rel == kern, f"flag divergence for {kw}"
 
 
+def test_relational_large_offset(spark):
+    """Numeric-stability gate for the relational buddy default (round-5
+    ADVICE): values at mean ≈ 1e8 with unit spread. The raw E[x²]−m² form
+    cancels catastrophically there (error ~ 1e16·eps ≈ 2 ≫ true var),
+    silently flooring std to min_std and flipping z decisions; the
+    shifted-moment form must still match the kernel's centered sums."""
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(80):
+        v = 1.0e8 + float(rng.normal(0, 0.5))
+        if i in (9, 41):
+            v += 50.0  # planted outliers, z ≈ 100 against true std 0.5
+        rows.append(
+            (
+                f"s{i:03d}",
+                T0,
+                v,
+                60.0 + float(rng.uniform(0, 0.4)),
+                10.0 + float(rng.uniform(0, 0.4)),
+                0.0,
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, value double, lat double, lon double, elev double"
+    )
+    kw = dict(radius=50000, num_min=3, threshold=3.0, min_std=0.1)
+    kern = {
+        (r.series_id, r.ts): r.flag_buddy_check
+        for r in spatial.buddy_check(df, "value", force_kernel=True, **kw).collect()
+    }
+    rel = {
+        (r.series_id, r.ts): r.flag_buddy_check
+        for r in spatial.buddy_check_relational(df, "value", **kw).collect()
+    }
+    assert rel == kern
+    assert kern[("s009", T0)] == Flag.FAIL  # the offset didn't swallow the outlier
+
+
+def test_relational_duplicate_keys(spark):
+    """Duplicate (series_id, ts) input rows must round-trip through the
+    relational path one-output-row-per-input-row (round-5 ADVICE: the
+    groupBy used to collapse them to one nondeterministically-valued
+    row); per-key flag multisets must match the kernel path."""
+    from collections import Counter
+
+    rows = [
+        ("a", T0, 10.0, 60.0, 10.0, 0.0),
+        ("a", T0, 99.0, 60.0, 10.0, 0.0),  # duplicate key, wild value
+        ("b", T0, 10.2, 60.01, 10.0, 0.0),
+        ("c", T0, 9.9, 60.0, 10.01, 0.0),
+        ("d", T0, 10.1, 60.01, 10.01, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, value double, lat double, lon double, elev double"
+    )
+    kw = dict(radius=30000, num_min=2, threshold=2.5)
+    kern = Counter(
+        (r.series_id, r.flag_buddy_check)
+        for r in spatial.buddy_check(df, "value", force_kernel=True, **kw).collect()
+    )
+    rel_rows = spatial.buddy_check_relational(df, "value", **kw).collect()
+    assert len(rel_rows) == len(rows)  # no collapse
+    assert Counter((r.series_id, r.flag_buddy_check) for r in rel_rows) == kern
+
+
 def test_sct_small_relational_equals_kernel(spark):
     """The codegen num_max=3 SCT path must produce EXACTLY the kernel's
     flags: missing values, isolation, KD subdivision order, the 3x3
