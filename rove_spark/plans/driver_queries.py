@@ -1922,6 +1922,69 @@ GROUP BY day
 """
 
 
+def q_retention_compact(spark, sf):
+    """Cold-tier retention lifecycle end-to-end (round-5 verdict item 1):
+    per-(user, hour) MIN values (order-independent → cross-engine exact)
+    are written as a day-partitioned raw table, ``retention_compact``
+    Gorilla-compresses every partition older than the 1m keep window into
+    the SURVEY §1.4 chunk table and then DROPS the raw partitions, and
+    the returned rows are the ``read_cold`` read-through DECODE of those
+    chunks. The oracle recomputes the pre-expiry raw slice directly from
+    events — so encode→compact→drop→decode must reproduce the expired
+    signal value-exactly (f32 cast is the only representation change,
+    applied identically in both engines)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from rove_spark.operators.rollup import read_cold, retention_compact
+    from rove_spark.sources.tables import PartitionedTable
+
+    _utc(spark)
+    ev = _events(spark, sf)
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.min("value").alias("hv")
+    )
+    raw_df = hourly.withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    base = tempfile.mkdtemp(prefix="rove_retention_compact_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    raw = PartitionedTable(f"{base}/raw", ["day"])
+    raw.overwrite_partitions(raw_df, lineage={"query": "retention_compact"})
+    cutoff = ev.agg(
+        F.date_format(
+            F.date_sub(F.max(F.date_trunc("day", "ts")), RETENTION_WINDOWS["1m"]),
+            "yyyy-MM-dd",
+        ).alias("cutoff")
+    ).first()["cutoff"]
+    chunks = PartitionedTable(f"{base}/cold", ["day"])
+    retention_compact(
+        spark, raw, chunks, cutoff, value_col="hv", series_col="user_id"
+    )
+    decoded = read_cold(spark, chunks, value_col="hv").filter(~F.col("is_gap"))
+    return decoded.select(
+        F.col("series_id").cast("bigint").alias("user_id"),
+        "ts",
+        F.round(F.col("hv").cast("double") * 100).cast("long").alias("value_cents"),
+    )
+
+
+SQL_RETENTION_COMPACT = f"""
+WITH h AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts,
+         CAST(min(value) AS REAL) AS hv
+  FROM events GROUP BY 1, 2
+), mx AS (
+  SELECT max(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS mxd FROM events
+)
+SELECT h.user_id, h.ts,
+       CAST(round(CAST(hv AS DOUBLE) * 100) AS BIGINT) AS value_cents
+FROM h CROSS JOIN mx
+WHERE CAST(date_trunc('day', h.ts) AS TIMESTAMP) < mxd - to_days({RETENTION_WINDOWS["1m"]})
+"""
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate clustering: min-label propagation to convergence over the
     COLLAPSED minhash near-dup graph (one node per distinct text; members
@@ -2768,30 +2831,75 @@ FROM r
 # ------------------------------------------------------------- registry --
 
 
+# Same-family rotation groups (round-5 verdict item 2): the driver caps
+# CORRECTNESS at the first 50 queries() entries, which froze a fixed
+# 10-query redundant tail out of per-round evidence forever. Each group
+# below owns ONE head slot; the member filling it rotates
+# deterministically with the grading round (epoch = count of
+# CORRECTNESS_r*.json the driver has produced so far, overridable via
+# ROVE_ROTATION_EPOCH), so every green query regains a driver-verified
+# row at least every len(group) rounds. Members of a group are
+# same-family by construction — the family guard in
+# test_driver_contract.py asserts exactly one member per group sits in
+# the head, so no operator family ever falls past the cap.
+ROTATION_GROUPS: list[list[str]] = [
+    ["range_check", "special_value_check"],
+    ["gapfill_mixed", "gapfill"],
+    ["asof_join", "fill_forward"],
+    ["rollup_1m", "rollup_flag_density"],
+    ["rollup_1d", "rollup_1h", "rollup_by_type"],
+    ["retention_plan", "retention_drop"],
+    ["sct_iter", "sct_small", "sct_isolated"],
+    ["ivf_knn", "knn_cosine"],
+    ["stratified_sample", "hash_sample"],
+]
+
+
+def rotation_epoch() -> int:
+    """Deterministic per grading round: before round N's driver run, the
+    repo root holds CORRECTNESS_r{1..N-1}.json — their count is the
+    epoch. ROVE_ROTATION_EPOCH overrides for tests."""
+    import os
+    from pathlib import Path
+
+    env = os.environ.get("ROVE_ROTATION_EPOCH")
+    if env is not None:
+        return int(env)
+    root = Path(__file__).resolve().parents[2]
+    return len(list(root.glob("CORRECTNESS_r*.json")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-checked queries, ORDERED: the driver harness records only the
     first 50 entries in insertion order (round-4 verdict item 1 — three
     relational queries silently fell out of CORRECTNESS_r04 when round 4
     appended past the cap). The first 50 cover every distinct operator
-    family exactly once; the tail past the cap holds only queries whose
-    coverage is subsumed by an earlier entry (noted per query). The local
-    contract test still runs ALL entries."""
-    head = {
-        # QC checks (Q1-Q7)
+    family exactly once; rotation slots (see ROTATION_GROUPS) cycle
+    same-family representatives through the cap by grading round so the
+    redundant members regain driver evidence at least every other round.
+    The local contract test still runs ALL entries."""
+    all_q = {
+        # QC checks (Q1-Q7); range/special rotate one slot (same CASE family)
         "step_check": q_step_check,
         "spike_check": q_spike_check,
         "flatline_check": q_flatline_check,
         "range_check": q_range_check,
+        "special_value_check": q_special_value_check,
         "range_check_dynamic": q_range_check_dynamic,
         "model_consistency_check": q_model_consistency,
         # shaping (A1/A3)
         "gapfill_mixed": q_gapfill_mixed,
+        "gapfill": q_gapfill,
         "asof_join": q_asof_join,
+        "fill_forward": q_fill_forward,
         # orchestrator (O1 TOML loader + O2 sequential executor)
         "pipeline_toml": q_pipeline_toml,
         # tiers + streaming + retention + codec + verifier
         "rollup_1m": q_rollup_1m,
+        "rollup_flag_density": q_rollup_flag_density,
         "rollup_1d": q_rollup_1d,
+        "rollup_1h": q_rollup_1h,
+        "rollup_by_type": q_rollup_by_type,
         "rollup_1m_stream": q_rollup_1m_stream,
         "step_check_stream": q_step_check_stream,
         "spike_check_stream": q_spike_check_stream,
@@ -2800,12 +2908,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tier": q_hll_tier,
         "retention_plan": q_retention_plan,
         "retention_drop": q_retention_drop,
+        "retention_compact": q_retention_compact,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "verify_digests": q_verify_digests,
         # spatial QC (Q8/Q9 + A5)
         "buddy_check": q_buddy_check,
         "sct": q_sct,
         "sct_iter": q_sct_iter,
+        "sct_small": q_sct_small,
+        "sct_isolated": q_sct_isolated,
         # sources / pushdown (S4/S5, P2/P5)
         "csv_snapshot": q_csv_snapshot,
         "polygon_filter": q_polygon_filter,
@@ -2817,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         # ANN
         "ivf_knn": q_ivf_knn,
+        "knn_cosine": q_knn_cosine,
         "ivf_knn_partial": q_ivf_knn_partial,
         # text / multimodal
         "langid": q_langid,
@@ -2828,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # sampling + rolling stats
         "stratified_sample": q_stratified_sample,
+        "hash_sample": q_hash_sample,
         "zscore_check": q_zscore_check,
         # sessionization / ranking / grouping sets
         "sessionize": q_sessionize,
@@ -2840,21 +2953,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_region_volume": q_tpch_region_volume,
         "skew_salted_agg": q_skew_salted_agg,
     }
+    epoch = rotation_epoch()
+    benched = set()  # rotation-group members NOT holding their slot this round
+    for group in ROTATION_GROUPS:
+        pick = group[epoch % len(group)]
+        benched.update(m for m in group if m != pick)
+    head = {k: v for k, v in all_q.items() if k not in benched}
     assert len(head) == 50, f"head must fill the driver cap exactly, got {len(head)}"
-    tail = {
-        # past the driver's 50-query cap: coverage subsumed above,
-        # still run by tests/test_driver_contract.py
-        "gapfill": q_gapfill,  # same grid_fill operator as gapfill_mixed (head)
-        "knn_cosine": q_knn_cosine,  # same SQL oracle as ivf_knn (full probe ≡ brute force)
-        "special_value_check": q_special_value_check,  # exact CASE oracle appears verbatim inside pipeline_toml's union (head)
-        "rollup_flag_density": q_rollup_flag_density,  # conditional-sum flag stats ⊂ the rollup aggregate family (rollup_1m/1d head rows)
-        "sct_small": q_sct_small,  # ⊂ sct_iter (same KD/adjugate oracle at rounds=2)
-        "sct_isolated": q_sct_isolated,  # isolation partition re-derived per round inside sct_iter
-        "rollup_1h": q_rollup_1h,  # cascade exactness proven by rollup_1d (1m→1h→1d) + pytest
-        "rollup_by_type": q_rollup_by_type,  # same tier agg, one extra group key
-        "fill_forward": q_fill_forward,  # as-of window mechanics ⊂ asof_join + gapfill
-        "hash_sample": q_hash_sample,  # md5-threshold technique ⊂ stratified_sample
-    }
+    tail = {k: v for k, v in all_q.items() if k in benched}
     return {**head, **tail}
 
 
@@ -2882,6 +2988,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "retention_plan": _sql_retention_plan(),
         "retention_drop": SQL_RETENTION_DROP,
+        "retention_compact": SQL_RETENTION_COMPACT,
         "verify_digests": _sql_verify_digests(),
         "fingerprints": _sql_fingerprints(),
         "csv_snapshot": _sql_csv_snapshot(),

@@ -284,6 +284,13 @@ class Engine:
             "recomputed_context": reflag,
         }
         if not todo:
+            # retention still applies on a fully-resumed run — a killed
+            # compaction (tiers done, raw drop pending) must finish here,
+            # not silently skip to the early return
+            self._apply_retention(
+                retention, result, out_dir, input_path, value_col, series_col,
+                ts_col, manifest, fp,
+            )
             return result
 
         # context widening: window checks need neighboring rows, so a
@@ -340,16 +347,51 @@ class Engine:
         for d in todo:
             metrics[d]["elapsed_job_sec"] = round(elapsed, 3)
         manifest.mark_done(todo, fp, lineage=lineage_params, metrics=metrics)
-        if retention:
-            # retention policy: per-tier cutoff day (e.g. {"1m": "2024-02-01"})
-            # — whole-partition drops, no data rewrite (rollup.py)
-            from rove_spark.operators.rollup import retention_expire
-
-            result["expired"] = {}
-            for tier_name, cutoff in retention.items():
-                table = open_table(self.spark, out_dir / f"tier_{tier_name}", ["day"])
-                result["expired"][tier_name] = retention_expire(table, cutoff)
+        self._apply_retention(
+            retention, result, out_dir, input_path, value_col, series_col,
+            ts_col, manifest, fp,
+        )
         return result
+
+    def _apply_retention(
+        self, retention, result, out_dir, input_path, value_col, series_col,
+        ts_col, manifest, fp,
+    ) -> None:
+        """Retention policy: per-tier cutoff day (e.g. {"1m": "2024-02-01"})
+        — whole-partition drops, no data rewrite (rollup.py). The reserved
+        key "raw" compacts expiring raw-input partitions into the Gorilla
+        cold tier (out_dir/chunks_raw) BEFORE dropping them — requires a
+        day-partitioned input_path, and rides this job's checkpoint
+        manifest (compact:<day> keys) so a killed compaction resumes
+        without re-encoding."""
+        if not retention:
+            return
+        from rove_spark.operators.rollup import retention_compact, retention_expire
+
+        result["expired"] = {}
+        raw_cutoff = retention.get("raw")
+        if raw_cutoff is not None:
+            if input_path is None:
+                raise ValueError(
+                    "retention['raw'] compaction requires input_path — "
+                    "the day-partitioned raw table to compact"
+                )
+            result["expired"]["raw"] = retention_compact(
+                self.spark,
+                open_table(self.spark, input_path, ["day"]),
+                open_table(self.spark, Path(out_dir) / "chunks_raw", ["day"]),
+                raw_cutoff,
+                value_col=value_col,
+                series_col=series_col,
+                ts_col=ts_col,
+                manifest=manifest,
+                fingerprint=fp,
+            )
+        for tier_name, cutoff in retention.items():
+            if tier_name == "raw":
+                continue
+            table = open_table(self.spark, Path(out_dir) / f"tier_{tier_name}", ["day"])
+            result["expired"][tier_name] = retention_expire(table, cutoff)
 
 
 def _scalar(v):

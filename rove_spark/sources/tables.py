@@ -148,17 +148,24 @@ class PartitionedTable:
         self._commit_manifest({"snapshot_id": snap, "operation": "append", "lineage": lineage or {}})
         return snap
 
+    def partition_days(self, day_col: str = "day") -> list[str]:
+        """Partition values currently on disk — a METADATA read (directory
+        listing), never a data scan."""
+        if not self.path.exists():
+            return []
+        return sorted(
+            p.name.split("=", 1)[1] for p in self.path.glob(f"{day_col}=*")
+        )
+
     def expire_days_before(
         self, cutoff: str, day_col: str = "day", lineage: dict | None = None
     ) -> int:
         """Retention: drop every ``day_col=<val>`` partition with
         ``val < cutoff`` (lexicographic ≡ chronological for yyyy-MM-dd).
         Partition-level delete, no data rewrite."""
-        dirs = []
-        if self.path.exists():
-            for p in sorted(self.path.glob(f"{day_col}=*")):
-                if p.name.split("=", 1)[1] < cutoff:
-                    dirs.append(p.name)
+        dirs = [
+            f"{day_col}={d}" for d in self.partition_days(day_col) if d < cutoff
+        ]
         return self.drop_partitions(
             dirs, lineage={**(lineage or {}), "retention_cutoff": cutoff}
         )
@@ -224,6 +231,14 @@ class IcebergTable:
     def append(self, df: DataFrame, lineage: dict | None = None) -> str:
         df.writeTo(self.name).append()
         return self._record_lineage(lineage)
+
+    def partition_days(self, day_col: str = "day") -> list[str]:
+        """Partition values from Iceberg's partitions metadata table — a
+        metadata read, no data scan."""
+        rows = self.spark.sql(
+            f"SELECT DISTINCT partition.{day_col} AS d FROM {self.name}.partitions"
+        ).collect()
+        return sorted(str(r.d) for r in rows)
 
     def expire_days_before(
         self, cutoff: str, day_col: str = "day", lineage: dict | None = None

@@ -82,39 +82,74 @@ def test_sct_oracle_depth_guard_fires():
         con.execute(_sql_sct_small(levels=1))
 
 
+# Every distinct operator family must sit inside the driver's 50-entry
+# cap every round. Fixed entries are named directly; a rotating family is
+# named by its ROTATION_GROUPS entry — any member of the group satisfies
+# it (members are same-family by construction).
+MUST_VERIFY_FIXED = {
+    "step_check", "spike_check", "flatline_check",
+    "range_check_dynamic", "model_consistency_check",
+    "pipeline_toml",
+    "rollup_1m_stream", "step_check_stream",
+    "spike_check_stream", "flatline_check_stream",
+    "histogram_tier", "hll_tier", "retention_compact",
+    "gorilla_roundtrip", "verify_digests",
+    "buddy_check", "sct",
+    "csv_snapshot", "polygon_filter",
+    "dedup_exact", "dedup_clusters", "minhash_neardup", "simhash_neardup",
+    "embedding_neardup",
+    "ivf_knn_partial",
+    "langid", "quality_score", "token_stats", "fingerprints",
+    "pii_scan", "repetition_stats", "multimodal_features",
+    "zscore_check",
+    "sessionize", "topk_users", "cube_rollup",
+    "tpch_shipping", "tpch_pricing", "inactive_users",
+    "tpch_region_volume", "skew_salted_agg",
+}
+
+
 def test_driver_cap_window_covers_every_family():
     """The driver harness records only the FIRST 50 queries() entries
     (round-4 verdict item 1: three relational queries silently fell out).
     Guard the invariant structurally: exactly 50 head entries, every
-    must-verify operator family inside them, and everything past the cap
-    is an explicitly-subsumed redundancy."""
+    fixed must-verify family inside them, every rotation group holding
+    exactly one head slot with the epoch-determined pick, and everything
+    past the cap is exactly the benched rotation members."""
+    from rove_spark.plans.driver_queries import ROTATION_GROUPS, rotation_epoch
+
     q = list(entry_mod.queries())
     head, tail = set(q[:50]), q[50:]
-    must_verify = {
-        # one representative per distinct operator family
-        "step_check", "spike_check", "flatline_check", "range_check",
-        "range_check_dynamic", "model_consistency_check",
-        "gapfill_mixed", "asof_join", "pipeline_toml",
-        "rollup_1m", "rollup_1d", "rollup_1m_stream", "step_check_stream",
-        "spike_check_stream", "flatline_check_stream",
-        "histogram_tier", "hll_tier", "retention_plan", "retention_drop",
-        "gorilla_roundtrip", "verify_digests",
-        "buddy_check", "sct", "sct_iter",
-        "csv_snapshot", "polygon_filter",
-        "dedup_exact", "dedup_clusters", "minhash_neardup", "simhash_neardup",
-        "embedding_neardup",
-        "ivf_knn", "ivf_knn_partial",
-        "langid", "quality_score", "token_stats", "fingerprints",
-        "pii_scan", "repetition_stats", "multimodal_features",
-        "stratified_sample", "zscore_check",
-        "sessionize", "topk_users", "cube_rollup",
-        "tpch_shipping", "tpch_pricing", "inactive_users",
-        "tpch_region_volume", "skew_salted_agg",
-    }
-    assert must_verify <= head, f"fell past the cap: {sorted(must_verify - head)}"
-    allowed_tail = {
-        "gapfill", "knn_cosine", "special_value_check", "rollup_flag_density",
-        "sct_small", "sct_isolated", "rollup_1h", "rollup_by_type",
-        "fill_forward", "hash_sample",
-    }
-    assert set(tail) <= allowed_tail, f"non-redundant query in tail: {tail}"
+    assert len(q[:50]) == 50
+    assert MUST_VERIFY_FIXED <= head, f"fell past the cap: {sorted(MUST_VERIFY_FIXED - head)}"
+    epoch = rotation_epoch()
+    benched = set()
+    for group in ROTATION_GROUPS:
+        pick = group[epoch % len(group)]
+        assert pick in head, f"rotation pick {pick} not in head (epoch {epoch})"
+        others = [m for m in group if m != pick]
+        assert head.isdisjoint(others), f"group {group}: >1 member in head"
+        benched.update(others)
+    assert set(tail) == benched, f"tail != benched rotation members: {tail}"
+
+
+def test_rotation_cycles_every_member_through_cap(monkeypatch):
+    """Determinism + liveness of the rotation (round-5 verdict item 2):
+    under epoch override, the head is always exactly 50 with all fixed
+    families present, and over len(group) consecutive epochs EVERY
+    rotation member holds the slot at least once — no query is
+    permanently benched."""
+    from rove_spark.plans.driver_queries import ROTATION_GROUPS
+
+    seen: dict[str, set[str]] = {g[0]: set() for g in ROTATION_GROUPS}
+    for epoch in range(6):
+        monkeypatch.setenv("ROVE_ROTATION_EPOCH", str(epoch))
+        q = list(entry_mod.queries())
+        head = set(q[:50])
+        assert len(q[:50]) == 50
+        assert MUST_VERIFY_FIXED <= head
+        for g in ROTATION_GROUPS:
+            picks = [m for m in g if m in head]
+            assert picks == [g[epoch % len(g)]]
+            seen[g[0]].add(picks[0])
+    for g in ROTATION_GROUPS:
+        assert seen[g[0]] == set(g), f"members never rotated in: {g}"
