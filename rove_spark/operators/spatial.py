@@ -244,6 +244,102 @@ def _small_box_z(
     )
 
 
+def adj4_statements() -> list[tuple[str, str]]:
+    """Ordered (name, expression) statements computing the symmetric 4×4
+    B = S + eps2·I adjugate/determinant inverse with a FIXED operand
+    tree. The SAME strings are exec-compiled into the kernel's k=4 path
+    (``_small_box_z4``) and embedded as SQL columns by
+    ``driver_queries._sql_sct_mid`` — token-identical arithmetic in
+    Python floats and DuckDB doubles, so num_max=4 SCT flags hash-match
+    cross-engine (the same discipline as the handwritten 3×3 twins).
+    Entry names: ``bd`` (diagonal, 1+eps2), ``eIJ`` (off-diagonal
+    covariances); emits minors ``mRC``, ``det``, inverse entries
+    ``iIJ`` (upper triangle of the symmetric inverse)."""
+
+    def e(i: int, j: int) -> str:
+        return "bd" if i == j else f"e{min(i, j)}{max(i, j)}"
+
+    stmts: list[tuple[str, str]] = []
+    for r in range(4):
+        for c in range(r, 4):
+            rows = [x for x in range(4) if x != r]
+            cols = [x for x in range(4) if x != c]
+            (r0, r1, r2), (c0, c1, c2) = rows, cols
+            stmts.append(
+                (
+                    f"m{r}{c}",
+                    f"{e(r0, c0)} * ({e(r1, c1)} * {e(r2, c2)} - {e(r1, c2)} * {e(r2, c1)}) "
+                    f"- {e(r0, c1)} * ({e(r1, c0)} * {e(r2, c2)} - {e(r1, c2)} * {e(r2, c0)}) "
+                    f"+ {e(r0, c2)} * ({e(r1, c0)} * {e(r2, c1)} - {e(r1, c1)} * {e(r2, c0)})",
+                )
+            )
+    stmts.append(("det", "bd * m00 - e01 * m01 + e02 * m02 - e03 * m03"))
+    for i in range(4):
+        for j in range(i, 4):
+            # inv[i][j] = C[j][i]/det; for symmetric B, M[j][i] == M[i][j]
+            sign = "" if (i + j) % 2 == 0 else "-"
+            stmts.append((f"i{i}{j}", f"{sign}m{i}{j} / det"))
+    return stmts
+
+
+def z4_solve_statements() -> list[tuple[str, str]]:
+    """Continuation of ``adj4_statements``: mean, innovations and
+    A = B⁻¹·d with fixed summation order over ``v0..v3``."""
+    stmts: list[tuple[str, str]] = [("mm", "(v0 + v1 + v2 + v3) / 4.0")]
+    for i in range(4):
+        stmts.append((f"d{i}", f"v{i} - mm"))
+    for i in range(4):
+        terms = " + ".join(f"i{min(i, j)}{max(i, j)} * d{j}" for j in range(4))
+        stmts.append((f"a{i}", terms))
+    return stmts
+
+
+def _build_z4():
+    """exec-compile the shared statement list into the kernel's scalar
+    k=4 solver — guarantees the kernel evaluates EXACTLY the operand
+    trees the SQL oracle embeds (single source of truth)."""
+    lines = ["def _z4(e01, e02, e03, e12, e13, e23, bd, v0, v1, v2, v3):"]
+    for name, expr in adj4_statements() + z4_solve_statements():
+        lines.append(f"    {name} = {expr}")
+    lines.append("    sigma2 = max(1e-9, (d0 * a0 + d1 * a1 + d2 * a2 + d3 * a3) / 4.0)")
+    lines.append("    den = math.sqrt(sigma2 * bd)")
+    lines.append("    return ((a0 / max(i00, 1e-12)) / den, (a1 / max(i11, 1e-12)) / den,")
+    lines.append("            (a2 / max(i22, 1e-12)) / den, (a3 / max(i33, 1e-12)) / den)")
+    ns: dict = {"math": math}
+    exec("\n".join(lines), ns)  # noqa: S102 — compiles module-own literal source
+    return ns["_z4"]
+
+
+_z4_closed_form = _build_z4()
+
+
+def _small_box_z4(
+    v: np.ndarray,
+    d_h: np.ndarray,
+    d_v: np.ndarray,
+    hs: float,
+    vs: float,
+    eps2: float,
+) -> np.ndarray:
+    """Closed-form leave-one-out OI residual z-scores for k = 4 boxes —
+    the 4×4 companion of ``_small_box_z``, generated from
+    ``adj4_statements`` so the DuckDB sct_mid oracle reproduces it
+    token-for-token. Agrees with the LU path to ~1e-12 (tested)."""
+
+    def s(i: int, j: int) -> float:
+        return math.exp(
+            -0.5 * ((d_h[i, j] / hs) * (d_h[i, j] / hs))
+            - 0.5 * ((d_v[i, j] / vs) * (d_v[i, j] / vs))
+        )
+
+    bd = 1.0 + eps2
+    z = _z4_closed_form(
+        s(0, 1), s(0, 2), s(0, 3), s(1, 2), s(1, 3), s(2, 3),
+        bd, v[0], v[1], v[2], v[3],
+    )
+    return np.array(z)
+
+
 def sct_kernel(
     values: np.ndarray,
     lat: np.ndarray,
@@ -333,6 +429,17 @@ def sct_kernel(
             if k <= 3:
                 # fixed scalar operand tree — exactly reproducible in SQL
                 z = _small_box_z(
+                    values[box].astype(np.float64),
+                    d_h,
+                    d_v,
+                    min_horizontal_scale,
+                    vertical_scale,
+                    eps2,
+                )
+            elif k == 4:
+                # 4×4 closed form (adjugate, shared-source operand tree)
+                # — keeps num_max=4 SCT exactly SQL-oracle-able too
+                z = _small_box_z4(
                     values[box].astype(np.float64),
                     d_h,
                     d_v,

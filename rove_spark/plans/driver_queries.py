@@ -1386,6 +1386,216 @@ def q_sct_small(spark, sf):
     )
 
 
+def q_sct_mid(spark, sf):
+    """SCT with num_max=4 (round-5 verdict item 6) — one step further up
+    the real parameter surface than sct_small: the KD subdivision stops
+    at ≤4-station leaves, so the kernel solves a MIX of 3-station boxes
+    (closed-form 3×3 adjugate) and 4-station boxes (the generated
+    shared-source 4×4 adjugate, spatial.adj4_statements — the SAME
+    operand-tree text this query's oracle embeds as SQL). The oracle
+    recomputes isolation, the KD split at cnt≤4, both solve forms and
+    the z partition exactly; leaves of 1-2 stations are skipped by both
+    (kernel: k < num_min)."""
+    from rove_spark.operators.spatial import sct, with_synthetic_coords_portable
+
+    _utc(spark)
+    ev = _events(spark, sf)
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("ts")).agg(
+        F.avg("value").alias("dv")
+    )
+    located = with_synthetic_coords_portable(daily, series_col="user_id")
+    out = sct(
+        located,
+        "dv",
+        series_col="user_id",
+        num_min=SCT_NUM_MIN,
+        num_max=4,
+        pos=SCT_SMALL_POS,
+        neg=SCT_SMALL_POS,
+        num_iterations=1,
+        cell_deg=None,
+    )
+    return out.select(
+        F.col("series_id").cast("bigint").alias("user_id"),
+        "ts",
+        F.col("flag_sct").cast("int").alias("flag_sct_mid"),
+    )
+
+
+def _sql_sct_mid(levels: int = 7) -> str:
+    """Exact DuckDB twin of q_sct_mid: KD median-cut unrolled to
+    ``levels`` splits with the num_max=4 stop (covers groups ≤ 4·2^7 =
+    512 ≫ the sf0.01 station count), then BOTH solve branches — the
+    handwritten 3×3 chain for bk=3 leaves and the generated 4×4
+    adjugate (spatial.adj4_statements / z4_solve_statements, the same
+    statement text the kernel exec-compiles) for bk=4 leaves, evaluated
+    via DuckDB lateral column aliases in statement order. MATERIALIZED
+    hints keep the plan flat under the driver's 2 GB budget; an
+    undersplit (>4) leaf raises a named depth error."""
+    from rove_spark.operators.spatial import (
+        adj4_statements,
+        haversine_sql,
+        synthetic_coords_sql,
+        z4_solve_statements,
+    )
+
+    c = synthetic_coords_sql("user_id")
+    dist = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    hs, vs = "10000.0", "200.0"
+    inner_radius = 50_000.0
+    bd = 1.5  # 1 + eps2, exact
+
+    def pair(i: int, j: int, e: str = "e") -> str:
+        d = haversine_sql(f"lat{i}", f"lon{i}", f"lat{j}", f"lon{j}")
+        return (
+            f"exp(-0.5 * (({d} / {hs}) * ({d} / {hs})) "
+            f"- 0.5 * ((({e}{i} - {e}{j}) / {vs}) * (({e}{i} - {e}{j}) / {vs})))"
+        )
+
+    def pv(col: str, rn: int, out: str) -> str:
+        return f"max(CASE WHEN rn = {rn} THEN {col} END) AS {out}"
+
+    # KD levels (stop at cnt <= 4)
+    kd = []
+    for i in range(levels):
+        kd.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT *, count(*) OVER (PARTITION BY ts, path) AS cnt_,
+         max(lat) OVER (PARTITION BY ts, path) - min(lat) OVER (PARTITION BY ts, path) AS sp_lat,
+         max(lon) OVER (PARTITION BY ts, path) - min(lon) OVER (PARTITION BY ts, path) AS sp_lon
+  FROM k{i}
+), k{i + 1} AS MATERIALIZED (
+  SELECT user_id, ts, dv, lat, lon, elev,
+         CASE WHEN cnt_ <= 4 THEN path
+              ELSE path || (CASE WHEN row_number() OVER (
+                     PARTITION BY ts, path
+                     ORDER BY (CASE WHEN sp_lat >= sp_lon THEN lat ELSE lon END),
+                              CAST(user_id AS VARCHAR)) <= cnt_ // 2
+                   THEN 'L' ELSE 'R' END) END AS path
+  FROM s{i}
+)"""
+        )
+    kd_sql = ",\n".join(kd)
+
+    # 3×3 branch (same operand tree as _sql_sct_small)
+    piv3_cols = ",\n  ".join(
+        pv(col, rn, f"{out}{rn}")
+        for rn in (1, 2, 3)
+        for col, out in [("user_id", "u"), ("dv", "v"), ("lat", "lat"), ("lon", "lon"), ("elev", "e")]
+    )
+    branch3 = f"""r3 AS MATERIALIZED (
+  SELECT ts, path, user_id, dv, lat, lon, elev,
+         row_number() OVER (PARTITION BY ts, path ORDER BY CAST(user_id AS VARCHAR)) AS rn
+  FROM fin WHERE bk = 3
+), piv3 AS MATERIALIZED (
+  SELECT ts, path,
+  {piv3_cols}
+  FROM r3 GROUP BY ts, path
+), z3 AS MATERIALIZED (
+  SELECT ts, u1, u2, u3, v1, v2, v3,
+         {pair(1, 2)} AS b01, {pair(1, 3)} AS b02, {pair(2, 3)} AS b12,
+         ({bd} * ({bd} * {bd} - b12 * b12) - b01 * (b01 * {bd} - b12 * b02)
+          + b02 * (b01 * b12 - {bd} * b02)) AS det,
+         ({bd} * {bd} - b12 * b12) / det AS i00, (b02 * b12 - b01 * {bd}) / det AS i01,
+         (b01 * b12 - b02 * {bd}) / det AS i02, ({bd} * {bd} - b02 * b02) / det AS i11,
+         (b02 * b01 - {bd} * b12) / det AS i12, ({bd} * {bd} - b01 * b01) / det AS i22,
+         (v1 + v2 + v3) / 3.0 AS m,
+         v1 - m AS d1, v2 - m AS d2, v3 - m AS d3,
+         i00 * d1 + i01 * d2 + i02 * d3 AS a1,
+         i01 * d1 + i11 * d2 + i12 * d3 AS a2,
+         i02 * d1 + i12 * d2 + i22 * d3 AS a3,
+         sqrt(greatest(1e-9, (d1 * a1 + d2 * a2 + d3 * a3) / 3.0) * {bd}) AS den
+  FROM piv3
+), zz3 AS MATERIALIZED (
+  SELECT ts, u1 AS user_id, (a1 / greatest(i00, 1e-12)) / den AS z FROM z3
+  UNION ALL SELECT ts, u2, (a2 / greatest(i11, 1e-12)) / den FROM z3
+  UNION ALL SELECT ts, u3, (a3 / greatest(i22, 1e-12)) / den FROM z3
+)"""
+
+    # 4×4 branch — generated from the SAME statements the kernel compiles.
+    # Station index is rn-1 (statements use v0..v3); elevation pivots to
+    # el0..el3 so the covariance names e01..e23 stay collision-free.
+    piv4_cols = ",\n  ".join(
+        pv(col, rn, f"{out}{rn - 1}")
+        for rn in (1, 2, 3, 4)
+        for col, out in [("user_id", "u"), ("dv", "v"), ("lat", "lat"), ("lon", "lon"), ("elev", "el")]
+    )
+    pair4_cols = ",\n         ".join(
+        f"{pair(i, j, 'el')} AS e{i}{j}" for i in range(4) for j in range(i + 1, 4)
+    )
+    stmt_cols = ",\n         ".join(
+        f"{expr} AS {name}" for name, expr in adj4_statements() + z4_solve_statements()
+    )
+    z4_rows = "\n  UNION ALL ".join(
+        f"SELECT ts, u{i}, (a{i} / greatest(i{i}{i}, 1e-12)) / den FROM z4"
+        if i
+        else f"SELECT ts, u{i} AS user_id, (a{i} / greatest(i{i}{i}, 1e-12)) / den AS z FROM z4"
+        for i in range(4)
+    )
+    branch4 = f"""r4 AS MATERIALIZED (
+  SELECT ts, path, user_id, dv, lat, lon, elev,
+         row_number() OVER (PARTITION BY ts, path ORDER BY CAST(user_id AS VARCHAR)) AS rn
+  FROM fin WHERE bk = 4
+), piv4 AS MATERIALIZED (
+  SELECT ts, path,
+  {piv4_cols}
+  FROM r4 GROUP BY ts, path
+), mat4 AS MATERIALIZED (
+  SELECT ts, u0, u1, u2, u3, v0, v1, v2, v3, {bd} AS bd,
+         {pair4_cols}
+  FROM piv4
+), z4 AS MATERIALIZED (
+  SELECT ts, u0, u1, u2, u3,
+         {stmt_cols},
+         sqrt(greatest(1e-9, (d0 * a0 + d1 * a1 + d2 * a2 + d3 * a3) / 4.0) * bd) AS den
+  FROM mat4
+), zz4 AS MATERIALIZED (
+  {z4_rows}
+)"""
+
+    return f"""
+WITH dv AS MATERIALIZED (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, avg(value) AS dv
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT user_id, {c["lat"]} AS lat, {c["lon"]} AS lon, {c["elev"]} AS elev
+  FROM (SELECT DISTINCT user_id FROM events)
+), h AS MATERIALIZED (
+  SELECT dv.user_id, dv.ts, dv.dv, c.lat, c.lon, c.elev FROM dv JOIN c USING (user_id)
+), cnt AS MATERIALIZED (
+  SELECT a.user_id, a.ts, count(*) AS n_inner
+  FROM h a JOIN h b ON a.ts = b.ts AND b.dv IS NOT NULL AND {dist} <= {inner_radius}
+  GROUP BY 1, 2
+), k0 AS MATERIALIZED (
+  SELECT h.user_id, h.ts, h.dv, h.lat, h.lon, h.elev, '' AS path
+  FROM h JOIN cnt USING (user_id, ts)
+  WHERE h.dv IS NOT NULL AND cnt.n_inner >= {SCT_NUM_MIN}
+),
+{kd_sql},
+fin AS MATERIALIZED (
+  SELECT *, count(*) OVER (PARTITION BY ts, path) AS bk FROM k{levels}
+),
+{branch3},
+{branch4},
+bad AS MATERIALIZED (
+  SELECT ts, user_id FROM (SELECT * FROM zz3 UNION ALL SELECT * FROM zz4)
+  WHERE z > {SCT_SMALL_POS} OR z < -{SCT_SMALL_POS}
+), guard AS (
+  SELECT CASE WHEN coalesce(max(bk), 0) > 4 THEN error(
+    'sct_mid oracle KD unroll (levels={levels}) too shallow for this '
+    'station count — raise levels') ELSE 0 END AS ok FROM fin
+)
+SELECT h.user_id, h.ts,
+       CAST(CASE WHEN h.dv IS NULL THEN 5
+                 WHEN bad.user_id IS NOT NULL THEN 1
+                 WHEN coalesce(cnt.n_inner, 0) < {SCT_NUM_MIN} THEN 6
+                 ELSE 0 END AS INT) + guard.ok AS flag_sct_mid
+FROM h LEFT JOIN bad USING (user_id, ts)
+       LEFT JOIN cnt USING (user_id, ts)
+       CROSS JOIN guard
+"""
+
+
 def q_sct_iter(spark, sf):
     """SCT iterative-exclusion semantics, cross-engine: num_iterations=2
     with num_max=3 — round 2 re-derives isolation counts, the OI pool AND
@@ -2849,7 +3059,7 @@ ROTATION_GROUPS: list[list[str]] = [
     ["rollup_1m", "rollup_flag_density"],
     ["rollup_1d", "rollup_1h", "rollup_by_type"],
     ["retention_plan", "retention_drop"],
-    ["sct_iter", "sct_small", "sct_isolated"],
+    ["sct_iter", "sct_mid", "sct_small", "sct_isolated"],
     ["ivf_knn", "knn_cosine"],
     ["stratified_sample", "hash_sample"],
 ]
@@ -2915,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buddy_check": q_buddy_check,
         "sct": q_sct,
         "sct_iter": q_sct_iter,
+        "sct_mid": q_sct_mid,
         "sct_small": q_sct_small,
         "sct_isolated": q_sct_isolated,
         # sources / pushdown (S4/S5, P2/P5)
@@ -3007,6 +3218,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _sql_multimodal(),
         "sct_isolated": _sql_sct_isolated(),
         "sct_small": _sql_sct_small(),
+        "sct_mid": _sql_sct_mid(),
         "sct_iter": _sql_sct_small(rounds=2, flag_name="flag_sct_iter"),
         "hll_tier": SQL_HLL_TIER,
         "pii_scan": _sql_pii(),

@@ -82,6 +82,23 @@ def test_sct_oracle_depth_guard_fires():
         con.execute(_sql_sct_small(levels=1))
 
 
+def test_sct_mid_exercises_both_solve_branches():
+    """sct_mid's hash-green is only meaningful if the KD split actually
+    produces BOTH leaf sizes: 3-boxes (closed-form 3×3) and 4-boxes (the
+    generated 4×4 adjugate). Probe the oracle's own fin CTE — at sf0.01
+    the mix is ~516 rows in 3-leaves / ~3152 in 4-leaves."""
+    from rove_spark.plans.driver_queries import _sql_sct_mid
+
+    sql = _sql_sct_mid()
+    idx = sql.rfind("SELECT h.user_id")
+    probe = sql[:idx] + "SELECT bk, count(*) AS n FROM fin GROUP BY bk"
+    con = _duck()
+    sizes = dict(con.execute(probe).fetchall())
+    assert sizes.get(3, 0) > 0, sizes
+    assert sizes.get(4, 0) > 0, sizes
+    assert max(sizes) <= 4, sizes
+
+
 # Every distinct operator family must sit inside the driver's 50-entry
 # cap every round. Fixed entries are named directly; a rotating family is
 # named by its ROTATION_GROUPS entry — any member of the group satisfies

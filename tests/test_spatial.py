@@ -343,6 +343,80 @@ def test_small_box_z_matches_lu_inverse():
             assert np.allclose(z, z_lu, rtol=1e-9, atol=1e-9), (k, z, z_lu)
 
 
+def test_small_box_z4_matches_lu_inverse():
+    """The generated k=4 adjugate solve (_small_box_z4, the sct_mid
+    oracle contract — shared-source with the SQL twin) agrees with the
+    general LU path to float precision."""
+    import math
+
+    import numpy as np
+
+    from rove_spark.operators.spatial import _haversine_matrix, _small_box_z4
+
+    rng = np.random.default_rng(17)
+    k = 4
+    for _ in range(100):
+        lat = 59.0 + rng.uniform(0, 0.5, k)
+        lon = 9.0 + rng.uniform(0, 0.5, k)
+        elev = rng.uniform(0, 500, k)
+        v = rng.normal(10, 3, k)
+        hs, vs, eps2 = 10_000.0, 200.0, 0.5
+        d_h = _haversine_matrix(lat, lon)
+        d_v = elev[:, None] - elev[None, :]
+        z = _small_box_z4(v, d_h, d_v, hs, vs, eps2)
+        S = np.exp(-0.5 * (d_h / hs) ** 2 - 0.5 * (d_v / vs) ** 2)
+        Binv = np.linalg.inv(S + eps2 * np.eye(k))
+        innov = v - v.mean()
+        A = Binv @ innov
+        cv = A / np.maximum(np.diag(Binv), 1e-12)
+        sigma2 = max(1e-9, float(innov @ A) / k)
+        z_lu = cv / math.sqrt(sigma2 * (1.0 + eps2))
+        assert np.allclose(z, z_lu, rtol=1e-9, atol=1e-9), (z, z_lu)
+
+
+def test_sct_kernel_num_max4_closed_form_consistent():
+    """num_max=4 flags from the closed-form path must equal a run where
+    boxes of 4 are solved by the LU path (flags are threshold decisions
+    with fp margin) — and 4-boxes must actually occur."""
+    import numpy as np
+
+    from rove_spark.operators import spatial
+
+    rng = np.random.default_rng(3)
+    n = 37
+    lat = 59.0 + rng.uniform(0, 0.5, n)
+    lon = 9.0 + rng.uniform(0, 0.5, n)
+    elev = rng.uniform(0, 400, n)
+    v = 15.0 + rng.normal(0, 1.0, n)
+    v[5] = 80.0
+    flags = spatial.sct_kernel(
+        v, lat, lon, elev, num_min=3, num_max=4, num_iterations=1, pos=1.2, neg=1.2
+    )
+    # LU-only comparison: monkeypatch the closed form through the inv path
+    orig = spatial._small_box_z4
+
+    def lu4(vv, d_h, d_v, hs, vs, eps2):
+        import math as _m
+
+        S = np.exp(-0.5 * (d_h / hs) ** 2 - 0.5 * (d_v / vs) ** 2)
+        Binv = np.linalg.inv(S + eps2 * np.eye(len(vv)))
+        innov = vv - vv.mean()
+        A = Binv @ innov
+        cv = A / np.maximum(np.diag(Binv), 1e-12)
+        sigma2 = max(1e-9, float(innov @ A) / len(vv))
+        return cv / _m.sqrt(sigma2 * (1.0 + eps2))
+
+    spatial._small_box_z4 = lu4
+    try:
+        flags_lu = spatial.sct_kernel(
+            v, lat, lon, elev, num_min=3, num_max=4, num_iterations=1, pos=1.2, neg=1.2
+        )
+    finally:
+        spatial._small_box_z4 = orig
+    assert (flags == flags_lu).all()
+    assert int(Flag.FAIL) in set(flags.tolist())
+
+
 def test_relational_equals_kernel(spark):
     """The codegen single-iteration buddy path (round-4 verdict item 6)
     must produce EXACTLY the numpy kernel's flags — missing values,
