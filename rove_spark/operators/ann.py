@@ -168,9 +168,12 @@ def assign_to_centroids(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_sim: bool = False,
 ) -> DataFrame:
     """Inverted lists: each vector joins its max-cosine centroid.
-    Centroids are tiny → broadcast; one narrow pass over the table."""
+    Centroids are tiny → broadcast; one narrow pass over the table.
+    ``keep_sim`` retains the winning cosine as ``assign_sim`` — the
+    quantization-quality signal the drift metric aggregates."""
     c = F.broadcast(centroids)
     scored = vectors.crossJoin(c).select(
         F.col(id_col),
@@ -179,9 +182,10 @@ def assign_to_centroids(
         cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r", "_sim")
-    )
+    out = scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
+    if keep_sim:
+        return out.withColumnRenamed("_sim", "assign_sim")
+    return out.drop("_sim")
 
 
 def persist_ivf_index(
@@ -205,9 +209,99 @@ def persist_ivf_index(
     centroids = build_ivf_centroids(
         vectors, n_centroids, id_col, vec_col, sample_size, lloyd_iters, seed
     )
-    assigned = assign_to_centroids(vectors, centroids, id_col, vec_col)
+    assigned = assign_to_centroids(vectors, centroids, id_col, vec_col, keep_sim=True)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/lists")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("assign_sim").alias("s")
+    ).first()
+    _write_index_stats(
+        path,
+        {
+            "n_vectors": int(stats["n"]),
+            "sum_assign_sim": float(stats["s"]),
+            "appends": [],
+        },
+    )
+
+
+def _stats_path(path: str) -> str:
+    return f"{path}/_ivf_stats.json"
+
+
+def _write_index_stats(path: str, doc: dict) -> None:
+    import json
+    from pathlib import Path
+
+    p = Path(_stats_path(path))
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(".tmp")
+    tmp.write_text(json.dumps(doc, indent=1))
+    tmp.replace(p)
+
+
+def _read_index_stats(path: str) -> dict:
+    import json
+    from pathlib import Path
+
+    return json.loads(Path(_stats_path(path)).read_text())
+
+
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_threshold: float = 0.05,
+) -> dict:
+    """Incremental IVF maintenance (round-5 verdict item 7): a
+    daily-append pipeline can't retrain k-means per batch, so new
+    vectors are assigned to the NEAREST PERSISTED centroid and appended
+    to the inverted lists — one broadcast-join pass, partitioned append,
+    no reshuffle of the existing index.
+
+    Quality guard: the quantizer gradually mismatches a drifting corpus,
+    so each append records its mean assignment cosine and compares it
+    against the index's lifetime mean. ``drift = (mean_life −
+    mean_batch) / mean_life`` (clamped at 0); ``needs_retrain`` fires
+    when it exceeds ``drift_threshold``. Approximate (n_probe <
+    n_centroids) recall degrades exactly when assignment similarity
+    degrades — full probe stays exact regardless (tested: appended
+    index ≡ fresh index ≡ brute force at full probe), so a missed
+    retrain costs recall at partial probe, never correctness at full.
+
+    Returns {n_appended, mean_sim_batch, mean_sim_life, drift,
+    needs_retrain}. Stats ride a JSON sidecar next to the lists (the
+    Iceberg-properties analog, same pattern as the table manifests)."""
+    assigned = assign_to_centroids(
+        new_vectors,
+        spark.read.parquet(f"{path}/centroids"),
+        id_col,
+        vec_col,
+        keep_sim=True,
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(f"{path}/lists")
+    agg = assigned.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("assign_sim").alias("s")
+    ).first()
+    n_new, s_new = int(agg["n"]), float(agg["s"] or 0.0)
+    stats = _read_index_stats(path)
+    mean_life = stats["sum_assign_sim"] / max(stats["n_vectors"], 1)
+    mean_batch = s_new / max(n_new, 1)
+    drift = max(0.0, (mean_life - mean_batch) / max(abs(mean_life), 1e-12))
+    result = {
+        "n_appended": n_new,
+        "mean_sim_batch": round(mean_batch, 6),
+        "mean_sim_life": round(mean_life, 6),
+        "drift": round(drift, 6),
+        "needs_retrain": drift > drift_threshold,
+    }
+    stats["n_vectors"] += n_new
+    stats["sum_assign_sim"] += s_new
+    stats["appends"].append(result)
+    _write_index_stats(path, stats)
+    return result
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
