@@ -13,9 +13,17 @@ format in containers without PIL. Implements the public JPEG standard
 - chroma upsampling (any H/V sampling factors incl. 4:2:0 / 4:2:2)
   by nearest-neighbor block replication, YCbCr -> RGB per JFIF.
 
-Scope: 8-bit baseline (SOF0). Progressive (SOF2), arithmetic coding,
-hierarchical and 12-bit modes raise ValueError — never a silent wrong
-decode (same contract as the PNG decoder).
+Round 6 adds the progressive DCT profile (SOF2, T.81 annex G): multiple
+scans over a persistent coefficient store — DC first/refine
+(interleaved, successive approximation by Al), AC first/refine
+(non-interleaved spectral bands Ss..Se with EOB-run coding and
+correction bits) — then one dequantize + IDCT at the end. Tables may be
+redefined between scans; restart markers reset predictors and EOB runs
+per scan.
+
+Scope: 8-bit baseline (SOF0/SOF1) + progressive (SOF2). Arithmetic
+coding, hierarchical and 12-bit modes raise ValueError — never a
+silent wrong decode (same contract as the PNG decoder).
 
 Performance shape: the entropy decode is an inherently sequential bit
 stream — per-block Python loops, vectorized IDCT/color math. Decode
@@ -146,6 +154,160 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+# ------------------------------------------------- progressive (annex G) --
+
+
+def _ac_first(rd: _BitReader, ac_t: _Huff, coef, Ss: int, Se: int, Al: int, eobrun: int) -> int:
+    """First AC scan of a band (G.1.2.2): run/size coding with EOB-run
+    extension; magnitudes enter at precision Al. Returns the remaining
+    EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = rd.decode_symbol(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s:
+            k += r
+            if k > Se:
+                raise ValueError("JPEG progressive AC coefficient overrun")
+            coef[k] = _extend(rd.read_bits(s), s) << Al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.read_bits(r)
+                break
+            k += 16  # ZRL
+    return eobrun
+
+
+def _refine_nonzero(rd: _BitReader, coef, k: int, p1: int) -> None:
+    """One correction bit for an already-nonzero coefficient (G.1.2.3):
+    history bits below Al are zero, so bit Al of |coef| == bit Al of the
+    two's-complement value the spec tests."""
+    if rd.read_bit() and (abs(int(coef[k])) & p1) == 0:
+        coef[k] += p1 if coef[k] >= 0 else -p1
+
+
+def _ac_refine(rd: _BitReader, ac_t: _Huff, coef, Ss: int, Se: int, Al: int, eobrun: int) -> int:
+    """AC refinement scan (G.1.2.3): newly-nonzero coefficients arrive as
+    ±1<<Al; every previously-nonzero coefficient in the band consumes a
+    correction bit — including inside EOB runs."""
+    p1 = 1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = rd.decode_symbol(ac_t)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid JPEG refinement magnitude")
+                val = p1 if rd.read_bit() else -p1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.read_bits(r)
+                    break  # this block's tail is handled by the run below
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            while k <= Se:
+                if coef[k] != 0:
+                    _refine_nonzero(rd, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            if coef[k] != 0:
+                _refine_nonzero(rd, coef, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    rd: _BitReader,
+    sel: list,
+    comps: list,
+    coefs: list,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+    Ss: int,
+    Se: int,
+    Ah: int,
+    Al: int,
+    mcux: int,
+    mcuy: int,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> None:
+    """Apply one progressive scan to the coefficient store. DC scans
+    (Ss == 0) may interleave any subset of components in MCU order; AC
+    scans are single-component over the component's own block raster."""
+    by_id = {c["id"]: c for c in comps}
+    if Ss == 0:
+        if Se != 0:
+            raise ValueError("progressive DC scan must have Se == 0")
+        order = []
+        for cid, td, _ta in sel:
+            c = by_id[cid]
+            order.append((comps.index(c), c, huff_dc[td] if Ah == 0 else None))
+        pred = [0] * len(comps)
+        mcu_idx = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                    rd.sync_restart()
+                    pred = [0] * len(comps)
+                for ci, c, dc_t in order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            r_, c_ = my * c["v"] + by, mx * c["h"] + bx
+                            if Ah == 0:
+                                s = rd.decode_symbol(dc_t)
+                                pred[ci] += _extend(rd.read_bits(s), s)
+                                coefs[ci][r_, c_, 0] = pred[ci] << Al
+                            elif rd.read_bit():
+                                coefs[ci][r_, c_, 0] |= 1 << Al
+                mcu_idx += 1
+        return
+    if len(sel) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved (one component)")
+    cid, _td, ta = sel[0]
+    c = by_id[cid]
+    ci = comps.index(c)
+    ac_t = huff_ac[ta]
+    # non-interleaved geometry: the component's true block raster
+    comp_w = -(-(w * c["h"]) // hmax)
+    comp_h = -(-(h * c["v"]) // vmax)
+    bw = -(-comp_w // 8)
+    bh = -(-comp_h // 8)
+    eobrun = 0
+    blk = 0
+    for r_ in range(bh):
+        for c_ in range(bw):
+            if restart_interval and blk and blk % restart_interval == 0:
+                rd.sync_restart()
+                eobrun = 0
+            coef = coefs[ci][r_, c_]
+            if Ah == 0:
+                eobrun = _ac_first(rd, ac_t, coef, Ss, Se, Al, eobrun)
+            else:
+                eobrun = _ac_refine(rd, ac_t, coef, Ss, Se, Al, eobrun)
+            blk += 1
+
+
 def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
     """Baseline JPEG bytes → (pixels uint8[h, w, channels], width, height).
     channels is 1 (grayscale) or 3 (RGB from YCbCr per JFIF)."""
@@ -159,6 +321,8 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
     restart_interval = 0
     frame = None
     scan = None
+    progressive = False
+    coefs: list | None = None  # progressive coefficient store (zigzag order)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -193,9 +357,10 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
                 i += 17 + nsym
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
             if seg[0] != 8:
                 raise ValueError(f"unsupported JPEG precision {seg[0]}")
+            progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -204,10 +369,11 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (marker 0xFF{marker:02X}) — only "
-                "baseline sequential DCT (SOF0/SOF1) is implemented"
+                "sequential DCT (SOF0/SOF1) and progressive DCT (SOF2) "
+                "are implemented"
             )
         elif marker == 0xDA:  # SOS
             ns = seg[0]
@@ -215,10 +381,63 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                 sel.append((cid, tt >> 4, tt & 15))
-            scan = sel
-            pos += 2 + ln
-            break
+            if not progressive:
+                scan = sel
+                pos += 2 + ln
+                break
+            # progressive: decode this scan NOW against the current table
+            # state (tables may be redefined between scans), then resume
+            # the marker walk where the entropy segment ended
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF2")
+            p_ss, p_se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            p_ah, p_al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            comps = frame["comps"]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-frame["w"] // (8 * hmax))
+            mcuy = -(-frame["h"] // (8 * vmax))
+            if coefs is None:
+                coefs = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                    for c in comps
+                ]
+            rd = _BitReader(data, pos + 2 + ln)
+            _progressive_scan(
+                rd, sel, comps, coefs, huff_dc, huff_ac, restart_interval,
+                p_ss, p_se, p_ah, p_al, mcux, mcuy, frame["w"], frame["h"],
+                hmax, vmax,
+            )
+            # skip any padding bits / leftover restart markers up to the
+            # next real marker
+            p = rd.pos
+            while p + 1 < len(data):
+                nxt = data[p + 1]
+                if data[p] == 0xFF and nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                    break
+                p += 1
+            pos = p
+            continue
         pos += 2 + ln
+    if progressive:
+        if coefs is None:
+            raise ValueError("progressive JPEG contains no scans")
+        w, h, comps = frame["w"], frame["h"], frame["comps"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        planes = []
+        for ci, c in enumerate(comps):
+            q = qt[c["tq"]].astype(np.int64)
+            bh_, bw_, _ = coefs[ci].shape
+            cf = coefs[ci].reshape(-1, 64).astype(np.int64) * q  # zigzag dequant
+            blocks = np.zeros((cf.shape[0], 64))
+            blocks[:, ZIGZAG] = cf
+            px = np.einsum("ki,nij,jl->nkl", _C.T, blocks.reshape(-1, 8, 8), _C) + 128.0
+            planes.append(
+                px.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+            )
+        return _finish_planes(planes, comps, hmax, vmax, w, h)
+
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
     # single interleaved scan only: MCU order follows the SOS component
@@ -294,7 +513,14 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_idx += 1
 
-    # upsample to full resolution and crop to (h, w)
+    return _finish_planes(planes, comps, hmax, vmax, w, h)
+
+
+def _finish_planes(
+    planes: list, comps: list, hmax: int, vmax: int, w: int, h: int
+) -> tuple[np.ndarray, int, int]:
+    """Shared decode tail: upsample to full resolution, crop to (h, w),
+    YCbCr → RGB per JFIF (or pass grayscale through)."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]

@@ -2592,10 +2592,20 @@ def _run_stream_query(
     # /tmp dir) dangle, and FileStreamSource reads ZERO files — presenting
     # as a confusing stream≡batch hash mismatch instead of a named error
     target = f"{os.path.abspath(sf).rstrip('/')}/events.parquet"
-    link = os.path.join(stream_dir, "events.parquet")
-    os.symlink(target, link)
-    if not os.path.exists(link):
-        raise FileNotFoundError(f"{prefix}: stream symlink does not resolve: {target}")
+    if os.path.isdir(target):
+        # multi-file table (e.g. the superlinearity probe's scaled
+        # corpus): FileStreamSource doesn't recurse into a nested dir,
+        # so link each part file into the stream dir directly
+        links = [f_ for f_ in sorted(os.listdir(target)) if f_.endswith(".parquet")]
+        for f_ in links:
+            os.symlink(os.path.join(target, f_), os.path.join(stream_dir, f_))
+        if not links:
+            raise FileNotFoundError(f"{prefix}: no parquet part files under {target}")
+    else:
+        link = os.path.join(stream_dir, "events.parquet")
+        os.symlink(target, link)
+        if not os.path.exists(link):
+            raise FileNotFoundError(f"{prefix}: stream symlink does not resolve: {target}")
     _utc(spark)
     src = (
         spark.readStream.schema(batch_schema)
@@ -2617,9 +2627,30 @@ def _run_stream_query(
                 f"{prefix}: AvailableNow run exceeded 600 s — refusing to "
                 "return a partially-committed memory table"
             )
+        _record_stream_state(q)
     finally:
         q.stop()
     return spark.table(name).select(*select_cols)
+
+
+#: last finished stream query's peak state-store rows (max over progress
+#: events of the summed stateOperators' row totals) — the scale probe
+#: reads this to show state is O(series)/O(open windows), not O(rows)
+LAST_STREAM_STATE_ROWS: int | None = None
+
+
+def _record_stream_state(q) -> None:
+    global LAST_STREAM_STATE_ROWS
+    try:
+        totals = []
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            totals.append(
+                sum(int(op.get("numRowsTotal", op.get("numTotalStateRows", 0))) for op in ops)
+            )
+        LAST_STREAM_STATE_ROWS = max(totals) if totals else None
+    except Exception:  # diagnostics only — never fail the query over it
+        LAST_STREAM_STATE_ROWS = None
 
 
 def q_rollup_1m_stream(spark, sf):

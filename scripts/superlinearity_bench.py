@@ -38,6 +38,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BASE = Path("/tmp/rove_superlin")
 COPIES = 10
 QUERIES = ["dedup_clusters", "buddy_check", "sct", "simhash_neardup", "gorilla_roundtrip"]
+# stateful streams (round-5 verdict item 5): timed like the rest, plus the
+# peak state-store row count from lastProgress — state must track
+# O(series)/O(open windows), never O(rows)
+STREAM_QUERIES = [
+    "rollup_1m_stream",
+    "step_check_stream",
+    "spike_check_stream",
+    "flatline_check_stream",
+]
 
 _CHILD = r"""
 import json, sys, time
@@ -50,7 +59,10 @@ spark = get_spark("superlin")
 q = dq.queries()[qname]
 t0 = time.time()
 n = q(spark, sf_dir).count()
-print(json.dumps({"q": qname, "sf_dir": sf_dir, "sec": round(time.time() - t0, 3), "rows": n}))
+out = {"q": qname, "sf_dir": sf_dir, "sec": round(time.time() - t0, 3), "rows": n}
+if dq.LAST_STREAM_STATE_ROWS is not None:
+    out["state_rows"] = dq.LAST_STREAM_STATE_ROWS
+print(json.dumps(out))
 spark.stop()
 """
 
@@ -137,23 +149,35 @@ def main() -> None:
         generate(COPIES, ten_x)
 
     samples: dict[tuple[str, str], list[float]] = {}
+    state_rows: dict[tuple[str, str], int] = {}
     for rep in range(args.reps):
         for q in queries:
             for label, d in (("1x", one_x), ("10x", ten_x)):
                 r = run_one(q, str(d))
                 samples.setdefault((q, label), []).append(r["sec"])
-                print(f"rep{rep} {q} {label}: {r['sec']}s ({r['rows']} rows)", flush=True)
+                extra = ""
+                if "state_rows" in r:
+                    state_rows[(q, label)] = max(
+                        state_rows.get((q, label), 0), r["state_rows"]
+                    )
+                    extra = f", state={r['state_rows']}"
+                print(f"rep{rep} {q} {label}: {r['sec']}s ({r['rows']} rows{extra})", flush=True)
 
-    print("\n| query | 1x best (s) | 10x best (s) | ratio | verdict |")
-    print("|---|---|---|---|---|")
+    print("\n| query | 1x best (s) | 10x best (s) | ratio | state 1x→10x | verdict |")
+    print("|---|---|---|---|---|---|")
     results = {}
     for q in queries:
         b1 = min(samples[(q, "1x")])
         b10 = min(samples[(q, "10x")])
         ratio = b10 / b1
         verdict = "~linear" if ratio <= 13 else ("CHECK" if ratio <= 20 else "SUPERLINEAR")
+        srow = ""
+        if (q, "1x") in state_rows:
+            srow = f"{state_rows[(q, '1x')]} → {state_rows[(q, '10x')]}"
         results[q] = {"x1": b1, "x10": b10, "ratio": round(ratio, 2), "verdict": verdict}
-        print(f"| {q} | {b1:.2f} | {b10:.2f} | {ratio:.1f}x | {verdict} |")
+        if srow:
+            results[q]["state_rows"] = srow
+        print(f"| {q} | {b1:.2f} | {b10:.2f} | {ratio:.1f}x | {srow or '—'} | {verdict} |")
     print(json.dumps(results))
 
 

@@ -282,11 +282,17 @@ def test_unsupported_modes_raise():
     coefs = _rand_coefs(rng, 1, 1)
     data = bytearray(encode_baseline([coefs], [(1, 1)], 8, 8, QT_ONES))
     sof = data.index(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    data[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless) — unsupported
+    with pytest.raises(ValueError, match="implemented"):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG1234")
+    # a baseline scan mislabeled as progressive must raise a NAMED error
+    # (its SOS says Ss=0, Se=63 — an illegal progressive DC scan), never
+    # silently misdecode
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se == 0"):
+        decode_jpeg(bytes(data))
 
 
 def test_sos_order_differs_from_sof_order():
