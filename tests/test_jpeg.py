@@ -157,6 +157,214 @@ def encode_baseline(
     return bytes(out)
 
 
+# progressive AC tables additionally need the EOBn symbols (r<<4, r<15):
+# 15 + ZRL + 160 run/size codes = 176 symbols, still all at length 8
+_AC_SYMS_PROG = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _default_scan_script(ncomp: int) -> list:
+    """cjpeg-like script: DC first (interleaved, Al=1) + DC refine, two
+    spectral AC bands per component at Al=2 with two refinement passes
+    down to Al=0 — reconstructs every coefficient exactly."""
+    allc = list(range(ncomp))
+    scans = [(allc, 0, 0, 0, 1)]
+    for c in allc:
+        scans += [([c], 1, 5, 0, 2), ([c], 6, 63, 0, 2)]
+    scans += [(allc, 0, 0, 1, 0)]
+    for al in (1, 0):
+        for c in allc:
+            scans += [([c], 1, 5, al + 1, al), ([c], 6, 63, al + 1, al)]
+    return scans
+
+
+class _ProgWriter:
+    """Entropy writer for one progressive scan: wraps _BitWriter with
+    EOB-run accounting and the refinement correction-bit buffer."""
+
+    def __init__(self, ac_idx):
+        self.wr = _BitWriter()
+        self.ac_idx = ac_idx
+        self.eobrun = 0
+        self.pending = []  # correction bits owned by the pending EOB run
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nb = self.eobrun.bit_length() - 1
+            self.wr.write(self.ac_idx[nb << 4], 8)
+            if nb:
+                self.wr.write(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+        for b in self.pending:
+            self.wr.write(b, 1)
+        self.pending = []
+
+
+def _encode_ac_first(pw: _ProgWriter, coef, Ss, Se, Al):
+    r = 0
+    for k in range(Ss, Se + 1):
+        v = int(coef[k])
+        t = abs(v) >> Al
+        if t == 0:
+            r += 1
+            continue
+        pw.flush_eobrun()
+        while r > 15:
+            pw.wr.write(pw.ac_idx[0xF0], 8)
+            r -= 16
+        s = t.bit_length()
+        pw.wr.write(pw.ac_idx[(r << 4) | s], 8)
+        sv = t if v >= 0 else -t
+        pw.wr.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eobrun()
+
+
+def _encode_ac_refine(pw: _ProgWriter, coef, Ss, Se, Al):
+    absv = {k: abs(int(coef[k])) >> Al for k in range(Ss, Se + 1)}
+    eob = 0
+    for k in range(Ss, Se + 1):
+        if absv[k] == 1:
+            eob = k
+    r = 0
+    br = []  # correction bits since the last emitted symbol (this block)
+    for k in range(Ss, Se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            pw.flush_eobrun()
+            pw.wr.write(pw.ac_idx[0xF0], 8)
+            r -= 16
+            for b in br:
+                pw.wr.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)  # previously nonzero: correction bit
+            continue
+        pw.flush_eobrun()
+        pw.wr.write(pw.ac_idx[(r << 4) | 1], 8)
+        pw.wr.write(1 if int(coef[k]) >= 0 else 0, 1)
+        for b in br:
+            pw.wr.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        pw.eobrun += 1
+        pw.pending.extend(br)
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eobrun()
+
+
+def encode_progressive(
+    coef_planes: list[np.ndarray],
+    samplings: list[tuple[int, int]],
+    w: int,
+    h: int,
+    qt: np.ndarray,
+    scans: list | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Assemble a progressive (SOF2) JPEG from zigzag-order quantized
+    coefficient arrays — the multi-scan counterpart of encode_baseline,
+    emitting T.81 annex G spectral-selection + successive-approximation
+    scans (EOB runs, refinement correction bits, per-scan restarts)."""
+    dc_idx = {s: i for i, s in enumerate(_DC_SYMS)}
+    ac_idx = {s: i for i, s in enumerate(_AC_SYMS_PROG)}
+    ncomp = len(coef_planes)
+    if scans is None:
+        scans = _default_scan_script(ncomp)
+    qt_zz = qt.reshape(-1)[ZIGZAG].astype(np.uint8)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(b"\xff\xdb", bytes([0]) + bytes(qt_zz))
+    out += _dht(0, 0, _DC_SYMS)
+    out += _dht(1, 0, _AC_SYMS_PROG)
+    if restart_interval:
+        out += _seg(b"\xff\xdd", restart_interval.to_bytes(2, "big"))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samplings[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += _seg(b"\xff\xc2", sof)
+
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    for comp_list, Ss, Se, Ah, Al in scans:
+        sos = bytes([len(comp_list)])
+        for ci in comp_list:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out += _seg(b"\xff\xda", sos)
+        pw = _ProgWriter(ac_idx)
+        rst = 0
+        if Ss == 0:  # DC scan, MCU-interleaved over comp_list
+            pred = [0] * ncomp
+            mcu_idx = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                        pw.wr.align()
+                        out += pw.wr.out
+                        pw = _ProgWriter(ac_idx)
+                        out += bytes([0xFF, 0xD0 + (rst % 8)])
+                        rst += 1
+                        pred = [0] * ncomp
+                    for ci in comp_list:
+                        hs, vs = samplings[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc = int(coef_planes[ci][my * vs + by, mx * hs + bx, 0])
+                                if Ah == 0:
+                                    dct = dc >> Al  # arithmetic shift per T.81
+                                    diff = dct - pred[ci]
+                                    s = _cat(diff)
+                                    pw.wr.write(dc_idx[s], 8)
+                                    if s:
+                                        pw.wr.write(
+                                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                                        )
+                                    pred[ci] = dct
+                                else:
+                                    pw.wr.write((dc >> Al) & 1, 1)
+                    mcu_idx += 1
+        else:  # AC scan, single component, true block raster
+            (ci,) = comp_list
+            hs, vs = samplings[ci]
+            comp_w = -(-(w * hs) // hmax)
+            comp_h = -(-(h * vs) // vmax)
+            bw = -(-comp_w // 8)
+            bh = -(-comp_h // 8)
+            blk = 0
+            for r_ in range(bh):
+                for c_ in range(bw):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        pw.flush_eobrun()
+                        pw.wr.align()
+                        out += pw.wr.out
+                        pw = _ProgWriter(ac_idx)
+                        out += bytes([0xFF, 0xD0 + (rst % 8)])
+                        rst += 1
+                    coef = coef_planes[ci][r_, c_]
+                    if Ah == 0:
+                        _encode_ac_first(pw, coef, Ss, Se, Al)
+                    else:
+                        _encode_ac_refine(pw, coef, Ss, Se, Al)
+                    blk += 1
+            pw.flush_eobrun()
+        pw.wr.align()
+        out += pw.wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _reference_pixels(coef_planes, samplings, w, h, qt):
     """Independent dequantize → IDCT → upsample → color pipeline (numpy,
     no shared code with the decoder beyond the public ZIGZAG/_C arrays)."""
@@ -337,3 +545,80 @@ def test_duplicate_sos_component_raises():
     data[sos + 9] = 2
     with pytest.raises(ValueError, match="exactly once"):
         decode_jpeg(bytes(data))
+
+
+# ------------------------------------------------- progressive (SOF2) --
+
+
+def test_progressive_gray_coefficient_exact():
+    """Progressive gray: DC successive approximation + two spectral AC
+    bands refined to full precision — decoded pixels must EXACTLY equal
+    the reference pipeline on the original coefficients (the scan
+    machinery is lossless end-to-end)."""
+    rng = np.random.default_rng(41)
+    coefs = _rand_coefs(rng, 4, 3)
+    data = encode_progressive([coefs], [(1, 1)], 24, 32, QT_MILD)
+    px, w, h = decode_jpeg(data)
+    assert (w, h) == (24, 32)
+    np.testing.assert_array_equal(px, _reference_pixels([coefs], [(1, 1)], 24, 32, QT_MILD))
+
+
+def test_progressive_color_420_odd_dims_exact():
+    """Progressive 4:2:0 color at odd dimensions (33x17): the AC scans
+    walk the component's TRUE block raster, which is smaller than the
+    MCU-padded store for luma — padding blocks stay uncoded and are
+    cropped. Coefficient-exact."""
+    rng = np.random.default_rng(43)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    w, h = 33, 17
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    planes = [
+        _rand_coefs(rng, mcuy * 2, mcux * 2),
+        _rand_coefs(rng, mcuy, mcux),
+        _rand_coefs(rng, mcuy, mcux),
+    ]
+    # zero the luma blocks outside the true raster: non-interleaved AC
+    # scans never code them (T.81), so nonzero AC there is unencodable
+    bw_l, bh_l = -(-w // 8), -(-h // 8)
+    planes[0][:, :, 1:] *= 0
+    planes[0][:bh_l, :bw_l, 1:] = _rand_coefs(rng, bh_l, bw_l)[:, :, 1:]
+    data = encode_progressive(planes, samp, w, h, QT_MILD)
+    px, _, _ = decode_jpeg(data)
+    # reference must see what the stream can carry: DC everywhere (DC
+    # scans are MCU-interleaved), AC only inside the true raster
+    np.testing.assert_array_equal(px, _reference_pixels(planes, samp, w, h, QT_MILD))
+
+
+def test_progressive_restarts_exact():
+    """Restart markers inside progressive scans reset the DC predictor
+    and the EOB run per interval; still coefficient-exact."""
+    rng = np.random.default_rng(47)
+    coefs = _rand_coefs(rng, 3, 4)
+    data = encode_progressive([coefs], [(1, 1)], 32, 24, QT_ONES, restart_interval=3)
+    px, _, _ = decode_jpeg(data)
+    np.testing.assert_array_equal(px, _reference_pixels([coefs], [(1, 1)], 32, 24, QT_ONES))
+
+
+def test_progressive_eobrun_spans_blocks():
+    """Sparse coefficients so EOB runs span many blocks in both first
+    and refinement AC scans (correction bits buffered across the run)."""
+    rng = np.random.default_rng(53)
+    coefs = np.zeros((5, 5, 64), np.int64)
+    coefs[:, :, 0] = rng.integers(-100, 101, (5, 5))
+    # a few isolated AC spikes leave long EOB runs between them
+    for (y, x, k, v) in [(0, 0, 3, 17), (2, 3, 7, -9), (4, 4, 40, 5), (1, 1, 63, -3)]:
+        coefs[y, x, k] = v
+    data = encode_progressive([coefs], [(1, 1)], 40, 40, QT_ONES)
+    px, _, _ = decode_jpeg(data)
+    np.testing.assert_array_equal(px, _reference_pixels([coefs], [(1, 1)], 40, 40, QT_ONES))
+
+
+def test_progressive_matches_baseline_pixels():
+    """The same coefficients through encode_baseline and
+    encode_progressive must decode to IDENTICAL pixels."""
+    rng = np.random.default_rng(59)
+    planes = [_rand_coefs(rng, 2, 2), _rand_coefs(rng, 2, 2), _rand_coefs(rng, 2, 2)]
+    samp = [(1, 1), (1, 1), (1, 1)]
+    base, _, _ = decode_jpeg(encode_baseline(planes, samp, 16, 16, QT_MILD))
+    prog, _, _ = decode_jpeg(encode_progressive(planes, samp, 16, 16, QT_MILD))
+    np.testing.assert_array_equal(base, prog)
