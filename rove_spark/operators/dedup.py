@@ -447,6 +447,14 @@ def minhash_dedup(
     mh = _shingle_minhash_fused(
         base, text_col, id_col, n=shingle_n, num_hashes=num_hashes
     )
+    # the fused aggregate is the pipeline's most expensive stage and is
+    # referenced FOUR times in one plan (LSH self-join a/b sides +
+    # jaccard_verify's two shingle joins) — without a materialization
+    # point it recomputes per reference (0 ReusedExchange in the plan;
+    # the CLAUDE.md N-references lesson). Lazy localCheckpoint computes
+    # it once on first use: measured 6.4 → 5.3 s best-of on the full
+    # dedup_clusters pipeline at sf0.1 (BENCH.md round 6).
+    mh = mh.localCheckpoint(eager=False)
     sh = mh  # carries the shingle sets too (one fused aggregate)
     cands = lsh_candidate_pairs(
         mh,
