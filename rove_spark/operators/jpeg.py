@@ -259,6 +259,33 @@ def _progressive_scan(
     if Ss == 0:
         if Se != 0:
             raise ValueError("progressive DC scan must have Se == 0")
+        if len(sel) == 1:
+            # T.81 A.2.2: a single-component scan is NON-interleaved —
+            # it walks the component's true block raster, not the padded
+            # MCU grid (they differ for subsampled components)
+            cid, td, _ta = sel[0]
+            c = by_id[cid]
+            ci = comps.index(c)
+            dc_t = huff_dc[td] if Ah == 0 else None
+            comp_w = -(-(w * c["h"]) // hmax)
+            comp_h = -(-(h * c["v"]) // vmax)
+            bw = -(-comp_w // 8)
+            bh = -(-comp_h // 8)
+            pred = 0
+            blk = 0
+            for r_ in range(bh):
+                for c_ in range(bw):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        rd.sync_restart()
+                        pred = 0
+                    if Ah == 0:
+                        s = rd.decode_symbol(dc_t)
+                        pred += _extend(rd.read_bits(s), s)
+                        coefs[ci][r_, c_, 0] = pred << Al
+                    elif rd.read_bit():
+                        coefs[ci][r_, c_, 0] |= 1 << Al
+                    blk += 1
+            return
         order = []
         for cid, td, _ta in sel:
             c = by_id[cid]

@@ -305,7 +305,40 @@ def encode_progressive(
         out += _seg(b"\xff\xda", sos)
         pw = _ProgWriter(ac_idx)
         rst = 0
-        if Ss == 0:  # DC scan, MCU-interleaved over comp_list
+        if Ss == 0 and len(comp_list) == 1:
+            # single-component DC scan is NON-interleaved per T.81: walk
+            # the component's true block raster (matters for subsampled
+            # components, whose padded MCU grid is larger)
+            (ci,) = comp_list
+            hs, vs = samplings[ci]
+            comp_w = -(-(w * hs) // hmax)
+            comp_h = -(-(h * vs) // vmax)
+            bw = -(-comp_w // 8)
+            bh = -(-comp_h // 8)
+            pred = 0
+            blk = 0
+            for r_ in range(bh):
+                for c_ in range(bw):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        pw.wr.align()
+                        out += pw.wr.out
+                        pw = _ProgWriter(ac_idx)
+                        out += bytes([0xFF, 0xD0 + (rst % 8)])
+                        rst += 1
+                        pred = 0
+                    dc = int(coef_planes[ci][r_, c_, 0])
+                    if Ah == 0:
+                        dct = dc >> Al
+                        diff = dct - pred
+                        s = _cat(diff)
+                        pw.wr.write(dc_idx[s], 8)
+                        if s:
+                            pw.wr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        pred = dct
+                    else:
+                        pw.wr.write((dc >> Al) & 1, 1)
+                    blk += 1
+        elif Ss == 0:  # DC scan, MCU-interleaved over comp_list
             pred = [0] * ncomp
             mcu_idx = 0
             for my in range(mcuy):
@@ -622,3 +655,31 @@ def test_progressive_matches_baseline_pixels():
     base, _, _ = decode_jpeg(encode_baseline(planes, samp, 16, 16, QT_MILD))
     prog, _, _ = decode_jpeg(encode_progressive(planes, samp, 16, 16, QT_MILD))
     np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_noninterleaved_dc_scans_exact():
+    """Per-component (ns=1) DC scans are NON-interleaved per T.81 — they
+    walk the component's true block raster, which is smaller than the
+    padded MCU grid for subsampled luma at odd dims. Blocks outside the
+    raster are uncodable in any non-interleaved scan, so they're zeroed
+    in the source; decode must be coefficient-exact."""
+    rng = np.random.default_rng(61)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    w, h = 33, 17
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    planes = [
+        np.zeros((mcuy * 2, mcux * 2, 64), np.int64),
+        _rand_coefs(rng, mcuy, mcux),
+        _rand_coefs(rng, mcuy, mcux),
+    ]
+    bw_l, bh_l = -(-w // 8), -(-h // 8)
+    planes[0][:bh_l, :bw_l] = _rand_coefs(rng, bh_l, bw_l)
+    scans = [([c], 0, 0, 0, 1) for c in range(3)]
+    for c in range(3):
+        scans += [([c], 1, 63, 0, 1)]
+    scans += [([c], 0, 0, 1, 0) for c in range(3)]
+    for c in range(3):
+        scans += [([c], 1, 63, 1, 0)]
+    data = encode_progressive(planes, samp, w, h, QT_MILD, scans=scans)
+    px, _, _ = decode_jpeg(data)
+    np.testing.assert_array_equal(px, _reference_pixels(planes, samp, w, h, QT_MILD))
