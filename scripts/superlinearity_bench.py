@@ -135,7 +135,7 @@ def run_one(qname: str, sf_dir: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument("--queries", default=",".join(QUERIES + STREAM_QUERIES))
     ap.add_argument("--skip-gen", action="store_true")
     args = ap.parse_args()
     queries = args.queries.split(",")

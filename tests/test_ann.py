@@ -179,3 +179,59 @@ def test_append_drift_trigger(spark, vecs, tmp_path):
     stats = _read_index_stats(path)
     assert len(stats["appends"]) == 2
     assert stats["n_vectors"] == vecs.count() * 2 + 50
+
+
+def test_append_retry_and_replay_are_idempotent(spark, vecs, tmp_path):
+    """Crash/retry safety (round-6 review): a crash AFTER the lists
+    append but BEFORE the sidecar write must not duplicate the batch on
+    re-run (batch-partitioned dynamic overwrite rewrites the same
+    partitions); a replay of an already-recorded batch is a no-op that
+    returns the recorded result."""
+    from rove_spark.operators import ann
+    from rove_spark.operators.ann import (
+        append_to_ivf_index,
+        load_ivf_index,
+        persist_ivf_index,
+    )
+
+    half_a = vecs.filter(F.col("vec_id") % 2 == 0)
+    half_b = vecs.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_retry")
+    persist_ivf_index(half_a, path, n_centroids=8)
+
+    class Boom(RuntimeError):
+        pass
+
+    orig = ann._write_index_stats
+    calls = {"n": 0}
+
+    def crashing(p, doc):
+        calls["n"] += 1
+        raise Boom("killed before sidecar write")
+
+    ann._write_index_stats = crashing
+    try:
+        with pytest.raises(Boom):
+            append_to_ivf_index(spark, path, half_b, batch_id="day-1")
+    finally:
+        ann._write_index_stats = orig
+
+    # data landed, sidecar didn't — retry must overwrite, not duplicate
+    res = append_to_ivf_index(spark, path, half_b, batch_id="day-1")
+    assert res["n_appended"] == half_b.count()
+    _c, assigned = load_ivf_index(spark, path)
+    assert assigned.count() == vecs.count()  # no duplicates
+    assert assigned.select("vec_id").distinct().count() == vecs.count()
+
+    # replay of a recorded batch: no-op returning the recorded result
+    res2 = append_to_ivf_index(spark, path, half_b, batch_id="day-1")
+    assert res2 == res
+    assert load_ivf_index(spark, path)[1].count() == vecs.count()
+
+    # auto content digest: re-appending identical content without an id
+    # is also a no-op (digest collides on purpose)
+    r3 = append_to_ivf_index(spark, path, half_b)
+    r4 = append_to_ivf_index(spark, path, half_b)
+    assert r3["batch_id"] == r4["batch_id"]
+    # the digest batch replaced itself, not duplicated
+    assert load_ivf_index(spark, path)[1].count() == vecs.count() + half_b.count()
