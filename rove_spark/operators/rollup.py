@@ -341,3 +341,41 @@ def read_cold(spark, chunk_table, value_col: str = "value"):
     return decompress_series(
         chunk_table.read(spark).drop("day"), value_col=value_col
     )
+
+
+def cold_source(
+    spark, chunk_table, value_col: str = "value", day_col: str = "day"
+):
+    """Spec-aware DataSwitch source over the cold tier: a
+    ``(time_spec, space_spec) -> DataFrame`` callable that prunes chunk
+    PARTITIONS (day range from the time spec, series ids from a
+    One-spec) BEFORE the Gorilla decode — the decode is a Python stage,
+    so Catalyst cannot push the post-hoc fetch predicates through it;
+    this is the reference's connector-pushdown pattern
+    (``fetch.rs:184-211``: specs travel INTO the connector) re-expressed
+    for a decode-behind source. At 100 TB the difference is decoding
+    the requested days vs decoding the entire archive.
+
+    ``DataSwitch.fetch`` re-applies the exact predicates on the decoded
+    rows, so this source only prunes (whole chunks whose day overlaps
+    the range), never filters exactly."""
+    from rove_spark.operators.gorilla import decompress_series
+
+    def src(time_spec=None, space_spec=None):
+        chunks = chunk_table.read(spark)
+        if time_spec is not None:
+            # a day chunk overlaps [start, end] iff its day partition is
+            # within [day(start), day(end)] — lexicographic on yyyy-MM-dd
+            chunks = chunks.filter(
+                F.col(day_col).between(
+                    time_spec.start.strftime("%Y-%m-%d"),
+                    time_spec.end.strftime("%Y-%m-%d"),
+                )
+            )
+        if space_spec is not None and space_spec.kind == "one":
+            chunks = chunks.filter(
+                F.col("series_id").isin([str(i) for i in space_spec.ids])
+            )
+        return decompress_series(chunks.drop(day_col), value_col=value_col)
+
+    return src

@@ -61,9 +61,19 @@ class DataSwitch:
     k·resolution — the reference widens the *remote query* the same way
     (``fetch.rs:199-209``) so edge points have context."""
 
-    sources: dict[str, Callable[[], DataFrame]] = field(default_factory=dict)
+    sources: dict[str, Callable[..., DataFrame]] = field(default_factory=dict)
 
-    def register(self, name: str, source: Callable[[], DataFrame]) -> None:
+    def register(self, name: str, source: Callable[..., DataFrame]) -> None:
+        """A source is either ``() -> DataFrame`` (plain scan — the specs
+        become post-hoc Catalyst predicates, pushdown is free) or
+        SPEC-AWARE: ``(time_spec, space_spec) -> DataFrame``. Spec-aware
+        sources mirror the reference connectors, which receive the specs
+        and push them into the remote query (``fetch.rs:184-211``) —
+        needed whenever a Python decode stage (e.g. the Gorilla cold
+        tier) would otherwise block Catalyst from pushing predicates
+        down to the scan. ``fetch`` still applies the exact predicates
+        on the returned frame, so a spec-aware source only has to
+        PRUNE, never to filter exactly."""
         self.sources[name] = source
 
     def fetch(
@@ -82,7 +92,31 @@ class DataSwitch:
         if source_id not in self.sources:
             # reference: Error::InvalidDataSource (data_switch.rs:300-323)
             raise KeyError(f"InvalidDataSource: {source_id!r}")
-        df = self.sources[source_id]()
+        import inspect
+
+        # context widening happens BEFORE the source call: a spec-aware
+        # source prunes on the spec it receives, so it must see the
+        # widened range or the leading/trailing context rows would be
+        # pruned out at the connector (the exact ts filter below uses
+        # the same widened bounds)
+        start = end = None
+        if time_spec is not None:
+            start, end = time_spec.start, time_spec.end
+            if time_spec.resolution is not None and (num_leading or num_trailing):
+                if time_spec.resolution.is_calendar:
+                    raise ValueError("context widening over calendar periods unsupported")
+                sec = time_spec.resolution.seconds
+                start = start - dt.timedelta(seconds=sec * num_leading)
+                end = end + dt.timedelta(seconds=sec * num_trailing)
+        eff_time = (
+            TimeSpec(start, end, time_spec.resolution) if time_spec is not None else None
+        )
+        src = self.sources[source_id]
+        try:
+            spec_aware = len(inspect.signature(src).parameters) >= 2
+        except (TypeError, ValueError):
+            spec_aware = False
+        df = src(eff_time, space_spec) if spec_aware else src()
         # P4 time-resolution filter (``met_connectors/src/frost/fetch.rs:31-37``):
         # series whose DECLARED resolution differs from the requested grid
         # are dropped before any QC sees them. Equivalence is semantic
@@ -100,13 +134,6 @@ class DataSwitch:
                 resolution_matches(F.col(resolution_col), time_spec.resolution)
             )
         if time_spec is not None:
-            start, end = time_spec.start, time_spec.end
-            if time_spec.resolution is not None and (num_leading or num_trailing):
-                if time_spec.resolution.is_calendar:
-                    raise ValueError("context widening over calendar periods unsupported")
-                sec = time_spec.resolution.seconds
-                start = start - dt.timedelta(seconds=sec * num_leading)
-                end = end + dt.timedelta(seconds=sec * num_trailing)
             df = df.filter(F.col(ts_col).between(F.lit(start), F.lit(end)))
         if space_spec is not None and space_spec.kind != "all":
             if space_spec.kind == "one":

@@ -126,3 +126,98 @@ def test_declared_resolution_filter(spark):
     # source without the metadata column -> untouched
     sw.register("bare", lambda: src)
     assert sw.fetch("bare", time_spec=spec).select("conv_id").distinct().count() == 8
+
+
+def test_cold_source_routes_and_prunes(tmp_path, spark):
+    """Spec-aware cold-tier source (round 6): a DataSwitch fetch over an
+    aged window decodes EXACTLY the requested rows from the chunk table,
+    and the day/series pruning happens on the CHUNK SCAN (before the
+    Python decode — partition filters visible in the plan), mirroring
+    the reference connectors' spec pushdown."""
+    from rove_spark.operators.rollup import cold_source, retention_compact
+    from rove_spark.operators.signals import derive_signals
+    from rove_spark.sources.tables import PartitionedTable
+
+    df = derive_signals(synthetic_transcripts(spark, n_conv=8, avg_turns=40))
+    raw_df = df.select("conv_id", "ts", "text_len").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    raw = PartitionedTable(tmp_path / "raw", ["day"])
+    raw.overwrite_partitions(raw_df)
+    days = raw.partition_days()
+    assert len(days) >= 3
+    cutoff = days[-1]  # compact everything but the newest day
+    expected = sorted(
+        (r.conv_id, r.ts, float(r.text_len))
+        for r in raw.read(spark)
+        .filter(F.col("day") == days[0])
+        .select("conv_id", F.date_trunc("second", "ts").cast("timestamp").alias("ts"), "text_len")
+        .collect()
+    )
+    chunks = PartitionedTable(tmp_path / "cold", ["day"])
+    retention_compact(spark, raw, chunks, cutoff, value_col="text_len")
+
+    sw = DataSwitch()
+    sw.register("cold_raw", cold_source(spark, chunks, value_col="text_len"))
+    d0 = dt.datetime.strptime(days[0], "%Y-%m-%d")
+    fetched = sw.fetch(
+        "cold_raw",
+        TimeSpec(d0, d0 + dt.timedelta(days=1) - dt.timedelta(seconds=1)),
+        series_col="series_id",
+    )
+    got = sorted(
+        (r.series_id, r.ts, float(r.text_len))
+        for r in fetched.filter(~F.col("is_gap")).collect()
+    )
+    assert got == expected
+
+    # pruning gate: the chunk scan must carry a day partition filter —
+    # only ONE day partition is read, not the whole archive
+    plan = fetched._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+
+    # series pruning via a One-spec reaches the chunk scan too
+    sid = expected[0][0]
+    one = sw.fetch(
+        "cold_raw",
+        TimeSpec(d0, d0 + dt.timedelta(days=1) - dt.timedelta(seconds=1)),
+        SpaceSpec.one(sid),
+        series_col="series_id",
+    )
+    got_one = {r.series_id for r in one.collect()}
+    assert got_one == {sid}
+
+
+def test_cold_source_receives_widened_range(tmp_path, spark):
+    """Context widening must reach the spec-aware source: a fetch whose
+    leading context crosses a day boundary still gets the prior day's
+    edge rows (the source prunes on the WIDENED spec)."""
+    from rove_spark.functions.durations import parse_iso8601
+    from rove_spark.operators.rollup import cold_source, retention_compact
+    from rove_spark.operators.signals import derive_signals
+    from rove_spark.sources.tables import PartitionedTable
+
+    df = derive_signals(synthetic_transcripts(spark, n_conv=8, avg_turns=40))
+    raw_df = df.select("conv_id", "ts", "text_len").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    raw = PartitionedTable(tmp_path / "raw", ["day"])
+    raw.overwrite_partitions(raw_df)
+    days = raw.partition_days()
+    chunks = PartitionedTable(tmp_path / "cold", ["day"])
+    retention_compact(spark, raw, chunks, days[-1], value_col="text_len")
+
+    sw = DataSwitch()
+    sw.register("cold_raw", cold_source(spark, chunks, value_col="text_len"))
+    # window starts at midnight of day 2; 24 hours of leading context
+    # belong to day 1 — only reachable if the widened spec prunes
+    d1 = dt.datetime.strptime(days[1], "%Y-%m-%d")
+    res = parse_iso8601("PT1H")
+    wide = sw.fetch(
+        "cold_raw",
+        TimeSpec(d1, d1 + dt.timedelta(hours=2), resolution=res),
+        num_leading=24,
+        series_col="series_id",
+    )
+    prior_day_rows = wide.filter(F.col("ts") < F.lit(d1)).count()
+    assert prior_day_rows > 0
