@@ -683,3 +683,47 @@ def test_progressive_noninterleaved_dc_scans_exact():
     data = encode_progressive(planes, samp, w, h, QT_MILD, scans=scans)
     px, _, _ = decode_jpeg(data)
     np.testing.assert_array_equal(px, _reference_pixels(planes, samp, w, h, QT_MILD))
+
+
+def test_progressive_fuzz_random_scan_scripts():
+    """Property test: ANY valid progressive scan script — random
+    contiguous spectral bands, random successive-approximation ladder
+    depth, restarts on/off — must reconstruct random sparse coefficients
+    exactly (the encoder/decoder pair is gated by the independent
+    reference pipeline, so a complementary bug pair cannot hide)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        n_bands=st.integers(1, 4),
+        dc_al=st.integers(0, 2),
+        ac_al=st.integers(0, 2),
+        restart=st.sampled_from([0, 0, 3, 5]),
+        by=st.integers(1, 4),
+        bx=st.integers(1, 4),
+    )
+    def case(seed, n_bands, dc_al, ac_al, restart, by, bx):
+        rng = np.random.default_rng(seed)
+        coefs = _rand_coefs(rng, by, bx)
+        # random contiguous band split of 1..63
+        cuts = sorted(rng.choice(np.arange(2, 63), size=n_bands - 1, replace=False).tolist())
+        edges = [1] + cuts + [64]
+        bands = [(edges[i], edges[i + 1] - 1) for i in range(len(edges) - 1)]
+        scans = [([0], 0, 0, 0, dc_al)]
+        for ss, se in bands:
+            scans.append(([0], ss, se, 0, ac_al))
+        for al in range(dc_al - 1, -1, -1):
+            scans.append(([0], 0, 0, al + 1, al))
+        for al in range(ac_al - 1, -1, -1):
+            for ss, se in bands:
+                scans.append(([0], ss, se, al + 1, al))
+        w, h = bx * 8, by * 8
+        data = encode_progressive([coefs], [(1, 1)], w, h, QT_ONES,
+                                  scans=scans, restart_interval=restart)
+        px, _, _ = decode_jpeg(data)
+        np.testing.assert_array_equal(
+            px, _reference_pixels([coefs], [(1, 1)], w, h, QT_ONES)
+        )
+
+    case()
