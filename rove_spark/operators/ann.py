@@ -297,6 +297,12 @@ def append_to_ivf_index(
     drift, needs_retrain}. Stats ride a JSON sidecar next to the lists
     (the Iceberg-properties analog, same pattern as the table
     manifests)."""
+    if batch_id == "base":
+        raise ValueError(
+            "batch_id 'base' is reserved for the initial persist_ivf_index "
+            "write — an append under it would dynamic-overwrite (and "
+            "silently truncate) the base index partitions"
+        )
     if batch_id is None:
         # order-free xor fold — summing hashes overflows under ANSI mode
         fp = new_vectors.select(
@@ -330,7 +336,12 @@ def append_to_ivf_index(
     n_new, s_new = int(agg["n"]), float(agg["s"] or 0.0)
     mean_life = stats["sum_assign_sim"] / max(stats["n_vectors"], 1)
     mean_batch = s_new / max(n_new, 1)
-    drift = max(0.0, (mean_life - mean_batch) / max(abs(mean_life), 1e-12))
+    if n_new == 0:
+        # an empty batch carries no drift evidence — without this guard
+        # mean_batch=0 reads as drift=1.0 and a spurious retrain signal
+        drift = 0.0
+    else:
+        drift = max(0.0, (mean_life - mean_batch) / max(abs(mean_life), 1e-12))
     result = {
         "batch_id": batch_id,
         "n_appended": n_new,

@@ -256,6 +256,15 @@ def _progressive_scan(
     (Ss == 0) may interleave any subset of components in MCU order; AC
     scans are single-component over the component's own block raster."""
     by_id = {c["id"]: c for c in comps}
+    # same contract as the baseline path: every scan component must name
+    # a frame component, each at most once — a duplicate would silently
+    # double-decode one component against another's entropy data
+    scan_ids = [cid for cid, _td, _ta in sel]
+    if len(scan_ids) != len(set(scan_ids)) or not set(scan_ids) <= set(by_id):
+        raise ValueError(
+            f"JPEG progressive SOS component ids {scan_ids} must name "
+            f"frame components {sorted(by_id)} at most once each"
+        )
     if Ss == 0:
         if Se != 0:
             raise ValueError("progressive DC scan must have Se == 0")

@@ -332,15 +332,12 @@ def retention_compact(
 
 
 def read_cold(spark, chunk_table, value_col: str = "value"):
-    """Read-through decode of the cold tier: chunk table → long
+    """Read-through decode of the WHOLE cold tier (the unpruned special
+    case of ``cold_source``): chunk table → long
     ``(series_id, ts, value, is_gap)`` rows, CRC-verified per chunk.
     Union with the hot raw table at the call site for a seamless
     hot+cold scan."""
-    from rove_spark.operators.gorilla import decompress_series
-
-    return decompress_series(
-        chunk_table.read(spark).drop("day"), value_col=value_col
-    )
+    return cold_source(spark, chunk_table, value_col=value_col)(None, None)
 
 
 def cold_source(
@@ -378,4 +375,5 @@ def cold_source(
             )
         return decompress_series(chunks.drop(day_col), value_col=value_col)
 
+    src.spec_aware = True  # DataSwitch.register opts it in automatically
     return src

@@ -62,19 +62,28 @@ class DataSwitch:
     (``fetch.rs:199-209``) so edge points have context."""
 
     sources: dict[str, Callable[..., DataFrame]] = field(default_factory=dict)
+    _spec_aware: set = field(default_factory=set)
 
-    def register(self, name: str, source: Callable[..., DataFrame]) -> None:
+    def register(
+        self, name: str, source: Callable[..., DataFrame], spec_aware: bool = False
+    ) -> None:
         """A source is either ``() -> DataFrame`` (plain scan — the specs
-        become post-hoc Catalyst predicates, pushdown is free) or
-        SPEC-AWARE: ``(time_spec, space_spec) -> DataFrame``. Spec-aware
-        sources mirror the reference connectors, which receive the specs
-        and push them into the remote query (``fetch.rs:184-211``) —
-        needed whenever a Python decode stage (e.g. the Gorilla cold
-        tier) would otherwise block Catalyst from pushing predicates
-        down to the scan. ``fetch`` still applies the exact predicates
-        on the returned frame, so a spec-aware source only has to
-        PRUNE, never to filter exactly."""
+        become post-hoc Catalyst predicates, pushdown is free) or, with
+        ``spec_aware=True``, ``(time_spec, space_spec) -> DataFrame``.
+        Spec-aware sources mirror the reference connectors, which
+        receive the specs and push them into the remote query
+        (``fetch.rs:184-211``) — needed whenever a Python decode stage
+        (e.g. the Gorilla cold tier) would otherwise block Catalyst from
+        pushing predicates down to the scan. ``fetch`` still applies the
+        exact predicates on the returned frame, so a spec-aware source
+        only has to PRUNE, never to filter exactly. The flag is an
+        explicit opt-in (a callable's arity is not a routing signal — a
+        plain ``lambda *a: df`` must not receive specs by accident); a
+        source carrying a truthy ``spec_aware`` attribute (e.g.
+        ``rollup.cold_source``'s) opts in implicitly."""
         self.sources[name] = source
+        if spec_aware or getattr(source, "spec_aware", False):
+            self._spec_aware.add(name)
 
     def fetch(
         self,
@@ -92,8 +101,6 @@ class DataSwitch:
         if source_id not in self.sources:
             # reference: Error::InvalidDataSource (data_switch.rs:300-323)
             raise KeyError(f"InvalidDataSource: {source_id!r}")
-        import inspect
-
         # context widening happens BEFORE the source call: a spec-aware
         # source prunes on the spec it receives, so it must see the
         # widened range or the leading/trailing context rows would be
@@ -112,11 +119,7 @@ class DataSwitch:
             TimeSpec(start, end, time_spec.resolution) if time_spec is not None else None
         )
         src = self.sources[source_id]
-        try:
-            spec_aware = len(inspect.signature(src).parameters) >= 2
-        except (TypeError, ValueError):
-            spec_aware = False
-        df = src(eff_time, space_spec) if spec_aware else src()
+        df = src(eff_time, space_spec) if source_id in self._spec_aware else src()
         # P4 time-resolution filter (``met_connectors/src/frost/fetch.rs:31-37``):
         # series whose DECLARED resolution differs from the requested grid
         # are dropped before any QC sees them. Equivalence is semantic

@@ -182,8 +182,11 @@ def main() -> None:
         ratio = b10 / b1
         verdict = "~linear" if ratio <= 13 else ("CHECK" if ratio <= 20 else "SUPERLINEAR")
         srow = ""
-        if (q, "1x") in state_rows:
-            srow = f"{state_rows[(q, '1x')]} → {state_rows[(q, '10x')]}"
+        if (q, "1x") in state_rows or (q, "10x") in state_rows:
+            srow = (
+                f"{state_rows.get((q, '1x'), '?')} → "
+                f"{state_rows.get((q, '10x'), '?')}"
+            )
         results[q] = {"x1": b1, "x10": b10, "ratio": round(ratio, 2), "verdict": verdict}
         if srow:
             results[q]["state_rows"] = srow

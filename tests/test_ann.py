@@ -235,3 +235,20 @@ def test_append_retry_and_replay_are_idempotent(spark, vecs, tmp_path):
     assert r3["batch_id"] == r4["batch_id"]
     # the digest batch replaced itself, not duplicated
     assert load_ivf_index(spark, path)[1].count() == vecs.count() + half_b.count()
+
+
+def test_append_reserved_base_id_and_empty_batch(spark, vecs, tmp_path):
+    """Review guards: batch_id='base' must be rejected (it would
+    dynamic-overwrite the initial index partitions), and an empty batch
+    must not read as full drift."""
+    from rove_spark.operators.ann import append_to_ivf_index, persist_ivf_index
+
+    path = str(tmp_path / "ivf_guards")
+    persist_ivf_index(vecs, path, n_centroids=8)
+    with pytest.raises(ValueError, match="reserved"):
+        append_to_ivf_index(spark, path, vecs, batch_id="base")
+    empty = vecs.filter(F.lit(False))
+    res = append_to_ivf_index(spark, path, empty, batch_id="empty-day")
+    assert res["n_appended"] == 0
+    assert res["drift"] == 0.0
+    assert not res["needs_retrain"]

@@ -727,3 +727,16 @@ def test_progressive_fuzz_random_scan_scripts():
         )
 
     case()
+
+
+def test_progressive_duplicate_sos_component_raises():
+    """A progressive scan listing a component twice must raise the named
+    error, not silently double-decode (parity with the baseline check)."""
+    rng = np.random.default_rng(67)
+    planes = [_rand_coefs(rng, 1, 1), _rand_coefs(rng, 1, 1), _rand_coefs(rng, 1, 1)]
+    data = bytearray(encode_progressive(planes, [(1, 1)] * 3, 8, 8, QT_ONES))
+    sos = data.index(b"\xff\xda")  # first scan: interleaved DC over 1,2,3
+    assert data[sos + 5] == 1 and data[sos + 7] == 2
+    data[sos + 7] = 1  # duplicate component 1
+    with pytest.raises(ValueError, match="at most once"):
+        decode_jpeg(bytes(data))

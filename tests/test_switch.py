@@ -221,3 +221,20 @@ def test_cold_source_receives_widened_range(tmp_path, spark):
     )
     prior_day_rows = wide.filter(F.col("ts") < F.lit(d1)).count()
     assert prior_day_rows > 0
+
+
+def test_plain_variadic_source_never_receives_specs(spark):
+    """Spec routing is an explicit opt-in: a plain source that happens to
+    accept arguments (variadic lambda) must NOT be handed the specs."""
+    df = synthetic_transcripts(spark, n_conv=2, avg_turns=5)
+    seen = []
+
+    def plain(*args, **kwargs):
+        seen.append(args)
+        return df
+
+    sw = DataSwitch()
+    sw.register("p", plain)
+    t0 = dt.datetime(2024, 1, 1)
+    sw.fetch("p", TimeSpec(t0, t0 + dt.timedelta(days=400))).count()
+    assert seen == [()]  # called with no arguments
