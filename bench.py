@@ -75,12 +75,16 @@ def _prewarm_plan_shapes(spark) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
-def bench_rollup(spark, bucketed: bool = False) -> dict:
+def bench_rollup(spark, bucketed: bool = False, onepass: bool = False) -> dict:
     """Turns/sec into all three tiers (checks included), synthetic table.
     ``bucketed`` measures the same job on the bucketed+sorted layout —
     the recommended deployment layout, where every per-series window and
     aggregation is exchange-free (tables.write_bucketed; both numbers go
-    in the bench JSON so the layout win is visible cross-round)."""
+    in the bench JSON so the layout win is visible cross-round).
+    ``onepass`` swaps the cascade+persist tier build for the GROUPING
+    SETS single-pass strategy (build_tiers_onepass — row-identical,
+    equality-gated): the all-at-once backfill/bench shape, one scan and
+    no cache instead of a persisted 1m tier read three times."""
     from rove_spark.operators import checks
     from pyspark.sql import functions as F
 
@@ -110,11 +114,15 @@ def bench_rollup(spark, bucketed: bool = False) -> dict:
         flagged = checks.step_check(df, "text_len", max_=500.0)
         flagged = checks.spike_check(flagged, "text_len", max_=400.0)
         flagged = checks.range_check(flagged, "text_len", min_=0.0, max_=5000.0)
-        tiers = build_tiers(
-            flagged,
-            checks=["step_check", "spike_check", "range_check"],
-            text_len_source="text_len",
-        )
+        chk = ["step_check", "spike_check", "range_check"]
+        if onepass:
+            from rove_spark.operators.rollup import build_tiers_onepass
+
+            _run(
+                build_tiers_onepass(flagged, checks=chk, text_len_source="text_len")
+            )
+            return time.time() - t0
+        tiers = build_tiers(flagged, checks=chk, text_len_source="text_len")
         union = None
         for name, t in tiers.items():
             tagged = t.withColumn("tier", F.lit(name))
@@ -154,6 +162,7 @@ def main() -> None:
 
     rollup = bench_rollup(spark)
     rollup_bucketed = bench_rollup(spark, bucketed=True)
+    rollup_bucketed_onepass = bench_rollup(spark, bucketed=True, onepass=True)
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -166,6 +175,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "rollup": rollup,
                 "rollup_bucketed": rollup_bucketed,
+                "rollup_bucketed_onepass": rollup_bucketed_onepass,
             }
         )
     )

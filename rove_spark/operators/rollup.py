@@ -161,6 +161,79 @@ def build_tiers(
     return {"1m": t1m, "1h": t1h, "1d": t1d}
 
 
+def build_tiers_onepass(
+    df: DataFrame,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    role_col: str | None = "role",
+    checks: Sequence[str] = (),
+    text_len_source: str = "text",
+    tool_col: str | None = "tool",
+) -> DataFrame:
+    """All three tiers in ONE aggregation pass via GROUPING SETS — the
+    all-at-once (backfill/bench) strategy beside ``build_tiers``'s
+    cascade. Returns a single frame tagged with ``tier`` ∈ {1m, 1h, 1d};
+    per-tier rows are EXACTLY ``build_tiers``' outputs (integer domain;
+    equality-gated in test_rollup).
+
+    Why it exists: the cascade is the CONTINUOUS-aggregate model (a
+    daily job folds new 1m rows upward from the stored finer tier), but
+    computing all tiers from raw in one job pays either a persist of the
+    1m tier (memory-serialization + three branch reads) or, without it,
+    three full input passes — Expand replicates each row 3× through ONE
+    partial aggregate instead: a single scan, no cache, and the shuffle
+    still carries only tier-row partials. On the bucketed layout the
+    only exchange is that partial-row shuffle (Expand hides the scan's
+    partitioning from the planner); measured 3.1-3.2 → 3.3-3.5M turns/s
+    over the cascade+persist shape at 11.6M turns, interleaved fresh
+    JVMs (BENCH.md round 6).
+
+    Sketch columns (HLL) are cascade-only — merge them through
+    ``rollup_cascade``, which is their model anyway."""
+    trunc_cols = {"_m": "minute", "_h": "hour", "_d": "day"}
+    dtypes = dict(df.dtypes)
+    tl = "_tl"
+    if dtypes.get(text_len_source) == "string":
+        d = df.withColumn(tl, F.length(text_len_source).cast("long"))
+    else:
+        d = df.withColumn(tl, F.col(text_len_source).cast("long"))
+    for c, unit in trunc_cols.items():
+        d = d.withColumn(c, F.date_trunc(unit, F.col(ts_col)))
+    keys = [series_col] + ([role_col] if role_col else [])
+    sets = [[*keys, t] for t in trunc_cols]
+    gd = d.groupingSets(
+        [[F.col(c) for c in s] for s in sets],
+        *[F.col(c) for c in (*keys, *trunc_cols)],
+    )
+    out = gd.agg(
+        *_base_aggs(tl, tool_col),
+        *_flag_aggs(checks),
+        F.grouping("_m").alias("_gm"),
+        F.grouping("_h").alias("_gh"),
+    )
+    tier = (
+        F.when(F.col("_gm") == 0, F.lit("1m"))
+        .when(F.col("_gh") == 0, F.lit("1h"))
+        .otherwise(F.lit("1d"))
+    )
+    bucket = (
+        F.when(F.col("_gm") == 0, F.col("_m"))
+        .when(F.col("_gh") == 0, F.col("_h"))
+        .otherwise(F.col("_d"))
+    )
+    stat_cols = [
+        c for c in out.columns
+        if c not in {series_col, role_col, "_m", "_h", "_d", "_gm", "_gh"}
+    ]
+    return out.select(
+        F.col(series_col),
+        bucket.alias("bucket_ts"),
+        *([F.col(role_col)] if role_col else []),
+        *[F.col(c) for c in stat_cols],
+        tier.alias("tier"),
+    )
+
+
 def histogram_bin(value_col: str, lo: float, hi: float, n_bins: int):
     """Bin index expression: clamp(floor((v − lo)/width), 0, n_bins−1);
     NULL for NULL values. Width derives from an exact (lo, hi, n_bins)

@@ -146,3 +146,40 @@ def test_histogram_merge_is_exact(spark):
     for r in q:
         true_med = float(np.median(vals[r.user_id]))
         assert abs(r.p50 - true_med) <= width, (r.user_id, r.p50, true_med)
+
+
+def test_onepass_equals_cascade(spark):
+    """GROUPING SETS one-pass strategy (round 6) must reproduce the
+    cascade's tiers EXACTLY — per tier, per row, with flag counts."""
+    from rove_spark.operators.checks import range_check, step_check
+    from rove_spark.operators.rollup import build_tiers_onepass
+    from rove_spark.operators.signals import derive_signals
+
+    df = derive_signals(synthetic_transcripts(spark, n_conv=25, avg_turns=50))
+    flagged = step_check(df, "text_len", max_=500.0)
+    flagged = range_check(flagged, "text_len", min_=0.0, max_=5000.0)
+    chk = ["step_check", "range_check"]
+    tiers = build_tiers(
+        flagged, checks=chk, text_len_source="text_len", tool_col="tool"
+    )
+    one = build_tiers_onepass(
+        flagged, checks=chk, text_len_source="text_len", tool_col="tool"
+    )
+    for name in ("1m", "1h", "1d"):
+        a = _canon(tiers[name])
+        b = _canon(one.filter(F.col("tier") == name).drop("tier"))
+        assert a == b, name
+    tiers["1m"].unpersist()
+
+
+def test_onepass_no_role_column(spark):
+    from rove_spark.operators.rollup import build_tiers_onepass
+
+    df = synthetic_transcripts(spark, n_conv=5, avg_turns=20)
+    one = build_tiers_onepass(df, role_col=None, tool_col=None)
+    tiers = build_tiers(df, role_col=None, tool_col=None)
+    for name in ("1m", "1h", "1d"):
+        assert _canon(tiers[name]) == _canon(
+            one.filter(F.col("tier") == name).drop("tier")
+        ), name
+    tiers["1m"].unpersist()
