@@ -127,6 +127,30 @@ def test_bucketed_layout_eliminates_exchange(spark, parquet_transcripts, tmp_pat
     spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
 
 
+def test_onepass_tiers_plan_shape(spark, parquet_transcripts, tmp_path):
+    """build_tiers_onepass on the bucketed layout (round 6): exactly ONE
+    exchange — the tier-row partial shuffle after Expand (which hides
+    the scan's partitioning from the planner) — a partial+final
+    HashAggregate pair around it, and zero Python stages."""
+    from rove_spark.operators.rollup import build_tiers_onepass
+    from rove_spark.sources.tables import write_bucketed
+
+    df = spark.read.parquet(parquet_transcripts).withColumn(
+        "v", F.length("text").cast("float")
+    )
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_onepass")
+    write_bucketed(df, "t_bucketed_onepass", n_buckets=4)
+    bt = spark.table("t_bucketed_onepass")
+    flagged = checks.step_check(bt, "v", max_=50.0)
+    one = build_tiers_onepass(flagged, checks=["step_check"], text_len_source="v")
+    plan = _plan(one)
+    assert plan.count("Exchange") <= 2  # the partial shuffle (+ AQE read)
+    assert "Expand" in plan
+    assert "partial" in plan  # map-side combine before the shuffle
+    assert "FlatMapGroupsInPandas" not in plan and "BatchEvalPython" not in plan
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_onepass")
+
+
 def test_tpch_shipping_join_shapes(spark):
     """With auto-broadcast OFF (as it effectively is when the tables are
     100 TB), the EXPLICIT broadcast hint on the customer dim must survive,
