@@ -140,6 +140,37 @@ def bench_rollup(spark, bucketed: bool = False, onepass: bool = False) -> dict:
     }
 
 
+def bench_checks_only(spark) -> dict:
+    """Apples-to-apples comparable against the reference's own series
+    bench (BASELINE.md: 5.41 Melem/s on M1 = 2 trivial checks per
+    element, NO alignment/rollup/IO): our 3-check QC stack over the
+    bucketed table, nothing else. The rollup numbers above carry tier
+    building + IO on top; this isolates the work the reference's
+    headline actually measures."""
+    from rove_spark.operators import checks
+
+    table = f"rove_bench_bucketed_{BENCH_N_CONV}_{BENCH_AVG_TURNS}"
+    if not spark.catalog.tableExists(table):
+        bench_rollup(spark, bucketed=True)  # creates input + bucketed table
+    df = spark.table(table)
+    n_turns = df.count()
+
+    def one_run() -> float:
+        t0 = time.time()
+        flagged = checks.step_check(df, "text_len", max_=500.0)
+        flagged = checks.spike_check(flagged, "text_len", max_=400.0)
+        flagged = checks.range_check(flagged, "text_len", min_=0.0, max_=5000.0)
+        _run(flagged)
+        return time.time() - t0
+
+    elapsed = min(one_run() for _ in range(2))
+    return {
+        "n_turns": n_turns,
+        "elapsed_sec": round(elapsed, 3),
+        "turns_per_sec": round(n_turns / elapsed, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -163,6 +194,7 @@ def main() -> None:
     rollup = bench_rollup(spark)
     rollup_bucketed = bench_rollup(spark, bucketed=True)
     rollup_bucketed_onepass = bench_rollup(spark, bucketed=True, onepass=True)
+    checks_only = bench_checks_only(spark)
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -176,6 +208,7 @@ def main() -> None:
                 "rollup": rollup,
                 "rollup_bucketed": rollup_bucketed,
                 "rollup_bucketed_onepass": rollup_bucketed_onepass,
+                "checks_only_bucketed": checks_only,
             }
         )
     )
