@@ -294,23 +294,103 @@ def z4_solve_statements() -> list[tuple[str, str]]:
     return stmts
 
 
-def _build_z4():
-    """exec-compile the shared statement list into the kernel's scalar
-    k=4 solver — guarantees the kernel evaluates EXACTLY the operand
+def adjk_statements(k: int) -> list[tuple[str, str]]:
+    """General-k companion of ``adj4_statements``: ordered statements for
+    the symmetric k×k B = S + eps2·I adjugate/determinant inverse with a
+    FIXED operand tree, built by first-row cofactor expansion with
+    MEMOIZED shared sub-determinants (the 2×2/3×3 minors repeat across
+    cofactors, so the statement list stays compact — k=5 is ~60
+    statements, not 5·5·40 inline terms). Same single-source contract:
+    exec-compiled into the kernel's k-box solver AND embedded as SQL by
+    the sct_deep oracle. Feasible for small fixed k (the KD bound);
+    the general unbounded-k OI inverse remains non-SQL-expressible,
+    which is why the full `sct` query stays rows-only."""
+
+    def e(i: int, j: int) -> str:
+        return "bd" if i == j else f"e{min(i, j)}{max(i, j)}"
+
+    stmts: list[tuple[str, str]] = []
+    memo: dict = {}
+
+    def det(rows: tuple, cols: tuple) -> str:
+        key = (rows, cols)
+        if key in memo:
+            return memo[key]
+        if len(rows) == 1:
+            memo[key] = e(rows[0], cols[0])
+            return memo[key]
+        if len(rows) == 2:
+            (r0, r1), (c0, c1) = rows, cols
+            name = f"q{r0}{r1}_{c0}{c1}"
+            stmts.append(
+                (name, f"{e(r0, c0)} * {e(r1, c1)} - {e(r0, c1)} * {e(r1, c0)}")
+            )
+            memo[key] = name
+            return name
+        r0, rest = rows[0], rows[1:]
+        terms = []
+        for idx, c in enumerate(cols):
+            sub = det(rest, tuple(x for x in cols if x != c))
+            term = f"{e(r0, c)} * {sub}"
+            terms.append(term if idx == 0 else (f"- {term}" if idx % 2 else f"+ {term}"))
+        name = f"q{''.join(map(str, rows))}_{''.join(map(str, cols))}"
+        stmts.append((name, " ".join(terms)))
+        memo[key] = name
+        return name
+
+    full = tuple(range(k))
+    for r in range(k):
+        for c in range(r, k):
+            m = det(
+                tuple(x for x in full if x != r), tuple(x for x in full if x != c)
+            )
+            stmts.append((f"m{r}{c}", m))
+    det_terms = []
+    for idx, c in enumerate(full):
+        term = f"{e(0, c)} * m0{c}"
+        terms_sign = term if idx == 0 else (f"- {term}" if idx % 2 else f"+ {term}")
+        det_terms.append(terms_sign)
+    stmts.append(("det", " ".join(det_terms)))
+    for i in range(k):
+        for j in range(i, k):
+            sign = "" if (i + j) % 2 == 0 else "-"
+            stmts.append((f"i{i}{j}", f"{sign}m{i}{j} / det"))
+    return stmts
+
+
+def zk_solve_statements(k: int) -> list[tuple[str, str]]:
+    """General-k companion of ``z4_solve_statements``."""
+    vs = " + ".join(f"v{i}" for i in range(k))
+    stmts: list[tuple[str, str]] = [("mm", f"({vs}) / {k}.0")]
+    for i in range(k):
+        stmts.append((f"d{i}", f"v{i} - mm"))
+    for i in range(k):
+        terms = " + ".join(f"i{min(i, j)}{max(i, j)} * d{j}" for j in range(k))
+        stmts.append((f"a{i}", terms))
+    return stmts
+
+
+def _build_zk(k: int, statements: list[tuple[str, str]]):
+    """exec-compile a shared statement list into the kernel's scalar
+    k-box solver — guarantees the kernel evaluates EXACTLY the operand
     trees the SQL oracle embeds (single source of truth)."""
-    lines = ["def _z4(e01, e02, e03, e12, e13, e23, bd, v0, v1, v2, v3):"]
-    for name, expr in adj4_statements() + z4_solve_statements():
+    eargs = [f"e{i}{j}" for i in range(k) for j in range(i + 1, k)]
+    vargs = [f"v{i}" for i in range(k)]
+    lines = [f"def _zk({', '.join(eargs)}, bd, {', '.join(vargs)}):"]
+    for name, expr in statements:
         lines.append(f"    {name} = {expr}")
-    lines.append("    sigma2 = max(1e-9, (d0 * a0 + d1 * a1 + d2 * a2 + d3 * a3) / 4.0)")
+    da = " + ".join(f"d{i} * a{i}" for i in range(k))
+    lines.append(f"    sigma2 = max(1e-9, ({da}) / {k}.0)")
     lines.append("    den = math.sqrt(sigma2 * bd)")
-    lines.append("    return ((a0 / max(i00, 1e-12)) / den, (a1 / max(i11, 1e-12)) / den,")
-    lines.append("            (a2 / max(i22, 1e-12)) / den, (a3 / max(i33, 1e-12)) / den)")
+    rets = ", ".join(f"(a{i} / max(i{i}{i}, 1e-12)) / den" for i in range(k))
+    lines.append(f"    return ({rets})")
     ns: dict = {"math": math}
     exec("\n".join(lines), ns)  # noqa: S102 — compiles module-own literal source
-    return ns["_z4"]
+    return ns["_zk"]
 
 
-_z4_closed_form = _build_z4()
+_z4_closed_form = _build_zk(4, adj4_statements() + z4_solve_statements())
+_z5_closed_form = _build_zk(5, adjk_statements(5) + zk_solve_statements(5))
 
 
 def _small_box_z4(
@@ -338,6 +418,29 @@ def _small_box_z4(
         bd, v[0], v[1], v[2], v[3],
     )
     return np.array(z)
+
+
+def _small_box_z5(
+    v: np.ndarray,
+    d_h: np.ndarray,
+    d_v: np.ndarray,
+    hs: float,
+    vs: float,
+    eps2: float,
+) -> np.ndarray:
+    """k = 5 generated closed form (``adjk_statements(5)``) — same
+    shared-source contract as ``_small_box_z4``; the sct_deep oracle
+    embeds the identical statements as SQL."""
+
+    def s(i: int, j: int) -> float:
+        return math.exp(
+            -0.5 * ((d_h[i, j] / hs) * (d_h[i, j] / hs))
+            - 0.5 * ((d_v[i, j] / vs) * (d_v[i, j] / vs))
+        )
+
+    bd = 1.0 + eps2
+    es = [s(i, j) for i in range(5) for j in range(i + 1, 5)]
+    return np.array(_z5_closed_form(*es, bd, v[0], v[1], v[2], v[3], v[4]))
 
 
 def sct_kernel(
@@ -440,6 +543,17 @@ def sct_kernel(
                 # 4×4 closed form (adjugate, shared-source operand tree)
                 # — keeps num_max=4 SCT exactly SQL-oracle-able too
                 z = _small_box_z4(
+                    values[box].astype(np.float64),
+                    d_h,
+                    d_v,
+                    min_horizontal_scale,
+                    vertical_scale,
+                    eps2,
+                )
+            elif k == 5:
+                # 5×5 generated closed form (adjk_statements) — num_max=5
+                # stays exactly SQL-oracle-able (sct_deep)
+                z = _small_box_z5(
                     values[box].astype(np.float64),
                     d_h,
                     d_v,

@@ -1422,21 +1422,25 @@ def q_sct_mid(spark, sf):
     )
 
 
-def _sql_sct_mid(levels: int = 7) -> str:
-    """Exact DuckDB twin of q_sct_mid: KD median-cut unrolled to
-    ``levels`` splits with the num_max=4 stop (covers groups ≤ 4·2^7 =
-    512 ≫ the sf0.01 station count), then BOTH solve branches — the
-    handwritten 3×3 chain for bk=3 leaves and the generated 4×4
-    adjugate (spatial.adj4_statements / z4_solve_statements, the same
-    statement text the kernel exec-compiles) for bk=4 leaves, evaluated
-    via DuckDB lateral column aliases in statement order. MATERIALIZED
-    hints keep the plan flat under the driver's 2 GB budget; an
-    undersplit (>4) leaf raises a named depth error."""
+def _sql_sct_kd(num_max: int, flag_name: str, levels: int = 7) -> str:
+    """Exact DuckDB twin of the bounded-box SCT family (q_sct_mid at
+    num_max=4, q_sct_deep at num_max=5): KD median-cut unrolled to
+    ``levels`` splits with the ``cnt ≤ num_max`` stop, then ONE solve
+    branch per surviving leaf size — the handwritten 3×3 chain for bk=3
+    (the same operand tree as spatial._small_box_z) and, for each
+    k ∈ [4, num_max], the GENERATED k×k adjugate statements
+    (spatial.adj4_statements for k=4, spatial.adjk_statements(k) above —
+    the exact statement text the kernel exec-compiles) evaluated via
+    DuckDB lateral column aliases in statement order. MATERIALIZED hints
+    keep the plan flat under the driver's 2 GB budget; an undersplit
+    (> num_max) leaf raises a named depth error."""
     from rove_spark.operators.spatial import (
         adj4_statements,
+        adjk_statements,
         haversine_sql,
         synthetic_coords_sql,
         z4_solve_statements,
+        zk_solve_statements,
     )
 
     c = synthetic_coords_sql("user_id")
@@ -1455,7 +1459,7 @@ def _sql_sct_mid(levels: int = 7) -> str:
     def pv(col: str, rn: int, out: str) -> str:
         return f"max(CASE WHEN rn = {rn} THEN {col} END) AS {out}"
 
-    # KD levels (stop at cnt <= 4)
+    # KD levels (stop at cnt <= num_max)
     kd = []
     for i in range(levels):
         kd.append(
@@ -1466,7 +1470,7 @@ def _sql_sct_mid(levels: int = 7) -> str:
   FROM k{i}
 ), k{i + 1} AS MATERIALIZED (
   SELECT user_id, ts, dv, lat, lon, elev,
-         CASE WHEN cnt_ <= 4 THEN path
+         CASE WHEN cnt_ <= {num_max} THEN path
               ELSE path || (CASE WHEN row_number() OVER (
                      PARTITION BY ts, path
                      ORDER BY (CASE WHEN sp_lat >= sp_lon THEN lat ELSE lon END),
@@ -1512,46 +1516,57 @@ def _sql_sct_mid(levels: int = 7) -> str:
   UNION ALL SELECT ts, u3, (a3 / greatest(i22, 1e-12)) / den FROM z3
 )"""
 
-    # 4×4 branch — generated from the SAME statements the kernel compiles.
-    # Station index is rn-1 (statements use v0..v3); elevation pivots to
-    # el0..el3 so the covariance names e01..e23 stay collision-free.
-    piv4_cols = ",\n  ".join(
-        pv(col, rn, f"{out}{rn - 1}")
-        for rn in (1, 2, 3, 4)
-        for col, out in [("user_id", "u"), ("dv", "v"), ("lat", "lat"), ("lon", "lon"), ("elev", "el")]
-    )
-    pair4_cols = ",\n         ".join(
-        f"{pair(i, j, 'el')} AS e{i}{j}" for i in range(4) for j in range(i + 1, 4)
-    )
-    stmt_cols = ",\n         ".join(
-        f"{expr} AS {name}" for name, expr in adj4_statements() + z4_solve_statements()
-    )
-    z4_rows = "\n  UNION ALL ".join(
-        f"SELECT ts, u{i}, (a{i} / greatest(i{i}{i}, 1e-12)) / den FROM z4"
-        if i
-        else f"SELECT ts, u{i} AS user_id, (a{i} / greatest(i{i}{i}, 1e-12)) / den AS z FROM z4"
-        for i in range(4)
-    )
-    branch4 = f"""r4 AS MATERIALIZED (
+    # generated k×k branches — the SAME statements the kernel compiles.
+    # Station index is rn-1 (statements use v0..v{k-1}); elevation pivots
+    # to el0.. so the covariance names eIJ stay collision-free.
+    def genk_branch(k: int) -> str:
+        if k == 4:
+            stmts = adj4_statements() + z4_solve_statements()
+        else:
+            stmts = adjk_statements(k) + zk_solve_statements(k)
+        pivk_cols = ",\n  ".join(
+            pv(col, rn, f"{out}{rn - 1}")
+            for rn in range(1, k + 1)
+            for col, out in [("user_id", "u"), ("dv", "v"), ("lat", "lat"), ("lon", "lon"), ("elev", "el")]
+        )
+        pairk_cols = ",\n         ".join(
+            f"{pair(i, j, 'el')} AS e{i}{j}" for i in range(k) for j in range(i + 1, k)
+        )
+        stmt_cols = ",\n         ".join(f"{expr} AS {name}" for name, expr in stmts)
+        da = " + ".join(f"d{i} * a{i}" for i in range(k))
+        zk_rows = "\n  UNION ALL ".join(
+            f"SELECT ts, u{i}, (a{i} / greatest(i{i}{i}, 1e-12)) / den FROM z{k}"
+            if i
+            else f"SELECT ts, u{i} AS user_id, (a{i} / greatest(i{i}{i}, 1e-12)) / den AS z FROM z{k}"
+            for i in range(k)
+        )
+        us = ", ".join(f"u{i}" for i in range(k))
+        vs_ = ", ".join(f"v{i}" for i in range(k))
+        return f"""r{k} AS MATERIALIZED (
   SELECT ts, path, user_id, dv, lat, lon, elev,
          row_number() OVER (PARTITION BY ts, path ORDER BY CAST(user_id AS VARCHAR)) AS rn
-  FROM fin WHERE bk = 4
-), piv4 AS MATERIALIZED (
+  FROM fin WHERE bk = {k}
+), piv{k} AS MATERIALIZED (
   SELECT ts, path,
-  {piv4_cols}
-  FROM r4 GROUP BY ts, path
-), mat4 AS MATERIALIZED (
-  SELECT ts, u0, u1, u2, u3, v0, v1, v2, v3, {bd} AS bd,
-         {pair4_cols}
-  FROM piv4
-), z4 AS MATERIALIZED (
-  SELECT ts, u0, u1, u2, u3,
+  {pivk_cols}
+  FROM r{k} GROUP BY ts, path
+), mat{k} AS MATERIALIZED (
+  SELECT ts, {us}, {vs_}, {bd} AS bd,
+         {pairk_cols}
+  FROM piv{k}
+), z{k} AS MATERIALIZED (
+  SELECT ts, {us},
          {stmt_cols},
-         sqrt(greatest(1e-9, (d0 * a0 + d1 * a1 + d2 * a2 + d3 * a3) / 4.0) * bd) AS den
-  FROM mat4
-), zz4 AS MATERIALIZED (
-  {z4_rows}
+         sqrt(greatest(1e-9, ({da}) / {k}.0) * bd) AS den
+  FROM mat{k}
+), zz{k} AS MATERIALIZED (
+  {zk_rows}
 )"""
+
+    gen_branches = ",\n".join(genk_branch(k) for k in range(4, num_max + 1))
+    zz_union = " UNION ALL ".join(
+        f"SELECT * FROM zz{k}" for k in [3, *range(4, num_max + 1)]
+    )
 
     return f"""
 WITH dv AS MATERIALIZED (
@@ -1576,24 +1591,67 @@ fin AS MATERIALIZED (
   SELECT *, count(*) OVER (PARTITION BY ts, path) AS bk FROM k{levels}
 ),
 {branch3},
-{branch4},
+{gen_branches},
 bad AS MATERIALIZED (
-  SELECT ts, user_id FROM (SELECT * FROM zz3 UNION ALL SELECT * FROM zz4)
+  SELECT ts, user_id FROM ({zz_union})
   WHERE z > {SCT_SMALL_POS} OR z < -{SCT_SMALL_POS}
 ), guard AS (
-  SELECT CASE WHEN coalesce(max(bk), 0) > 4 THEN error(
-    'sct_mid oracle KD unroll (levels={levels}) too shallow for this '
+  SELECT CASE WHEN coalesce(max(bk), 0) > {num_max} THEN error(
+    'sct oracle KD unroll (levels={levels}) too shallow for this '
     'station count — raise levels') ELSE 0 END AS ok FROM fin
 )
 SELECT h.user_id, h.ts,
        CAST(CASE WHEN h.dv IS NULL THEN 5
                  WHEN bad.user_id IS NOT NULL THEN 1
                  WHEN coalesce(cnt.n_inner, 0) < {SCT_NUM_MIN} THEN 6
-                 ELSE 0 END AS INT) + guard.ok AS flag_sct_mid
+                 ELSE 0 END AS INT) + guard.ok AS {flag_name}
 FROM h LEFT JOIN bad USING (user_id, ts)
        LEFT JOIN cnt USING (user_id, ts)
        CROSS JOIN guard
 """
+
+
+def _sql_sct_mid(levels: int = 7) -> str:
+    return _sql_sct_kd(4, "flag_sct_mid", levels)
+
+
+def _sql_sct_deep(levels: int = 7) -> str:
+    return _sql_sct_kd(5, "flag_sct_deep", levels)
+
+
+def q_sct_deep(spark, sf):
+    """SCT with num_max=5 — the next step of the bounded-box staircase
+    after sct_mid: KD leaves of 3/4/5 stations, the 5-boxes solved by
+    the GENERAL generated adjugate (spatial.adjk_statements(5), ~100
+    shared-subdeterminant statements) whose exact text the oracle embeds
+    as SQL. Shows the generator scales past the handwritten 3×3 and the
+    k=4 special case; the full `sct` stays rows-only because unbounded-k
+    closed forms are factorially infeasible — bounded k is precisely
+    what the KD subdivision guarantees."""
+    from rove_spark.operators.spatial import sct, with_synthetic_coords_portable
+
+    _utc(spark)
+    ev = _events(spark, sf)
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("ts")).agg(
+        F.avg("value").alias("dv")
+    )
+    located = with_synthetic_coords_portable(daily, series_col="user_id")
+    out = sct(
+        located,
+        "dv",
+        series_col="user_id",
+        num_min=SCT_NUM_MIN,
+        num_max=5,
+        pos=SCT_SMALL_POS,
+        neg=SCT_SMALL_POS,
+        num_iterations=1,
+        cell_deg=None,
+    )
+    return out.select(
+        F.col("series_id").cast("bigint").alias("user_id"),
+        "ts",
+        F.col("flag_sct").cast("int").alias("flag_sct_deep"),
+    )
 
 
 def q_sct_iter(spark, sf):
@@ -3090,7 +3148,7 @@ ROTATION_GROUPS: list[list[str]] = [
     ["rollup_1m", "rollup_flag_density"],
     ["rollup_1d", "rollup_1h", "rollup_by_type"],
     ["retention_plan", "retention_drop"],
-    ["sct_iter", "sct_mid", "sct_small", "sct_isolated"],
+    ["sct_mid", "sct_iter", "sct_deep", "sct_small", "sct_isolated"],
     ["ivf_knn", "knn_cosine"],
     ["stratified_sample", "hash_sample"],
 ]
@@ -3157,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sct": q_sct,
         "sct_iter": q_sct_iter,
         "sct_mid": q_sct_mid,
+        "sct_deep": q_sct_deep,
         "sct_small": q_sct_small,
         "sct_isolated": q_sct_isolated,
         # sources / pushdown (S4/S5, P2/P5)
@@ -3250,6 +3309,7 @@ def oracle_sql() -> dict[str, str]:
         "sct_isolated": _sql_sct_isolated(),
         "sct_small": _sql_sct_small(),
         "sct_mid": _sql_sct_mid(),
+        "sct_deep": _sql_sct_deep(),
         "sct_iter": _sql_sct_small(rounds=2, flag_name="flag_sct_iter"),
         "hll_tier": SQL_HLL_TIER,
         "pii_scan": _sql_pii(),

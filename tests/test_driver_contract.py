@@ -99,6 +99,22 @@ def test_sct_mid_exercises_both_solve_branches():
     assert max(sizes) <= 4, sizes
 
 
+def test_sct_deep_exercises_generated_5box_branch():
+    """sct_deep's num_max=5 KD split must actually produce 5-station
+    leaves (the generated adjk(5) branch) alongside 4s — not vacuously
+    green via the smaller solvers."""
+    from rove_spark.plans.driver_queries import _sql_sct_deep
+
+    sql = _sql_sct_deep()
+    idx = sql.rfind("SELECT h.user_id")
+    probe = sql[:idx] + "SELECT bk, count(*) AS n FROM fin GROUP BY bk"
+    con = _duck()
+    sizes = dict(con.execute(probe).fetchall())
+    assert sizes.get(5, 0) > 0, sizes
+    assert sizes.get(4, 0) > 0, sizes
+    assert max(sizes) <= 5, sizes
+
+
 # Every distinct operator family must sit inside the driver's 50-entry
 # cap every round. Fixed entries are named directly; a rotating family is
 # named by its ROTATION_GROUPS entry — any member of the group satisfies

@@ -374,6 +374,37 @@ def test_small_box_z4_matches_lu_inverse():
         assert np.allclose(z, z_lu, rtol=1e-9, atol=1e-9), (z, z_lu)
 
 
+def test_small_box_z5_matches_lu_inverse():
+    """The GENERAL generated adjugate at k=5 (adjk_statements — memoized
+    cofactor expansion, the sct_deep oracle contract) agrees with the LU
+    path to float precision."""
+    import math
+
+    import numpy as np
+
+    from rove_spark.operators.spatial import _haversine_matrix, _small_box_z5
+
+    rng = np.random.default_rng(19)
+    k = 5
+    for _ in range(100):
+        lat = 59.0 + rng.uniform(0, 0.5, k)
+        lon = 9.0 + rng.uniform(0, 0.5, k)
+        elev = rng.uniform(0, 500, k)
+        v = rng.normal(10, 3, k)
+        hs, vs, eps2 = 10_000.0, 200.0, 0.5
+        d_h = _haversine_matrix(lat, lon)
+        d_v = elev[:, None] - elev[None, :]
+        z = _small_box_z5(v, d_h, d_v, hs, vs, eps2)
+        S = np.exp(-0.5 * (d_h / hs) ** 2 - 0.5 * (d_v / vs) ** 2)
+        Binv = np.linalg.inv(S + eps2 * np.eye(k))
+        innov = v - v.mean()
+        A = Binv @ innov
+        cv = A / np.maximum(np.diag(Binv), 1e-12)
+        sigma2 = max(1e-9, float(innov @ A) / k)
+        z_lu = cv / math.sqrt(sigma2 * (1.0 + eps2))
+        assert np.allclose(z, z_lu, rtol=1e-9, atol=1e-9), (z, z_lu)
+
+
 def test_sct_kernel_num_max4_closed_form_consistent():
     """num_max=4 flags from the closed-form path must equal a run where
     boxes of 4 are solved by the LU path (flags are threshold decisions
