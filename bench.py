@@ -75,6 +75,21 @@ def _prewarm_plan_shapes(spark) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
+#: the benched QC stack — ONE definition so bench_rollup and
+#: bench_checks_only always measure the identical per-turn check work
+#: (BENCH.md contrasts their numbers; drift here would silently compare
+#: different workloads)
+BENCH_CHECKS = ["step_check", "spike_check", "range_check"]
+
+
+def _apply_bench_checks(df):
+    from rove_spark.operators import checks
+
+    flagged = checks.step_check(df, "text_len", max_=500.0)
+    flagged = checks.spike_check(flagged, "text_len", max_=400.0)
+    return checks.range_check(flagged, "text_len", min_=0.0, max_=5000.0)
+
+
 def bench_rollup(spark, bucketed: bool = False, onepass: bool = False) -> dict:
     """Turns/sec into all three tiers (checks included), synthetic table.
     ``bucketed`` measures the same job on the bucketed+sorted layout —
@@ -85,7 +100,6 @@ def bench_rollup(spark, bucketed: bool = False, onepass: bool = False) -> dict:
     SETS single-pass strategy (build_tiers_onepass — row-identical,
     equality-gated): the all-at-once backfill/bench shape, one scan and
     no cache instead of a persisted 1m tier read three times."""
-    from rove_spark.operators import checks
     from pyspark.sql import functions as F
 
     # materialize the input ONCE (untimed): the engine is measured on a
@@ -111,10 +125,8 @@ def bench_rollup(spark, bucketed: bool = False, onepass: bool = False) -> dict:
 
     def one_run() -> float:
         t0 = time.time()
-        flagged = checks.step_check(df, "text_len", max_=500.0)
-        flagged = checks.spike_check(flagged, "text_len", max_=400.0)
-        flagged = checks.range_check(flagged, "text_len", min_=0.0, max_=5000.0)
-        chk = ["step_check", "spike_check", "range_check"]
+        flagged = _apply_bench_checks(df)
+        chk = BENCH_CHECKS
         if onepass:
             from rove_spark.operators.rollup import build_tiers_onepass
 
@@ -147,8 +159,6 @@ def bench_checks_only(spark) -> dict:
     bucketed table, nothing else. The rollup numbers above carry tier
     building + IO on top; this isolates the work the reference's
     headline actually measures."""
-    from rove_spark.operators import checks
-
     table = f"rove_bench_bucketed_{BENCH_N_CONV}_{BENCH_AVG_TURNS}"
     if not spark.catalog.tableExists(table):
         bench_rollup(spark, bucketed=True)  # creates input + bucketed table
@@ -157,10 +167,7 @@ def bench_checks_only(spark) -> dict:
 
     def one_run() -> float:
         t0 = time.time()
-        flagged = checks.step_check(df, "text_len", max_=500.0)
-        flagged = checks.spike_check(flagged, "text_len", max_=400.0)
-        flagged = checks.range_check(flagged, "text_len", min_=0.0, max_=5000.0)
-        _run(flagged)
+        _run(_apply_bench_checks(df))
         return time.time() - t0
 
     elapsed = min(one_run() for _ in range(2))

@@ -284,14 +284,10 @@ def adj4_statements() -> list[tuple[str, str]]:
 
 def z4_solve_statements() -> list[tuple[str, str]]:
     """Continuation of ``adj4_statements``: mean, innovations and
-    A = B⁻¹·d with fixed summation order over ``v0..v3``."""
-    stmts: list[tuple[str, str]] = [("mm", "(v0 + v1 + v2 + v3) / 4.0")]
-    for i in range(4):
-        stmts.append((f"d{i}", f"v{i} - mm"))
-    for i in range(4):
-        terms = " + ".join(f"i{min(i, j)}{max(i, j)} * d{j}" for j in range(4))
-        stmts.append((f"a{i}", terms))
-    return stmts
+    A = B⁻¹·d with fixed summation order over ``v0..v3``. Kept as the
+    named k=4 entry point for the sct_mid oracle; the statement text is
+    exactly ``zk_solve_statements(4)`` (single source — no drift)."""
+    return zk_solve_statements(4)
 
 
 def adjk_statements(k: int) -> list[tuple[str, str]]:
@@ -299,8 +295,8 @@ def adjk_statements(k: int) -> list[tuple[str, str]]:
     the symmetric k×k B = S + eps2·I adjugate/determinant inverse with a
     FIXED operand tree, built by first-row cofactor expansion with
     MEMOIZED shared sub-determinants (the 2×2/3×3 minors repeat across
-    cofactors, so the statement list stays compact — k=5 is ~60
-    statements, not 5·5·40 inline terms). Same single-source contract:
+    cofactors, so the statement list stays compact — k=5 is 101
+    statements instead of 5·5·40 inline terms). Same single-source contract:
     exec-compiled into the kernel's k-box solver AND embedded as SQL by
     the sct_deep oracle. Feasible for small fixed k (the KD bound);
     the general unbounded-k OI inverse remains non-SQL-expressible,

@@ -17,8 +17,10 @@ Usage: python scripts/stream_state_probe.py [sf_dir] [n_files] [files_per_trigge
 from __future__ import annotations
 
 import json
+import os
 import sys
 import tempfile
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -36,6 +38,10 @@ def main() -> None:
 
     spark = get_spark("stream_state_probe")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # recentProgress is capped (default 100 updates): a >100-batch run would
+    # silently truncate the peak scan, so raise the cap well past any
+    # realistic batch count and verify coverage against lastProgress below
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
     ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
         "ts", F.col("ts").cast("timestamp")
@@ -52,6 +58,15 @@ def main() -> None:
     ev.repartitionByRange(N_FILES, "ts").sortWithinPartitions("ts").write.mode(
         "overwrite"
     ).parquet(src_dir)
+    # FileStreamSource orders by modification time, and a parallel write
+    # leaves near-identical mtimes (tie order unspecified) — stamp strictly
+    # increasing mtimes in range-partition order (part-NNNNN index IS the
+    # time-slice order under repartitionByRange) so batches provably
+    # advance event time instead of racing the watermark
+    parts = sorted(Path(src_dir).glob("part-*.parquet"))
+    base = time.time() - len(parts) - 60
+    for k, f in enumerate(parts):
+        os.utime(f, (base + k, base + k))
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -74,14 +89,33 @@ def main() -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    completed = q.awaitTermination(600)
+    progress = list(q.recentProgress)
+    last = q.lastProgress
+    q.stop()
     peaks = []
     emitted = 0
-    for p in q.recentProgress:
+    dropped_late = 0
+    for p in progress:
         ops = p.get("stateOperators") or []
         peaks.append(sum(int(op.get("numRowsTotal", 0)) for op in ops))
         emitted += sum(int(op.get("numRowsRemoved", 0)) for op in ops)
-    q.stop()
+        dropped_late += sum(
+            int(op.get("numRowsDroppedByWatermark", 0)) for op in ops
+        )
+    # validity gates: (a) the run finished, (b) the progress buffer covers
+    # every batch (batchId is 0-based), (c) the accounting closes — emitted
+    # (evicted-on-finalize) + still-in-state == total distinct windows with
+    # zero late-dropped rows. Any gap means the "bound" is an artifact.
+    n_total_batches = (int(last["batchId"]) + 1) if last else None
+    progress_complete = (
+        n_total_batches is not None and len(progress) >= n_total_batches
+    )
+    final_state = peaks[-1] if peaks else 0
+    reconciled = (
+        dropped_late == 0 and emitted + final_state == total_windows
+    )
+    valid = bool(completed and progress_complete and reconciled)
     print(
         json.dumps(
             {
@@ -91,10 +125,24 @@ def main() -> None:
                 "peak_state_rows": max(peaks) if peaks else None,
                 "state_rows_per_batch": peaks,
                 "windows_evicted": emitted,
-                "bounded": bool(peaks) and max(peaks) < total_windows / 2,
+                "final_state_rows": final_state,
+                "rows_dropped_late": dropped_late,
+                "completed": bool(completed),
+                "progress_complete": progress_complete,
+                "reconciled": reconciled,
+                "bounded": valid
+                and bool(peaks)
+                and max(peaks) < total_windows / 2,
             }
         )
     )
+    if not valid:
+        print(
+            "WARNING: probe run invalid (timeout, truncated progress, or "
+            "unreconciled window accounting) — do not cite these numbers",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     spark.stop()
 
 

@@ -10,6 +10,8 @@ at 100 TB, asserted on `.explain` output so regressions fail loudly.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -144,7 +146,15 @@ def test_onepass_tiers_plan_shape(spark, parquet_transcripts, tmp_path):
     flagged = checks.step_check(bt, "v", max_=50.0)
     one = build_tiers_onepass(flagged, checks=["step_check"], text_len_source="v")
     plan = _plan(one)
-    assert plan.count("Exchange") <= 2  # the partial shuffle (+ AQE read)
+    # exactly ONE real shuffle (the docstring's contract): count shuffle
+    # Exchange nodes precisely — \b excludes BroadcastExchange, and AQE
+    # reads (AQEShuffleRead) don't match — so a regression that adds a
+    # second repartition can't hide inside a loose <= bound
+    shuffles = re.findall(
+        r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+        plan,
+    )
+    assert len(shuffles) == 1, plan
     assert "Expand" in plan
     assert "partial" in plan  # map-side combine before the shuffle
     assert "FlatMapGroupsInPandas" not in plan and "BatchEvalPython" not in plan
