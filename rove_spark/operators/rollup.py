@@ -24,7 +24,11 @@ agg itself cannot skew; skew handling matters only for grouped-UDF stages
 
 from __future__ import annotations
 
+import hashlib
+import json
+import re
 from collections.abc import Sequence
+from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -450,3 +454,325 @@ def cold_source(
 
     src.spec_aware = True  # DataSwitch.register opts it in automatically
     return src
+
+
+# --------------------------------------------------------------------- #
+# Incremental (continuous-aggregate) refresh — the late-data path.
+#
+# The checkpointed job (plans/engine.py) re-aggregates DIRTY DAYS from
+# raw; at 10^12 turns the raw day may already be archived (cold tier) or
+# a re-scan unaffordable. This section adds the delta-only path: merge
+# new observations into already-built tiers touching only delta-sized
+# data, exactly-once under crash/replay, without ever rewriting the
+# base table.
+# --------------------------------------------------------------------- #
+
+_BATCH_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def merge_tiers(
+    a: DataFrame,
+    b: DataFrame,
+    tier: str,
+    series_col: str = "conv_id",
+    role_col: str | None = "role",
+) -> DataFrame:
+    """Mergeable-aggregate combine of two SAME-tier frames — the
+    continuous-aggregate refresh primitive (engine-only north_rule
+    surface; rove streams flags and stores nothing,
+    ``/root/reference/src/server.rs:104-123``). Every tier stat is
+    decomposable — counts/sums additive, min/max idempotent-combining,
+    HLL sketches union — so merging IS ``rollup_cascade`` at the
+    frame's own granularity: ``date_trunc`` is the identity on
+    already-truncated ``bucket_ts`` and the suffix-driven agg rules are
+    exactly the merge rules (one definition, no drift).
+
+    Exactness contract: ``merge(tier(A), tier(B)) ≡ tier(A ∪ B)`` for
+    ANY row split, including splits landing rows of one bucket in both
+    halves — integer-domain sums make it bit-exact (DuckDB-oracled by
+    the ``rollup_incremental`` driver query). Append-only: an increment
+    adds observations; retractions are not representable (a merged
+    min/max cannot be un-merged)."""
+    return rollup_cascade(
+        a.unionByName(b), tier, series_col=series_col, role_col=role_col
+    )
+
+
+def refresh_tiers_incremental(
+    existing: dict[str, DataFrame],
+    delta_raw: DataFrame,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    role_col: str | None = "role",
+    checks: Sequence[str] = (),
+    text_len_source: str = "text",
+    tool_col: str = "tool",
+) -> dict[str, DataFrame]:
+    """In-memory delta refresh: aggregate ONLY the new raw rows (the
+    delta is small — no persist, the triple raw→1m recompute is over
+    delta-sized input) and merge into each existing tier frame. Never
+    re-reads raw history. The table-backed, crash-safe form is
+    ``refresh_tier_increment`` + ``read_tier``."""
+    delta = build_tiers(
+        delta_raw,
+        series_col=series_col,
+        ts_col=ts_col,
+        role_col=role_col,
+        checks=checks,
+        text_len_source=text_len_source,
+        tool_col=tool_col,
+        persist=False,
+    )
+    return {
+        t: merge_tiers(
+            existing[t], delta[t], t, series_col=series_col, role_col=role_col
+        )
+        for t in existing
+    }
+
+
+def refresh_tier_increment(
+    spark,
+    inc_table,
+    delta_raw: DataFrame,
+    tier: str,
+    batch_id: str | None = None,
+    series_col: str = "conv_id",
+    ts_col: str = "ts",
+    role_col: str | None = "role",
+    checks: Sequence[str] = (),
+    text_len_source: str = "text",
+    tool_col: str = "tool",
+    day_col: str = "day",
+    batch_col: str = "batch",
+) -> dict:
+    """Delta-only, EXACTLY-ONCE tier refresh: the delta's tier rows land
+    in their own ``day=…/batch=…`` partitions of an increments table via
+    dynamic partition overwrite, so a crashed or replayed ingest REWRITES
+    the same partitions byte-equivalently instead of double-counting
+    (same idempotence class as ``append_to_ivf_index`` batches and the
+    engine's tier writes). The base tier table is never touched;
+    ``read_tier`` merges base + increments on read and
+    ``compact_tier_increments`` keeps the increment count bounded.
+
+    100 TB cost shape: ONE hash-aggregate over the DELTA (map-side
+    partials; no raw-history scan, no base read) + a partition-scoped
+    write of the touched (day, batch) leaves.
+
+    ``batch_id`` defaults to a content digest of the delta's tier rows
+    (row count + order-free ``bit_xor(xxhash64(*))``), so re-ingesting
+    the same delta is a no-op rewrite even without an explicit id; a
+    daily pipeline should pass its natural id (e.g. the day). Ids must
+    be filesystem-safe; the ``fold-`` prefix is reserved for
+    consolidation batches. A batch already recorded in the table
+    manifest short-circuits without touching data."""
+    inc = rollup_from_raw(
+        delta_raw,
+        tier,
+        series_col=series_col,
+        ts_col=ts_col,
+        role_col=role_col,
+        checks=checks,
+        text_len_source=text_len_source,
+        tool_col=tool_col,
+    ).localCheckpoint(eager=False)  # referenced by digest + stats + write
+    if batch_id is None:
+        row = inc.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64("
+                + ", ".join(f"`{c}`" for c in inc.columns)
+                + "))"
+            ).alias("x"),
+        ).first()
+        if row["n"] == 0:
+            return {"batch_id": None, "tier": tier, "days": [], "n_rows": 0, "applied": False}
+        batch_id = f"d{row['n']}x{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    if not _BATCH_ID_RE.match(batch_id) or batch_id.startswith("fold-"):
+        raise ValueError(
+            f"refresh_tier_increment: batch_id {batch_id!r} must be "
+            "filesystem-safe ([A-Za-z0-9._-]) and must not use the "
+            "reserved 'fold-' prefix (consolidation batches)"
+        )
+    for snap in reversed(inc_table.snapshots):
+        lin = snap.get("lineage") or {}
+        if (
+            lin.get("operation") == "tier_increment"
+            and lin.get("batch_id") == batch_id
+            and lin.get("tier") == tier
+        ):
+            return {
+                "batch_id": batch_id,
+                "tier": tier,
+                "days": lin.get("days", []),
+                "n_rows": lin.get("n_rows"),
+                "applied": False,
+            }
+    out = inc.withColumn(
+        day_col, F.date_format(F.date_trunc("day", "bucket_ts"), "yyyy-MM-dd")
+    ).withColumn(batch_col, F.lit(batch_id))
+    stats = out.groupBy(day_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    days = sorted(str(r[day_col]) for r in stats)
+    n_rows = int(sum(r["n"] for r in stats))
+    if not days:
+        return {"batch_id": batch_id, "tier": tier, "days": [], "n_rows": 0, "applied": False}
+    inc_table.overwrite_partitions(
+        out,
+        lineage={
+            "operation": "tier_increment",
+            "batch_id": batch_id,
+            "tier": tier,
+            "days": days,
+            "n_rows": n_rows,
+        },
+    )
+    return {"batch_id": batch_id, "tier": tier, "days": days, "n_rows": n_rows, "applied": True}
+
+
+def read_tier(
+    spark,
+    base_table,
+    inc_table,
+    tier: str,
+    series_col: str = "conv_id",
+    role_col: str | None = "role",
+    days: Sequence[str] | None = None,
+    day_col: str = "day",
+    batch_col: str = "batch",
+) -> DataFrame:
+    """Merge-on-read of base + increments (``merge_tiers`` semantics —
+    exact, suffix-driven). ``days`` prunes BOTH scans to the named day
+    partitions before any aggregation (PartitionFilters — plan-gated in
+    tests), so a windowed read over a 10^12-turn table touches only the
+    requested days of tier rows. Either side may be absent (a brand-new
+    table has only increments; a quiet one only base)."""
+    parts = []
+    for table, drop_cols in (
+        (base_table, (day_col,)),
+        (inc_table, (day_col, batch_col)),
+    ):
+        if table is not None and table.exists():
+            df = table.read(spark)
+            if days is not None:
+                df = df.filter(F.col(day_col).isin(list(days)))
+            parts.append(df.drop(*drop_cols))
+    if not parts:
+        raise ValueError("read_tier: neither base nor increments table exists")
+    merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return rollup_cascade(merged, tier, series_col=series_col, role_col=role_col)
+
+
+def compact_tier_increments(
+    spark,
+    inc_table,
+    tier: str,
+    series_col: str = "conv_id",
+    role_col: str | None = "role",
+    day_col: str = "day",
+    batch_col: str = "batch",
+) -> dict:
+    """Fold every increment batch into ONE consolidated batch, keeping
+    merge-on-read cost bounded, with NO crash window that double-counts
+    or loses data — using only idempotent rewrites plus one atomic
+    rename:
+
+    1. the consolidated content is a PURE FUNCTION of the source batches
+       (its id ``fold-<digest of source ids>`` likewise), and sources
+       are immutable until step 3 — so a replay that crashed mid-write
+       recomputes byte-identical rows and dynamic-overwrites the same
+       partitions;
+    2. a fold MARKER (``_folds/<id>.json``, tmp + atomic rename — Spark
+       ignores underscore-prefixed dirs) listing the folded source
+       partitions is written only AFTER the consolidated write commits;
+    3. sources are dropped only AFTER the marker lands; a replay that
+       finds a marker with surviving sources skips recompute (recomputing
+       from a partially-dropped remnant would LOSE rows) and just
+       finishes the cleanup;
+    4. fold partitions present on disk WITHOUT a marker are uncommitted
+       garbage from a crashed fold (their sources are, by 3, fully
+       intact) and are dropped on entry — otherwise a recompute would
+       fold the half-written consolidation in with its own sources and
+       double-count.
+
+    Consolidated batches are ordinary batches: the next fold folds them
+    too. Kill-tested across every boundary (mid-write, write→marker,
+    marker→mid-drop)."""
+    inc_root = Path(inc_table.path)
+    folds_dir = inc_root / "_folds"
+
+    def _leaves() -> list[tuple[str, str]]:
+        return sorted(
+            (d.name.split("=", 1)[1], b.name.split("=", 1)[1])
+            for d in inc_root.glob(f"{day_col}=*")
+            for b in d.glob(f"{batch_col}=*")
+        )
+
+    # step 3 resume: an existing marker with surviving sources wins
+    if folds_dir.exists():
+        for marker in sorted(folds_dir.glob("fold-*.json")):
+            info = json.loads(marker.read_text())
+            leftover = [p for p in info["source_dirs"] if (inc_root / p).exists()]
+            if leftover:
+                dropped = inc_table.drop_partitions(
+                    leftover,
+                    lineage={
+                        "operation": "compact_increments",
+                        "fold_id": info["fold_id"],
+                        "resumed": True,
+                    },
+                )
+                return {
+                    "fold_id": info["fold_id"],
+                    "folded": info["batches"],
+                    "resumed": True,
+                    "dropped": dropped,
+                }
+    # step 4: drop uncommitted fold partitions (no marker → crashed write)
+    committed = (
+        {json.loads(m.read_text())["fold_id"] for m in folds_dir.glob("fold-*.json")}
+        if folds_dir.exists()
+        else set()
+    )
+    garbage = [
+        f"{day_col}={d}/{batch_col}={b}"
+        for d, b in _leaves()
+        if b.startswith("fold-") and b not in committed
+    ]
+    if garbage:
+        inc_table.drop_partitions(
+            garbage, lineage={"operation": "compact_increments", "gc_uncommitted": garbage}
+        )
+    pairs = _leaves()
+    batches = sorted({b for _, b in pairs})
+    if len(batches) <= 1:
+        return {"fold_id": None, "folded": [], "resumed": False, "dropped": 0}
+    fold_id = "fold-" + hashlib.md5("|".join(batches).encode()).hexdigest()[:16]
+    src = inc_table.read(spark).filter(F.col(batch_col).isin(batches))
+    merged = rollup_cascade(
+        src.drop(day_col, batch_col), tier, series_col=series_col, role_col=role_col
+    )
+    out = merged.withColumn(
+        day_col, F.date_format(F.date_trunc("day", "bucket_ts"), "yyyy-MM-dd")
+    ).withColumn(batch_col, F.lit(fold_id))
+    inc_table.overwrite_partitions(
+        out,
+        lineage={
+            "operation": "compact_increments",
+            "fold_id": fold_id,
+            "batches": batches,
+        },
+    )
+    source_dirs = [f"{day_col}={d}/{batch_col}={b}" for d, b in pairs]
+    folds_dir.mkdir(parents=True, exist_ok=True)
+    marker = folds_dir / f"{fold_id}.json"
+    tmp = marker.with_suffix(".tmp")
+    tmp.write_text(
+        json.dumps(
+            {"fold_id": fold_id, "batches": batches, "source_dirs": source_dirs}
+        )
+    )
+    tmp.replace(marker)
+    dropped = inc_table.drop_partitions(
+        source_dirs, lineage={"operation": "compact_increments", "fold_id": fold_id}
+    )
+    return {"fold_id": fold_id, "folded": batches, "resumed": False, "dropped": dropped}

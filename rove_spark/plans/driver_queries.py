@@ -309,6 +309,30 @@ def q_rollup_1m(spark, sf):
     return _rollup_1m(_events(spark, sf))
 
 
+def q_rollup_incremental(spark, sf):
+    """Continuous-aggregate incremental refresh, exactness contract:
+    ``merge(tier(A), tier(B)) ≡ tier(A ∪ B)`` through the engine's
+    ``rollup.merge_tiers`` (the suffix-driven mergeable-aggregate
+    combine behind ``refresh_tier_increment``/``read_tier``). The raw
+    events are split by row-hash PARITY — not by time — so nearly every
+    minute bucket receives rows from BOTH halves: the merge must
+    combine within-bucket partials (sums of sums, min of mins), not
+    just union disjoint buckets. Oracle = the direct full rollup (same
+    SQL as rollup_1m), so any double-count, dropped partial, or
+    mis-combined min/max breaks the hash."""
+    from rove_spark.operators.rollup import merge_tiers
+
+    _utc(spark)
+    ev = _events(spark, sf)
+    parity = F.pmod(F.xxhash64(F.col("user_id"), F.col("ts")), F.lit(2))
+    base = _rollup_1m(ev.where(parity == 0))
+    delta = _rollup_1m(ev.where(parity == 1))
+    merged = merge_tiers(base, delta, "1m", series_col="user_id", role_col=None)
+    return merged.select(
+        "user_id", "bucket_ts", "n_events", "value_sum_cents", "value_min", "value_max"
+    )
+
+
 def q_rollup_1h(spark, sf):
     """1h tier CASCADED from 1m; oracle aggregates directly from raw —
     passing proves cascade exactness."""
@@ -3145,7 +3169,7 @@ ROTATION_GROUPS: list[list[str]] = [
     ["range_check", "special_value_check"],
     ["gapfill_mixed", "gapfill"],
     ["asof_join", "fill_forward"],
-    ["rollup_1m", "rollup_flag_density"],
+    ["rollup_1m", "rollup_flag_density", "rollup_incremental"],
     ["rollup_1d", "rollup_1h", "rollup_by_type"],
     ["retention_plan", "retention_drop"],
     ["sct_mid", "sct_iter", "sct_deep", "sct_small", "sct_isolated"],
@@ -3196,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tiers + streaming + retention + codec + verifier
         "rollup_1m": q_rollup_1m,
         "rollup_flag_density": q_rollup_flag_density,
+        "rollup_incremental": q_rollup_incremental,
         "rollup_1d": q_rollup_1d,
         "rollup_1h": q_rollup_1h,
         "rollup_by_type": q_rollup_by_type,
@@ -3279,6 +3304,10 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_mixed": SQL_GAPFILL_MIXED,
         "asof_join": SQL_ASOF,
         "rollup_1m": _sql_rollup("minute"),
+        # incremental merge ≡ direct rebuild is the CONTRACT: the oracle is
+        # deliberately the same full direct-from-raw SQL as rollup_1m
+        # (precedent: knn_cosine/ivf_knn share literal oracle SQL)
+        "rollup_incremental": _sql_rollup("minute"),
         "rollup_1h": _sql_rollup("hour"),
         "rollup_1d": _sql_rollup("day"),
         "rollup_1m_stream": _sql_rollup("minute"),

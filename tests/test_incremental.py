@@ -1,0 +1,266 @@
+"""Incremental (continuous-aggregate) refresh: merge ≡ rebuild exactness,
+exactly-once ingest under replay, crash-window kill-tests for compaction,
+and partition-pruned merge-on-read.
+
+north_rule surface: at 10^12 turns a tier rebuild from raw is
+unaffordable and the raw day may already be cold-tiered — late data must
+merge into built tiers touching only delta-sized data, and a replayed or
+crashed ingest must never double-count (the same discipline as
+append_to_ivf_index batches and the engine's tier writes)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from rove_spark.operators.rollup import (
+    build_tiers,
+    compact_tier_increments,
+    merge_tiers,
+    read_tier,
+    refresh_tier_increment,
+    refresh_tiers_incremental,
+    rollup_from_raw,
+)
+from rove_spark.sources.synthetic import synthetic_transcripts
+from rove_spark.sources.tables import PartitionedTable
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def _split(df, parity: int):
+    return df.where(F.pmod(F.xxhash64("conv_id", "ts"), F.lit(2)) == parity)
+
+
+def test_merge_split_equals_full_all_tiers(spark):
+    """merge(tier(A), tier(B)) ≡ tier(A ∪ B) bit-exactly for every tier,
+    under a row-hash split that lands rows of one bucket in BOTH halves
+    (the merge must combine within-bucket partials)."""
+    df = synthetic_transcripts(spark, n_conv=30, avg_turns=60, period_s=60)
+    full = build_tiers(df, persist=False)
+    a = build_tiers(_split(df, 0), persist=False)
+    b = build_tiers(_split(df, 1), persist=False)
+    for tier in ("1m", "1h", "1d"):
+        merged = merge_tiers(a[tier], b[tier], tier)
+        assert _canon(merged) == _canon(full[tier]), tier
+
+
+def test_merge_with_flags_and_hll(spark):
+    """Flag counts merge additively and HLL sketches merge by union —
+    estimates after the merge equal the direct single-pass sketch."""
+    from rove_spark.operators import checks
+
+    df = synthetic_transcripts(spark, n_conv=15, avg_turns=40, period_s=60)
+    df = df.withColumn("text_len", F.length("text").cast("float"))
+    df = checks.step_check(df, "text_len", max_=500.0, series_col="conv_id", order_cols=["ts"])
+
+    def tier_of(frame):
+        return rollup_from_raw(
+            frame, "1d", checks=["step_check"], sketch_cols={"role": "role"}
+        )
+
+    merged = merge_tiers(tier_of(_split(df, 0)), tier_of(_split(df, 1)), "1d")
+    full = tier_of(df)
+    est = lambda d: d.select(  # noqa: E731
+        "conv_id",
+        "bucket_ts",
+        "role",
+        "n_turns",
+        "n_fail_step_check",
+        F.hll_sketch_estimate("role_hll").alias("role_est"),
+    )
+    assert _canon(est(merged)) == _canon(est(full))
+
+
+def test_refresh_tiers_incremental_dict(spark):
+    df = synthetic_transcripts(spark, n_conv=20, avg_turns=30, period_s=60)
+    full = build_tiers(df, persist=False)
+    existing = build_tiers(_split(df, 0), persist=False)
+    refreshed = refresh_tiers_incremental(existing, _split(df, 1))
+    for tier in ("1m", "1h", "1d"):
+        assert _canon(refreshed[tier]) == _canon(full[tier]), tier
+
+
+# ------------------------------------------------------------------ table --
+
+
+def _day(df):
+    return F.date_format(F.date_trunc("day", "bucket_ts"), "yyyy-MM-dd")
+
+
+@pytest.fixture()
+def raw(spark):
+    return synthetic_transcripts(spark, n_conv=20, avg_turns=30, period_s=60)
+
+
+@pytest.fixture()
+def tables(spark, raw, tmp_path):
+    """Base tier table built from the even half; odd half is the delta."""
+    base = PartitionedTable(tmp_path / "tier_1m", ["day"])
+    t1m = rollup_from_raw(_split(raw, 0), "1m")
+    base.overwrite_partitions(t1m.withColumn("day", _day(t1m)))
+    inc = PartitionedTable(tmp_path / "tier_1m_inc", ["day", "batch"])
+    return base, inc
+
+
+def test_increment_read_equals_full_rebuild(spark, raw, tables):
+    base, inc = tables
+    res = refresh_tier_increment(spark, inc, _split(raw, 1), "1m", batch_id="b1")
+    assert res["applied"] and res["n_rows"] > 0 and res["days"]
+    got = read_tier(spark, base, inc, "1m")
+    assert _canon(got) == _canon(rollup_from_raw(raw, "1m"))
+
+
+def test_increment_replay_is_exactly_once(spark, raw, tables):
+    """Replaying the same batch (explicit id or content digest) rewrites
+    instead of double-counting; the second call short-circuits off the
+    manifest without touching data."""
+    base, inc = tables
+    delta = _split(raw, 1)
+    first = refresh_tier_increment(spark, inc, delta, "1m", batch_id="day-1")
+    again = refresh_tier_increment(spark, inc, delta, "1m", batch_id="day-1")
+    assert first["applied"] and not again["applied"]
+    assert again["days"] == first["days"] and again["n_rows"] == first["n_rows"]
+    assert _canon(read_tier(spark, base, inc, "1m")) == _canon(
+        rollup_from_raw(raw, "1m")
+    )
+    # content-digest default: same delta, no explicit id → recognized replay
+    by_digest = refresh_tier_increment(spark, inc, delta, "1m")
+    second = refresh_tier_increment(spark, inc, delta, "1m")
+    assert by_digest["batch_id"] == second["batch_id"]
+    assert not second["applied"]
+
+
+def test_increment_rejects_bad_batch_ids(spark, raw, tables):
+    _, inc = tables
+    for bad in ("fold-abc", "a/b", "", "x y"):
+        with pytest.raises(ValueError, match="batch_id"):
+            refresh_tier_increment(spark, inc, _split(raw, 1), "1m", batch_id=bad)
+
+
+def test_empty_delta_is_a_noop(spark, raw, tables):
+    _, inc = tables
+    res = refresh_tier_increment(spark, inc, raw.limit(0), "1m")
+    assert res == {"batch_id": None, "tier": "1m", "days": [], "n_rows": 0, "applied": False}
+    assert not inc.exists()
+
+
+def test_read_tier_day_pruning_plan(spark, raw, tables):
+    """A windowed read must prune BOTH scans to the requested day
+    partitions (PartitionFilters), not scan-then-filter."""
+    base, inc = tables
+    refresh_tier_increment(spark, inc, _split(raw, 1), "1m", batch_id="b1")
+    day = base.partition_days()[0]
+    df = read_tier(spark, base, inc, "1m", days=[day])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [isnotnull(day") >= 2, plan
+    # and the pruned read is still exact for that day
+    full = rollup_from_raw(raw, "1m")
+    expect = full.where(_day(full) == day)
+    assert _canon(df) == _canon(expect)
+
+
+# ------------------------------------------------------------- compaction --
+
+
+def _ingest_three(spark, raw, inc):
+    thirds = F.pmod(F.xxhash64("conv_id", "ts"), F.lit(3))
+    for k in range(3):
+        refresh_tier_increment(
+            spark, inc, raw.where(thirds == k), "1m", batch_id=f"b{k}"
+        )
+
+
+def _batches_on_disk(inc):
+    return sorted(
+        {
+            b.name.split("=", 1)[1]
+            for d in Path(inc.path).glob("day=*")
+            for b in d.glob("batch=*")
+        }
+    )
+
+
+def test_compact_preserves_read_and_bounds_batches(spark, raw, tmp_path):
+    inc = PartitionedTable(tmp_path / "inc", ["day", "batch"])
+    _ingest_three(spark, raw, inc)
+    before = _canon(read_tier(spark, None, inc, "1m"))
+    res = compact_tier_increments(spark, inc, "1m")
+    assert sorted(res["folded"]) == ["b0", "b1", "b2"] and not res["resumed"]
+    assert _batches_on_disk(inc) == [res["fold_id"]]
+    assert (Path(inc.path) / "_folds" / f"{res['fold_id']}.json").exists()
+    assert _canon(read_tier(spark, None, inc, "1m")) == before
+    # idempotent once folded: nothing left to do
+    assert compact_tier_increments(spark, inc, "1m")["fold_id"] is None
+    # a consolidated batch is an ordinary batch: the next fold folds it too
+    refresh_tier_increment(spark, inc, raw.limit(50), "1m", batch_id="late")
+    before2 = _canon(read_tier(spark, None, inc, "1m"))
+    res2 = compact_tier_increments(spark, inc, "1m")
+    assert res["fold_id"] in res2["folded"] and "late" in res2["folded"]
+    assert _canon(read_tier(spark, None, inc, "1m")) == before2
+
+
+def test_compact_kill_between_write_and_marker(spark, raw, tmp_path):
+    """Crash AFTER the consolidated write but BEFORE the fold marker:
+    the unmarked fold partitions are uncommitted garbage (sources fully
+    intact) — the rerun must GC them and recompute, NOT fold them in
+    with their own sources (which would double-count)."""
+    inc = PartitionedTable(tmp_path / "inc", ["day", "batch"])
+    _ingest_three(spark, raw, inc)
+    before = _canon(read_tier(spark, None, inc, "1m"))
+    real_write = inc.overwrite_partitions
+
+    def crash_after_write(df, lineage=None):
+        real_write(df, lineage)
+        raise RuntimeError("killed after consolidated write")
+
+    inc.overwrite_partitions = crash_after_write
+    with pytest.raises(RuntimeError, match="killed"):
+        compact_tier_increments(spark, inc, "1m")
+    inc.overwrite_partitions = real_write
+    assert any(b.startswith("fold-") for b in _batches_on_disk(inc))  # garbage
+    res = compact_tier_increments(spark, inc, "1m")
+    assert not res["resumed"] and sorted(res["folded"]) == ["b0", "b1", "b2"]
+    assert _batches_on_disk(inc) == [res["fold_id"]]
+    assert _canon(read_tier(spark, None, inc, "1m")) == before
+
+
+def test_compact_kill_between_marker_and_drop(spark, raw, tmp_path):
+    """Crash AFTER the marker but BEFORE (or mid-) source drop: the rerun
+    must NOT recompute (sources may be partially gone — recomputing from
+    the remnant would lose rows) — it finishes the cleanup instead."""
+    inc = PartitionedTable(tmp_path / "inc", ["day", "batch"])
+    _ingest_three(spark, raw, inc)
+    before = _canon(read_tier(spark, None, inc, "1m"))
+    real_drop = inc.drop_partitions
+    calls = {"n": 0}
+
+    def crash_mid_drop(dirs, lineage=None):
+        calls["n"] += 1
+        # let the first partition die, then crash (a partial drop)
+        real_drop(dirs[:1], lineage)
+        raise RuntimeError("killed mid-drop")
+
+    inc.drop_partitions = crash_mid_drop
+    with pytest.raises(RuntimeError, match="killed"):
+        compact_tier_increments(spark, inc, "1m")
+    inc.drop_partitions = real_drop
+    markers = list((Path(inc.path) / "_folds").glob("fold-*.json"))
+    assert len(markers) == 1
+    fold_id = json.loads(markers[0].read_text())["fold_id"]
+    res = compact_tier_increments(spark, inc, "1m")
+    assert res["resumed"] and res["fold_id"] == fold_id
+    assert _batches_on_disk(inc) == [fold_id]
+    assert _canon(read_tier(spark, None, inc, "1m")) == before
+
+
+def test_read_tier_requires_some_table(spark, tmp_path):
+    empty = PartitionedTable(tmp_path / "none", ["day"])
+    with pytest.raises(ValueError, match="neither base nor increments"):
+        read_tier(spark, empty, None, "1m")
