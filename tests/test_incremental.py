@@ -198,6 +198,15 @@ def test_compact_preserves_read_and_bounds_batches(spark, raw, tmp_path):
     assert _canon(read_tier(spark, None, inc, "1m")) == before
     # idempotent once folded: nothing left to do
     assert compact_tier_increments(spark, inc, "1m")["fold_id"] is None
+    # a batch folded AWAY still short-circuits on replay (its partitions
+    # are gone but the manifest remembers it — re-landing it would
+    # double-count through the consolidated rows)
+    thirds = F.pmod(F.xxhash64("conv_id", "ts"), F.lit(3))
+    replay = refresh_tier_increment(
+        spark, inc, raw.where(thirds == 0), "1m", batch_id="b0"
+    )
+    assert not replay["applied"]
+    assert _canon(read_tier(spark, None, inc, "1m")) == before
     # a consolidated batch is an ordinary batch: the next fold folds it too
     refresh_tier_increment(spark, inc, raw.limit(50), "1m", batch_id="late")
     before2 = _canon(read_tier(spark, None, inc, "1m"))
