@@ -467,7 +467,51 @@ def cold_source(
 # base table.
 # --------------------------------------------------------------------- #
 
-_BATCH_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+# fullmatch (not match+$): '$' would accept a trailing newline, which
+# Spark escapes to %0A in the partition dir — the dir-derived name would
+# then never match the column value and compaction would silently drop
+# the batch from the fold while deleting its source partitions
+_BATCH_ID_RE = re.compile(r"[A-Za-z0-9._-]+")
+
+
+def _fold_markers(inc_root: Path) -> list[dict]:
+    folds_dir = inc_root / "_folds"
+    if not folds_dir.exists():
+        return []
+    return [json.loads(m.read_text()) for m in sorted(folds_dir.glob("fold-*.json"))]
+
+
+def _visible_batches(inc_table, day_col: str = "day", batch_col: str = "batch") -> list[str]:
+    """The EXACTLY-ONCE read set for an increments table, derived from
+    disk leaves + committed fold markers (local metadata, no data scan):
+
+    - a fold partition WITHOUT a marker is uncommitted garbage from a
+      crashed consolidated write (its sources are fully intact) —
+      invisible;
+    - a committed marker SUPERSEDES its source batches, which may still
+      survive a marker→drop crash — sources of any committed fold are
+      invisible;
+    - everything else (plain batches, committed folds not themselves
+      folded away by a later marker) is visible.
+
+    Reads filtered to this set are exact across EVERY compaction crash
+    window, without requiring a compact rerun first (kill-tested).
+    Batch names are [A-Za-z0-9._-] by validation, so partition-dir
+    names equal raw column values (no URL escaping)."""
+    inc_root = Path(inc_table.path)
+    on_disk = {
+        b.name.split("=", 1)[1]
+        for d in inc_root.glob(f"{day_col}=*")
+        for b in d.glob(f"{batch_col}=*")
+    }
+    markers = _fold_markers(inc_root)
+    committed = {m["fold_id"] for m in markers}
+    folded = {b for m in markers for b in m["batches"]}
+    return sorted(
+        b
+        for b in on_disk
+        if b not in folded and (b in committed if b.startswith("fold-") else True)
+    )
 
 
 def merge_tiers(
@@ -532,7 +576,6 @@ def refresh_tiers_incremental(
 
 
 def refresh_tier_increment(
-    spark,
     inc_table,
     delta_raw: DataFrame,
     tier: str,
@@ -559,13 +602,23 @@ def refresh_tier_increment(
     partials; no raw-history scan, no base read) + a partition-scoped
     write of the touched (day, batch) leaves.
 
-    ``batch_id`` defaults to a content digest of the delta's tier rows
-    (row count + order-free ``bit_xor(xxhash64(*))``), so re-ingesting
-    the same delta is a no-op rewrite even without an explicit id; a
-    daily pipeline should pass its natural id (e.g. the day). Ids must
-    be filesystem-safe; the ``fold-`` prefix is reserved for
-    consolidation batches. A batch already recorded in the table
-    manifest short-circuits without touching data."""
+    The content digest of the delta's tier rows (row count + order-free
+    ``bit_xor(xxhash64(*))``; 64-bit, so an accidental collision is
+    ~2^-64 per pair) is ALWAYS computed and recorded: ``batch_id``
+    defaults to it, and the manifest short-circuit matches on id OR
+    digest — so re-ingesting the same delta is a no-op whether the
+    first ingest used an explicit id and the retry did not, or vice
+    versa (the mixed-usage replay would otherwise land the rows twice).
+    Ids must be filesystem-safe; the ``fold-`` prefix is reserved for
+    consolidation batches."""
+    if batch_id is not None and (
+        not _BATCH_ID_RE.fullmatch(batch_id) or batch_id.startswith("fold-")
+    ):
+        raise ValueError(
+            f"refresh_tier_increment: batch_id {batch_id!r} must be "
+            "filesystem-safe ([A-Za-z0-9._-]) and must not use the "
+            "reserved 'fold-' prefix (consolidation batches)"
+        )
     inc = rollup_from_raw(
         delta_raw,
         tier,
@@ -576,33 +629,26 @@ def refresh_tier_increment(
         text_len_source=text_len_source,
         tool_col=tool_col,
     ).localCheckpoint(eager=False)  # referenced by digest + stats + write
+    row = inc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in inc.columns) + "))"
+        ).alias("x"),
+    ).first()
+    if row["n"] == 0:
+        return {"batch_id": batch_id, "tier": tier, "days": [], "n_rows": 0, "applied": False}
+    digest = f"d{row['n']}x{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
     if batch_id is None:
-        row = inc.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "bit_xor(xxhash64("
-                + ", ".join(f"`{c}`" for c in inc.columns)
-                + "))"
-            ).alias("x"),
-        ).first()
-        if row["n"] == 0:
-            return {"batch_id": None, "tier": tier, "days": [], "n_rows": 0, "applied": False}
-        batch_id = f"d{row['n']}x{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
-    if not _BATCH_ID_RE.match(batch_id) or batch_id.startswith("fold-"):
-        raise ValueError(
-            f"refresh_tier_increment: batch_id {batch_id!r} must be "
-            "filesystem-safe ([A-Za-z0-9._-]) and must not use the "
-            "reserved 'fold-' prefix (consolidation batches)"
-        )
+        batch_id = digest
     for snap in reversed(inc_table.snapshots):
         lin = snap.get("lineage") or {}
         if (
             lin.get("operation") == "tier_increment"
-            and lin.get("batch_id") == batch_id
             and lin.get("tier") == tier
+            and (lin.get("batch_id") == batch_id or lin.get("digest") == digest)
         ):
             return {
-                "batch_id": batch_id,
+                "batch_id": lin.get("batch_id"),
                 "tier": tier,
                 "days": lin.get("days", []),
                 "n_rows": lin.get("n_rows"),
@@ -621,6 +667,7 @@ def refresh_tier_increment(
         lineage={
             "operation": "tier_increment",
             "batch_id": batch_id,
+            "digest": digest,
             "tier": tier,
             "days": days,
             "n_rows": n_rows,
@@ -645,21 +692,36 @@ def read_tier(
     partitions before any aggregation (PartitionFilters — plan-gated in
     tests), so a windowed read over a 10^12-turn table touches only the
     requested days of tier rows. Either side may be absent (a brand-new
-    table has only increments; a quiet one only base)."""
-    parts = []
-    for table, drop_cols in (
-        (base_table, (day_col,)),
-        (inc_table, (day_col, batch_col)),
-    ):
-        if table is not None and table.exists():
-            df = table.read(spark)
-            if days is not None:
-                df = df.filter(F.col(day_col).isin(list(days)))
-            parts.append(df.drop(*drop_cols))
-    if not parts:
+    table has only increments; a quiet one only base).
+
+    Crash-exactness: the increments scan is filtered to
+    ``_visible_batches`` — committed fold markers supersede any source
+    partitions surviving a marker→drop crash, and unmarked fold
+    partitions from a crashed consolidated write are invisible — so a
+    read between a compaction crash and its rerun neither double-counts
+    nor loses rows (kill-tested). A base-only read returns the stored
+    tier rows directly (already unique per bucket — no shuffle)."""
+    base_part = None
+    if base_table is not None and base_table.exists():
+        df = base_table.read(spark)
+        if days is not None:
+            df = df.filter(F.col(day_col).isin(list(days)))
+        base_part = df.drop(day_col)
+    inc_part = None
+    if inc_table is not None and inc_table.exists():
+        visible = _visible_batches(inc_table, day_col=day_col, batch_col=batch_col)
+        df = inc_table.read(spark).filter(F.col(batch_col).isin(visible))
+        if days is not None:
+            df = df.filter(F.col(day_col).isin(list(days)))
+        inc_part = df.drop(day_col, batch_col)
+    if base_part is None and inc_part is None:
         raise ValueError("read_tier: neither base nor increments table exists")
-    merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    return rollup_cascade(merged, tier, series_col=series_col, role_col=role_col)
+    if inc_part is None:
+        return base_part
+    if base_part is None:
+        # increment batches may overlap buckets — combine them
+        return rollup_cascade(inc_part, tier, series_col=series_col, role_col=role_col)
+    return merge_tiers(base_part, inc_part, tier, series_col=series_col, role_col=role_col)
 
 
 def compact_tier_increments(
@@ -707,32 +769,27 @@ def compact_tier_increments(
             for b in d.glob(f"{batch_col}=*")
         )
 
+    markers = _fold_markers(inc_root)
     # step 3 resume: an existing marker with surviving sources wins
-    if folds_dir.exists():
-        for marker in sorted(folds_dir.glob("fold-*.json")):
-            info = json.loads(marker.read_text())
-            leftover = [p for p in info["source_dirs"] if (inc_root / p).exists()]
-            if leftover:
-                dropped = inc_table.drop_partitions(
-                    leftover,
-                    lineage={
-                        "operation": "compact_increments",
-                        "fold_id": info["fold_id"],
-                        "resumed": True,
-                    },
-                )
-                return {
+    for info in markers:
+        leftover = [p for p in info["source_dirs"] if (inc_root / p).exists()]
+        if leftover:
+            dropped = inc_table.drop_partitions(
+                leftover,
+                lineage={
+                    "operation": "compact_increments",
                     "fold_id": info["fold_id"],
-                    "folded": info["batches"],
                     "resumed": True,
-                    "dropped": dropped,
-                }
+                },
+            )
+            return {
+                "fold_id": info["fold_id"],
+                "folded": info["batches"],
+                "resumed": True,
+                "dropped": dropped,
+            }
     # step 4: drop uncommitted fold partitions (no marker → crashed write)
-    committed = (
-        {json.loads(m.read_text())["fold_id"] for m in folds_dir.glob("fold-*.json")}
-        if folds_dir.exists()
-        else set()
-    )
+    committed = {m["fold_id"] for m in markers}
     garbage = [
         f"{day_col}={d}/{batch_col}={b}"
         for d, b in _leaves()

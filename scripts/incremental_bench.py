@@ -99,7 +99,7 @@ def main() -> None:
     def one_ingest(tag: str) -> float:
         inc = PartitionedTable(work / f"inc_{tag}", ["day", "batch"])
         t0 = time.time()
-        refresh_tier_increment(spark, inc, delta_raw, "1m", batch_id=f"b-{tag}")
+        refresh_tier_increment(inc, delta_raw, "1m", batch_id=f"b-{tag}")
         return time.time() - t0
 
     t_ingest = round(min(one_ingest("w"), one_ingest("x")), 3)

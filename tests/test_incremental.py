@@ -11,6 +11,7 @@ append_to_ivf_index batches and the engine's tier writes)."""
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 
 import pytest
@@ -111,7 +112,7 @@ def tables(spark, raw, tmp_path):
 
 def test_increment_read_equals_full_rebuild(spark, raw, tables):
     base, inc = tables
-    res = refresh_tier_increment(spark, inc, _split(raw, 1), "1m", batch_id="b1")
+    res = refresh_tier_increment(inc, _split(raw, 1), "1m", batch_id="b1")
     assert res["applied"] and res["n_rows"] > 0 and res["days"]
     got = read_tier(spark, base, inc, "1m")
     assert _canon(got) == _canon(rollup_from_raw(raw, "1m"))
@@ -123,30 +124,39 @@ def test_increment_replay_is_exactly_once(spark, raw, tables):
     manifest without touching data."""
     base, inc = tables
     delta = _split(raw, 1)
-    first = refresh_tier_increment(spark, inc, delta, "1m", batch_id="day-1")
-    again = refresh_tier_increment(spark, inc, delta, "1m", batch_id="day-1")
+    first = refresh_tier_increment(inc, delta, "1m", batch_id="day-1")
+    again = refresh_tier_increment(inc, delta, "1m", batch_id="day-1")
     assert first["applied"] and not again["applied"]
     assert again["days"] == first["days"] and again["n_rows"] == first["n_rows"]
     assert _canon(read_tier(spark, base, inc, "1m")) == _canon(
         rollup_from_raw(raw, "1m")
     )
-    # content-digest default: same delta, no explicit id → recognized replay
-    by_digest = refresh_tier_increment(spark, inc, delta, "1m")
-    second = refresh_tier_increment(spark, inc, delta, "1m")
-    assert by_digest["batch_id"] == second["batch_id"]
-    assert not second["applied"]
+    # MIXED usage: the same delta re-ingested WITHOUT an id must be
+    # recognized via the recorded content digest (the crashed-retry
+    # script that forgot the id would otherwise land the rows twice)
+    by_digest = refresh_tier_increment(inc, delta, "1m")
+    assert not by_digest["applied"] and by_digest["batch_id"] == "day-1"
+    # ...and under a DIFFERENT explicit id likewise (digest match)
+    other_id = refresh_tier_increment(inc, delta, "1m", batch_id="day-1-retry")
+    assert not other_id["applied"] and other_id["batch_id"] == "day-1"
+    assert _canon(read_tier(spark, base, inc, "1m")) == _canon(
+        rollup_from_raw(raw, "1m")
+    )
 
 
 def test_increment_rejects_bad_batch_ids(spark, raw, tables):
     _, inc = tables
-    for bad in ("fold-abc", "a/b", "", "x y"):
+    # 'b1\n' matters: re '$' would accept it, Spark would escape the
+    # dir to batch=b1%0A, and compaction's dir-derived name would never
+    # match the column value — fullmatch rejects it up front
+    for bad in ("fold-abc", "a/b", "", "x y", "b1\n"):
         with pytest.raises(ValueError, match="batch_id"):
-            refresh_tier_increment(spark, inc, _split(raw, 1), "1m", batch_id=bad)
+            refresh_tier_increment(inc, _split(raw, 1), "1m", batch_id=bad)
 
 
 def test_empty_delta_is_a_noop(spark, raw, tables):
     _, inc = tables
-    res = refresh_tier_increment(spark, inc, raw.limit(0), "1m")
+    res = refresh_tier_increment(inc, raw.limit(0), "1m")
     assert res == {"batch_id": None, "tier": "1m", "days": [], "n_rows": 0, "applied": False}
     assert not inc.exists()
 
@@ -155,11 +165,14 @@ def test_read_tier_day_pruning_plan(spark, raw, tables):
     """A windowed read must prune BOTH scans to the requested day
     partitions (PartitionFilters), not scan-then-filter."""
     base, inc = tables
-    refresh_tier_increment(spark, inc, _split(raw, 1), "1m", batch_id="b1")
+    refresh_tier_increment(inc, _split(raw, 1), "1m", batch_id="b1")
     day = base.partition_days()[0]
     df = read_tier(spark, base, inc, "1m", days=[day])
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("PartitionFilters: [isnotnull(day") >= 2, plan
+    pruned = re.findall(r"PartitionFilters: \[[^\]]*\(day#\d+ = ", plan)
+    assert len(pruned) >= 2, plan
+    # the increments scan additionally prunes to visible batches
+    assert re.search(r"PartitionFilters: \[[^\]]*batch#\d+ = b1", plan), plan
     # and the pruned read is still exact for that day
     full = rollup_from_raw(raw, "1m")
     expect = full.where(_day(full) == day)
@@ -169,11 +182,11 @@ def test_read_tier_day_pruning_plan(spark, raw, tables):
 # ------------------------------------------------------------- compaction --
 
 
-def _ingest_three(spark, raw, inc):
+def _ingest_three(raw, inc):
     thirds = F.pmod(F.xxhash64("conv_id", "ts"), F.lit(3))
     for k in range(3):
         refresh_tier_increment(
-            spark, inc, raw.where(thirds == k), "1m", batch_id=f"b{k}"
+            inc, raw.where(thirds == k), "1m", batch_id=f"b{k}"
         )
 
 
@@ -189,7 +202,7 @@ def _batches_on_disk(inc):
 
 def test_compact_preserves_read_and_bounds_batches(spark, raw, tmp_path):
     inc = PartitionedTable(tmp_path / "inc", ["day", "batch"])
-    _ingest_three(spark, raw, inc)
+    _ingest_three(raw, inc)
     before = _canon(read_tier(spark, None, inc, "1m"))
     res = compact_tier_increments(spark, inc, "1m")
     assert sorted(res["folded"]) == ["b0", "b1", "b2"] and not res["resumed"]
@@ -203,12 +216,12 @@ def test_compact_preserves_read_and_bounds_batches(spark, raw, tmp_path):
     # double-count through the consolidated rows)
     thirds = F.pmod(F.xxhash64("conv_id", "ts"), F.lit(3))
     replay = refresh_tier_increment(
-        spark, inc, raw.where(thirds == 0), "1m", batch_id="b0"
+        inc, raw.where(thirds == 0), "1m", batch_id="b0"
     )
     assert not replay["applied"]
     assert _canon(read_tier(spark, None, inc, "1m")) == before
     # a consolidated batch is an ordinary batch: the next fold folds it too
-    refresh_tier_increment(spark, inc, raw.limit(50), "1m", batch_id="late")
+    refresh_tier_increment(inc, raw.limit(50), "1m", batch_id="late")
     before2 = _canon(read_tier(spark, None, inc, "1m"))
     res2 = compact_tier_increments(spark, inc, "1m")
     assert res["fold_id"] in res2["folded"] and "late" in res2["folded"]
@@ -221,7 +234,7 @@ def test_compact_kill_between_write_and_marker(spark, raw, tmp_path):
     intact) — the rerun must GC them and recompute, NOT fold them in
     with their own sources (which would double-count)."""
     inc = PartitionedTable(tmp_path / "inc", ["day", "batch"])
-    _ingest_three(spark, raw, inc)
+    _ingest_three(raw, inc)
     before = _canon(read_tier(spark, None, inc, "1m"))
     real_write = inc.overwrite_partitions
 
@@ -234,6 +247,10 @@ def test_compact_kill_between_write_and_marker(spark, raw, tmp_path):
         compact_tier_increments(spark, inc, "1m")
     inc.overwrite_partitions = real_write
     assert any(b.startswith("fold-") for b in _batches_on_disk(inc))  # garbage
+    # reads BETWEEN the crash and the compact rerun must already be exact:
+    # the unmarked fold is invisible (else every stat doubles until some
+    # process happens to rerun compaction)
+    assert _canon(read_tier(spark, None, inc, "1m")) == before
     res = compact_tier_increments(spark, inc, "1m")
     assert not res["resumed"] and sorted(res["folded"]) == ["b0", "b1", "b2"]
     assert _batches_on_disk(inc) == [res["fold_id"]]
@@ -245,7 +262,7 @@ def test_compact_kill_between_marker_and_drop(spark, raw, tmp_path):
     must NOT recompute (sources may be partially gone — recomputing from
     the remnant would lose rows) — it finishes the cleanup instead."""
     inc = PartitionedTable(tmp_path / "inc", ["day", "batch"])
-    _ingest_three(spark, raw, inc)
+    _ingest_three(raw, inc)
     before = _canon(read_tier(spark, None, inc, "1m"))
     real_drop = inc.drop_partitions
     calls = {"n": 0}
@@ -263,6 +280,9 @@ def test_compact_kill_between_marker_and_drop(spark, raw, tmp_path):
     markers = list((Path(inc.path) / "_folds").glob("fold-*.json"))
     assert len(markers) == 1
     fold_id = json.loads(markers[0].read_text())["fold_id"]
+    # reads BETWEEN the crash and the cleanup must already be exact: the
+    # committed marker supersedes the surviving source partitions
+    assert _canon(read_tier(spark, None, inc, "1m")) == before
     res = compact_tier_increments(spark, inc, "1m")
     assert res["resumed"] and res["fold_id"] == fold_id
     assert _batches_on_disk(inc) == [fold_id]
