@@ -520,6 +520,7 @@ def merge_tiers(
     tier: str,
     series_col: str = "conv_id",
     role_col: str | None = "role",
+    allow_missing_columns: bool = False,
 ) -> DataFrame:
     """Mergeable-aggregate combine of two SAME-tier frames — the
     continuous-aggregate refresh primitive (engine-only north_rule
@@ -536,9 +537,21 @@ def merge_tiers(
     halves — integer-domain sums make it bit-exact (DuckDB-oracled by
     the ``rollup_incremental`` driver query). Append-only: an increment
     adds observations; retractions are not representable (a merged
-    min/max cannot be un-merged)."""
+    min/max cannot be un-merged).
+
+    Schema evolution (``allow_missing_columns``): a check added later
+    yields new ``n_fail_*``/``n_flagged_*`` columns only on NEW
+    increments — history need not be rebuilt. The missing side
+    contributes nulls, which every merge rule ignores (sum/min/max/HLL
+    skip nulls), so a bucket fed only by pre-check history reads the
+    new stat as NULL — honestly "not measured", distinct from 0; a
+    bucket with any post-check contribution gets that contribution
+    exactly (tested)."""
     return rollup_cascade(
-        a.unionByName(b), tier, series_col=series_col, role_col=role_col
+        a.unionByName(b, allowMissingColumns=allow_missing_columns),
+        tier,
+        series_col=series_col,
+        role_col=role_col,
     )
 
 
@@ -686,6 +699,7 @@ def read_tier(
     days: Sequence[str] | None = None,
     day_col: str = "day",
     batch_col: str = "batch",
+    allow_missing_columns: bool = False,
 ) -> DataFrame:
     """Merge-on-read of base + increments (``merge_tiers`` semantics —
     exact, suffix-driven). ``days`` prunes BOTH scans to the named day
@@ -700,7 +714,13 @@ def read_tier(
     partitions from a crashed consolidated write are invisible — so a
     read between a compaction crash and its rerun neither double-counts
     nor loses rows (kill-tested). A base-only read returns the stored
-    tier rows directly (already unique per bucket — no shuffle)."""
+    tier rows directly (already unique per bucket — no shuffle).
+
+    ``allow_missing_columns`` enables schema evolution (a check added
+    after history was built — see ``merge_tiers``): the increments scan
+    merges parquet footers across batches so an evolved batch's new
+    columns survive the read, and the base/increment union tolerates
+    the missing side (nulls ≡ "not measured")."""
     base_part = None
     if base_table is not None and base_table.exists():
         df = base_table.read(spark)
@@ -709,8 +729,14 @@ def read_tier(
         base_part = df.drop(day_col)
     inc_part = None
     if inc_table is not None and inc_table.exists():
+        if allow_missing_columns:
+            # batches may carry different column sets — merge footers
+            # (the parquet shim's analog of an evolved Iceberg schema)
+            df = spark.read.option("mergeSchema", True).parquet(str(inc_table.path))
+        else:
+            df = inc_table.read(spark)
         visible = _visible_batches(inc_table, day_col=day_col, batch_col=batch_col)
-        df = inc_table.read(spark).filter(F.col(batch_col).isin(visible))
+        df = df.filter(F.col(batch_col).isin(visible))
         if days is not None:
             df = df.filter(F.col(day_col).isin(list(days)))
         inc_part = df.drop(day_col, batch_col)
@@ -721,7 +747,14 @@ def read_tier(
     if base_part is None:
         # increment batches may overlap buckets — combine them
         return rollup_cascade(inc_part, tier, series_col=series_col, role_col=role_col)
-    return merge_tiers(base_part, inc_part, tier, series_col=series_col, role_col=role_col)
+    return merge_tiers(
+        base_part,
+        inc_part,
+        tier,
+        series_col=series_col,
+        role_col=role_col,
+        allow_missing_columns=allow_missing_columns,
+    )
 
 
 def compact_tier_increments(

@@ -289,6 +289,43 @@ def test_compact_kill_between_marker_and_drop(spark, raw, tmp_path):
     assert _canon(read_tier(spark, None, inc, "1m")) == before
 
 
+def test_schema_evolution_new_check_without_rebuild(spark, raw, tmp_path):
+    """A check added AFTER history was built: new increments carry
+    n_fail_* columns the base lacks — history is never rebuilt. With
+    allow_missing_columns the merge treats the missing side as NULL
+    ("not measured", which every merge rule ignores): shared stats stay
+    exact, the new stat equals the delta's own counts where measured
+    and NULL elsewhere. The default strict mode refuses the mismatch so
+    schema drift can never pass silently."""
+    from rove_spark.operators import checks as qc
+
+    base = PartitionedTable(tmp_path / "tier", ["day"])
+    old = rollup_from_raw(_split(raw, 0), "1m")  # pre-check history
+    base.overwrite_partitions(old.withColumn("day", _day(old)))
+    inc = PartitionedTable(tmp_path / "inc", ["day", "batch"])
+    delta = _split(raw, 1).withColumn("text_len", F.length("text").cast("float"))
+    delta = qc.step_check(
+        delta, "text_len", max_=500.0, series_col="conv_id", order_cols=["ts"]
+    )
+    refresh_tier_increment(inc, delta, "1m", batch_id="evolved", checks=["step_check"])
+
+    with pytest.raises(Exception, match="UNION|column|COLUMN"):
+        read_tier(spark, base, inc, "1m")
+
+    got = read_tier(spark, base, inc, "1m", allow_missing_columns=True)
+    assert "n_fail_step_check" in got.columns
+    # shared stats: still exactly the full rebuild
+    full = rollup_from_raw(raw, "1m")
+    assert _canon(got.select(*full.columns)) == _canon(full)
+    # the new stat: exactly the delta's own counts where measured
+    delta_tier = rollup_from_raw(delta, "1m", checks=["step_check"])
+    key = ["conv_id", "bucket_ts", "role", "n_fail_step_check"]
+    measured = got.where(F.col("n_fail_step_check").isNotNull()).select(*key)
+    assert _canon(measured) == _canon(delta_tier.select(*key))
+    # ...and NULL (not 0) where history predates the check
+    assert got.where(F.col("n_fail_step_check").isNull()).count() > 0
+
+
 def test_read_tier_requires_some_table(spark, tmp_path):
     empty = PartitionedTable(tmp_path / "none", ["day"])
     with pytest.raises(ValueError, match="neither base nor increments"):
