@@ -498,6 +498,13 @@ def _visible_batches(inc_table, day_col: str = "day", batch_col: str = "batch") 
     window, without requiring a compact rerun first (kill-tested).
     Batch names are [A-Za-z0-9._-] by validation, so partition-dir
     names equal raw column values (no URL escaping)."""
+    if not hasattr(inc_table, "path"):
+        raise NotImplementedError(
+            "increment visibility/compaction need the path-backed parquet "
+            "shim (fold markers live beside the partitions); on a real "
+            "Iceberg catalog, consolidation belongs to Iceberg's own "
+            "rewrite_data_files/snapshot machinery instead"
+        )
     inc_root = Path(inc_table.path)
     on_disk = {
         b.name.split("=", 1)[1]
@@ -792,6 +799,12 @@ def compact_tier_increments(
     Consolidated batches are ordinary batches: the next fold folds them
     too. Kill-tested across every boundary (mid-write, write→marker,
     marker→mid-drop)."""
+    if not hasattr(inc_table, "path"):
+        raise NotImplementedError(
+            "compact_tier_increments needs the path-backed parquet shim "
+            "(fold markers live beside the partitions); on a real Iceberg "
+            "catalog use Iceberg's rewrite_data_files/snapshot machinery"
+        )
     inc_root = Path(inc_table.path)
     folds_dir = inc_root / "_folds"
 

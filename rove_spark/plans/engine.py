@@ -353,6 +353,55 @@ class Engine:
         )
         return result
 
+    def ingest_late(
+        self,
+        delta_df: DataFrame,
+        pipeline_name: str,
+        out_dir: str | Path,
+        batch_id: str | None = None,
+        value_col: str = "text_len",
+        series_col: str = "conv_id",
+        ts_col: str = "ts",
+    ) -> dict:
+        """Late-data path beside ``run_job``'s day recompute: flag the
+        DELTA through the same pipeline, then land one increment batch
+        per tier (``rollup.refresh_tier_increment`` — exactly-once under
+        crash/replay; read via ``rollup.read_tier`` over
+        ``out_dir/tier_{t}`` + ``out_dir/tier_{t}_inc``).
+
+        Trade-off, stated: window checks see the delta IN ISOLATION, so
+        flags at the delta's temporal edges can differ from a full
+        recompute with neighboring context (run_job's re-materialize
+        path exists precisely for that parity). Use this path when the
+        raw day is archived or a re-scan is unaffordable; route the day
+        back through ``run_job`` when exact boundary flags matter.
+        Mergeable (non-flag) tier stats are exact either way."""
+        from rove_spark.operators.rollup import refresh_tier_increment
+
+        pipe = self.pipelines[pipeline_name]
+        flagged = self.run_pipeline(
+            delta_df, pipeline_name, value_col, series_col, (ts_col,)
+        )
+        check_names = [s.name for s in pipe.steps]
+        out: dict[str, dict] = {}
+        for tier_name in ("1m", "1h", "1d"):
+            inc = open_table(
+                self.spark, Path(out_dir) / f"tier_{tier_name}_inc", ["day", "batch"]
+            )
+            out[tier_name] = refresh_tier_increment(
+                inc,
+                flagged,
+                tier_name,
+                batch_id=batch_id,
+                series_col=series_col,
+                ts_col=ts_col,
+                checks=check_names,
+                text_len_source="text" if "text" in delta_df.columns else value_col,
+                tool_col="tool" if "tool" in delta_df.columns else None,
+                role_col="role" if "role" in delta_df.columns else None,
+            )
+        return out
+
     def _apply_retention(
         self, retention, result, out_dir, input_path, value_col, series_col,
         ts_col, manifest, fp,

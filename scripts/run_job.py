@@ -39,6 +39,15 @@ def main() -> None:
     ap.add_argument("--fingerprint", default=None, help="input snapshot id for checkpoint lineage")
     ap.add_argument("--master", default=None)
     ap.add_argument("--value-col", default="text_len")
+    ap.add_argument(
+        "--late-delta",
+        help="parquet path of LATE rows: skip the day recompute and land "
+        "one increment batch per tier under <out>/tier_{t}_inc "
+        "(exactly-once; read via rollup.read_tier). Window checks see "
+        "the delta in isolation — route the day through the normal job "
+        "when exact boundary flags matter.",
+    )
+    ap.add_argument("--batch-id", default=None, help="idempotency id for --late-delta (defaults to a content digest)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -49,6 +58,29 @@ def main() -> None:
     from rove_spark.sources.synthetic import synthetic_transcripts
 
     spark = get_spark("rove_spark_job", master=args.master)
+    if args.late_delta:
+        eng = Engine(spark, pipeline_dir=args.pipeline_dir)
+        delta = derive_signals(spark.read.parquet(args.late_delta))
+        t0 = time.time()
+        result = eng.ingest_late(
+            delta,
+            args.pipeline,
+            args.out,
+            batch_id=args.batch_id,
+            value_col=args.value_col,
+        )
+        print(
+            json.dumps(
+                {
+                    "late_delta": args.late_delta,
+                    "increments": result,
+                    "elapsed_sec": round(time.time() - t0, 2),
+                    "out": args.out,
+                }
+            )
+        )
+        spark.stop()
+        return
     if args.synthetic:
         df = synthetic_transcripts(spark, n_conv=args.synthetic, avg_turns=200)
         fingerprint = args.fingerprint or f"synthetic:{args.synthetic}"

@@ -326,6 +326,46 @@ def test_schema_evolution_new_check_without_rebuild(spark, raw, tmp_path):
     assert got.where(F.col("n_fail_step_check").isNull()).count() > 0
 
 
+def test_engine_ingest_late_end_to_end(spark, tmp_path):
+    """Operational wiring: run_job builds the base tiers, ingest_late
+    lands a late delta as one increment batch per tier, and read_tier
+    over base+increments reproduces the MERGEABLE stats of a full
+    recompute exactly at every tier. Flags come from the delta in
+    isolation (the documented trade of the late path — run_job's
+    recompute exists for boundary parity), so only non-flag stats are
+    equality-gated here."""
+    from rove_spark.config import parse_pipeline
+    from rove_spark.operators.signals import derive_signals
+    from rove_spark.plans.engine import Engine
+    from rove_spark.sources.tables import open_table
+
+    toml = '[[step]]\nname = "step_check"\n[step.step_check]\nmax = 500.0\n'
+    eng = Engine(spark, pipelines={"ta": parse_pipeline("ta", toml)})
+    full = derive_signals(synthetic_transcripts(spark, n_conv=8, avg_turns=25))
+    parity = F.pmod(F.xxhash64("conv_id", "ts"), F.lit(2))
+    base_raw, late = full.where(parity == 0), full.where(parity == 1)
+
+    eng.run_job(base_raw, "ta", tmp_path / "out", input_fingerprint="f1")
+    res = eng.ingest_late(late, "ta", tmp_path / "out", batch_id="late-1")
+    assert all(res[t]["applied"] for t in ("1m", "1h", "1d"))
+    # replay of the same batch id is a no-op at every tier
+    res2 = eng.ingest_late(late, "ta", tmp_path / "out", batch_id="late-1")
+    assert not any(res2[t]["applied"] for t in ("1m", "1h", "1d"))
+
+    flagged_full = eng.run_pipeline(full, "ta", "text_len")
+    stat_cols = ["conv_id", "bucket_ts", "role", "n_turns", "text_len_sum",
+                 "text_len_min", "text_len_max", "n_tool_calls"]
+    for t in ("1m", "1h", "1d"):
+        base = open_table(spark, tmp_path / "out" / f"tier_{t}", ["day"])
+        inc = open_table(spark, tmp_path / "out" / f"tier_{t}_inc", ["day", "batch"])
+        got = read_tier(spark, base, inc, t)
+        assert "n_fail_step_check" in got.columns
+        expect = rollup_from_raw(
+            flagged_full, t, checks=["step_check"], text_len_source="text"
+        )
+        assert _canon(got.select(*stat_cols)) == _canon(expect.select(*stat_cols)), t
+
+
 def test_read_tier_requires_some_table(spark, tmp_path):
     empty = PartitionedTable(tmp_path / "none", ["day"])
     with pytest.raises(ValueError, match="neither base nor increments"):
