@@ -25,6 +25,20 @@ def formatted(df) -> str:
     return head
 
 
+def formatted_with_partition_filters(df) -> str:
+    """Like ``formatted`` but keeps the scans' PartitionFilters lines from
+    the footnotes — the pruning evidence IS the point for tier reads."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    head = text.split("\n\n")[0]
+    filters = [
+        line.strip() for line in text.splitlines() if "PartitionFilters" in line
+    ]
+    return head + "\n\n" + "\n".join(filters)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -150,6 +164,46 @@ def main() -> None:
             "min-hash lanes inside WholeStageCodegen (round-4: 4× vs the "
             "array-lambda shape, exact value equivalence).",
             formatted(_shingle_minhash_fused(docs, "text", "doc_id")),
+        )
+    )
+
+    import shutil
+
+    from rove_spark.operators.rollup import (
+        read_tier,
+        refresh_tier_increment,
+        rollup_from_raw,
+    )
+    from rove_spark.sources.tables import PartitionedTable
+
+    half = F.pmod(F.xxhash64("conv_id", "ts"), F.lit(2))
+    tdir = Path("/tmp/rove_plans_tiers")
+    shutil.rmtree(tdir, ignore_errors=True)
+    base_t = PartitionedTable(tdir / "tier_1m", ["day"])
+    t1m = rollup_from_raw(base.where(half == 0), "1m", text_len_source="text_len")
+    base_t.overwrite_partitions(
+        t1m.withColumn(
+            "day", F.date_format(F.date_trunc("day", "bucket_ts"), "yyyy-MM-dd")
+        )
+    )
+    inc_t = PartitionedTable(tdir / "tier_1m_inc", ["day", "batch"])
+    refresh_tier_increment(
+        inc_t, base.where(half == 1), "1m", batch_id="b1", text_len_source="text_len"
+    )
+    day0 = base_t.partition_days()[0]
+    sections.append(
+        (
+            "Incremental tier merge-on-read (base + increments, one day)",
+            "Both parquet scans carry `PartitionFilters` on `day` (and the "
+            "increments scan on the visible `batch` set) — partition "
+            "pruning happens BEFORE any aggregation, so a windowed read "
+            "over a 10^12-turn tier touches only the requested day "
+            "partitions; the union then re-aggregates through ONE "
+            "partial+final HashAggregate pair (merge ≡ rollup_cascade at "
+            "the tier's own granularity, exact by the suffix rules).",
+            formatted_with_partition_filters(
+                read_tier(spark, base_t, inc_t, "1m", days=[day0])
+            ),
         )
     )
 
