@@ -284,3 +284,94 @@ def repetition_stats(
             ),
         )
     )
+
+
+# -------------------------------------------------------- decontamination --
+
+
+def _ngram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, n-gram) rows WITH positional multiplicity, via the repo's
+    codegen n-gram recipe (posexplode → lead window → concat_ws; HOF
+    array lambdas are interpreted per element — see
+    with_fingerprint_portable). Splits on the explicit ASCII whitespace
+    class so a DuckDB oracle tokenizes identically (Java ``\\s`` ∋ \\x0B,
+    RE2's ∌)."""
+    from pyspark.sql import Window
+
+    ws = r"[ \t\n\x0B\f\r]+"
+    exploded = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode_outer(F.split(F.lower(F.col(text_col)), ws)),
+    ).filter(F.length("col") > 0)
+    win = Window.partitionBy("_did").orderBy("pos")
+    leads = [F.col("col")] + [F.lead("col", k).over(win) for k in range(1, n)]
+    return (
+        exploded.withColumn("_ng", F.concat_ws(" ", *leads))
+        .withColumn("_ok", F.lead("col", n - 1).over(win).isNotNull())
+        .filter(F.col("_ok"))
+        .select("_did", "_ng")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    threshold: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the standard train/eval overlap filter
+    (GPT-3 appendix C / PaLM style n-gram collision test): for every
+    corpus document, the fraction of its word n-gram POSITIONS whose
+    n-gram occurs anywhere in the benchmark set. One row per corpus doc:
+    ``n_grams`` (positions), ``n_contaminated``, ``contaminated_frac``
+    (6 dp — the repo's cross-engine float discipline) and
+    ``is_contaminated`` (frac ≥ threshold, compared on the rounded
+    value so both engines decide identically). Documents shorter than
+    ``n`` tokens have nothing to test: 0 grams, never flagged.
+
+    100 TB shape: the benchmark side is an eval set (10^5–10^6 distinct
+    n-grams) — built once, broadcast; the corpus side explodes to
+    (doc, gram) rows and shuffles ONCE on the doc id (the lead-window
+    partitioning is reused by the count aggregate — no second
+    exchange), then the broadcast hash join is map-side. At extreme
+    broadcast sizes, hash grams to 64-bit first to shrink the build
+    side; the string join here is the oracle-exact form.
+
+    No rove counterpart (corpus-domain engine extra, like the rest of
+    this module)."""
+    if n < 2:
+        raise ValueError(f"decontaminate: n-gram length must be >= 2, got {n}")
+    bench = (
+        _ngram_rows(benchmark.filter(F.col(text_col).isNotNull()), text_col, id_col, n)
+        .select("_ng")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    grams = _ngram_rows(docs.filter(F.col(text_col).isNotNull()), text_col, id_col, n)
+    counts = (
+        grams.join(F.broadcast(bench), "_ng", "left")
+        .groupBy("_did")
+        .agg(
+            F.count(F.lit(1)).alias("_n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("_n_cont"),
+        )
+    )
+    out = docs.select(id_col).join(
+        counts.withColumnRenamed("_did", id_col), id_col, "left"
+    )
+    frac = F.round(
+        F.when(
+            F.col("_n_grams").isNotNull() & (F.col("_n_grams") > 0),
+            F.col("_n_cont").cast("double") / F.col("_n_grams").cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("_n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("_n_cont"), F.lit(0)).cast("long").alias("n_contaminated"),
+        frac.alias("contaminated_frac"),
+        (frac >= F.lit(threshold)).alias("is_contaminated"),
+    )

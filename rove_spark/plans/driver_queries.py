@@ -2105,6 +2105,69 @@ FROM sm
 """
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (textstats.decontaminate — the GPT-3/
+    PaLM-style train-eval n-gram collision filter): documents split
+    deterministically into a benchmark (~8%: md5(doc_id) hex prefix
+    < '14', the hash_sample threshold idiom) and a corpus; every corpus
+    doc gets its 4-gram positional contamination count/fraction against
+    the benchmark's distinct 4-gram set. The oracle rebuilds the split,
+    the ASCII-whitespace tokenization, the positional 4-grams (with
+    multiplicity), the distinct benchmark set, and the rounded fraction +
+    threshold flag exactly in DuckDB."""
+    from rove_spark.operators.textstats import decontaminate
+
+    _utc(spark)
+    docs = read_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "14"
+    out = decontaminate(
+        docs.filter(~is_bench), docs.filter(is_bench), n=4, threshold=0.05
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        "contaminated_frac",
+        F.col("is_contaminated").cast("long").alias("is_contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                     x -> len(x) > 0) AS w,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' AS is_bench
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, is_bench,
+         unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 1),
+                i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS ng
+  FROM d
+), b AS (
+  SELECT DISTINCT ng FROM g WHERE is_bench
+), c AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(coalesce(sum(CASE WHEN b.ng IS NOT NULL THEN 1 END), 0) AS BIGINT)
+           AS n_contaminated
+  FROM g LEFT JOIN b ON g.ng = b.ng
+  WHERE NOT g.is_bench
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CASE WHEN coalesce(c.n_grams, 0) > 0
+                  THEN CAST(c.n_contaminated AS DOUBLE) / CAST(c.n_grams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS contaminated_frac,
+       CAST(CASE WHEN contaminated_frac >= 0.05 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_contaminated
+FROM d LEFT JOIN c ON d.doc_id = c.doc_id
+WHERE NOT d.is_bench
+"""
+
+
 def q_verify_digests(spark, sf):
     """Per-turn text-equality verifier digests (verify.text_checksums —
     the input_hint per-row invariant's proof mechanism), cross-engine:
@@ -3175,6 +3238,9 @@ ROTATION_GROUPS: list[list[str]] = [
     ["sct_mid", "sct_iter", "sct_deep", "sct_small", "sct_isolated"],
     ["ivf_knn", "knn_cosine"],
     ["stratified_sample", "hash_sample"],
+    # portable n-gram corpus family (explode + lead-window pipelines over
+    # the documents table, oracle-exact tokenization)
+    ["fingerprints", "decontaminate"],
 ]
 
 
@@ -3261,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
+        "decontaminate": q_decontaminate,
         "pii_scan": q_pii_scan,
         "repetition_stats": q_repetition,
         "multimodal_features": q_multimodal_features,
@@ -3321,6 +3388,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_compact": SQL_RETENTION_COMPACT,
         "verify_digests": _sql_verify_digests(),
         "fingerprints": _sql_fingerprints(),
+        "decontaminate": SQL_DECONTAMINATE,
         "csv_snapshot": _sql_csv_snapshot(),
         "histogram_tier": _sql_histogram_tier(),
         "token_stats": SQL_TOKEN_STATS,

@@ -132,7 +132,7 @@ MUST_VERIFY_FIXED = {
     "dedup_exact", "dedup_clusters", "minhash_neardup", "simhash_neardup",
     "embedding_neardup",
     "ivf_knn_partial",
-    "langid", "quality_score", "token_stats", "fingerprints",
+    "langid", "quality_score", "token_stats",
     "pii_scan", "repetition_stats", "multimodal_features",
     "zscore_check",
     "sessionize", "topk_users", "cube_rollup",

@@ -169,3 +169,63 @@ def test_repetition_stats(spark):
     assert abs(got[1].dup_word_frac - 0.6) < 1e-9
     assert abs(got[1].top_word_frac - 0.8) < 1e-9
     assert got[2].dup_word_frac == 0.0 and abs(got[2].top_word_frac - 0.2) < 1e-9
+
+
+def test_decontaminate_planted(spark):
+    """Hand-built contamination: exact positional counts, multiplicity,
+    short docs, case folding, disjoint vocab."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the 5-token benchmark span → its two 4-grams hit;
+            # 7 tokens → 4 gram positions, 2 contaminated
+            (1, "intro ALPHA beta gamma delta epsilon outro"),
+            # repeats one benchmark 4-gram twice → multiplicity counts
+            (2, "alpha beta gamma delta x alpha beta gamma delta"),
+            (3, "totally disjoint vocabulary here right now"),
+            (4, "too short"),  # < n tokens → nothing to test
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textstats.decontaminate(corpus, bench, n=4, threshold=0.5).collect()
+    }
+    assert (out[1].n_grams, out[1].n_contaminated) == (4, 2)
+    assert out[1].contaminated_frac == pytest.approx(0.5)
+    assert out[1].is_contaminated  # 0.5 >= 0.5, decided on the rounded value
+    # doc 2: 9 tokens → 6 positions; grams at pos 1 and 6 are
+    # "alpha beta gamma delta" (in bench), the rest cross the 'x'
+    assert (out[2].n_grams, out[2].n_contaminated) == (6, 2)
+    assert not out[2].is_contaminated
+    assert (out[3].n_grams, out[3].n_contaminated) == (3, 0)
+    assert (out[4].n_grams, out[4].n_contaminated) == (0, 0)
+    assert not out[4].is_contaminated and out[4].contaminated_frac == 0.0
+    assert (out[5].n_grams, out[5].n_contaminated) == (0, 0)
+    assert len(out) == 5  # every corpus doc present exactly once
+
+
+def test_decontaminate_rejects_unigrams(spark, docs):
+    with pytest.raises(ValueError, match="n-gram length"):
+        textstats.decontaminate(docs, docs, n=1)
+
+
+def test_decontaminate_plan_shape(spark):
+    """Benchmark side broadcast; corpus side shuffles once on the doc id
+    (the window partitioning feeds the count aggregate — no second
+    corpus exchange)."""
+    bench = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        textstats.decontaminate(corpus, bench, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan and "FlatMapGroupsInPandas" not in plan
