@@ -611,6 +611,81 @@ FROM assigned GROUP BY 1, 2
 """
 
 
+def q_dialogue_checks(spark, sf):
+    """Dialogue-integrity QC (operators/dialogue.py — the transcript-
+    protocol analog of the temporal checks): events become a
+    deterministic transcript fixture (conv = user_id, role from
+    event_type, tool markers on purchase/error), then
+    role_alternation_check + orphan_tool_check ride one shared lag
+    window. The oracle recomputes the fixture mapping and both flag
+    CASEs with the same (ts, event_id) tie-broken lag in DuckDB."""
+    from rove_spark.operators.dialogue import (
+        orphan_tool_check,
+        role_alternation_check,
+    )
+
+    _utc(spark)
+    ev = _events(spark, sf)
+    et = F.col("event_type")
+    role = (
+        F.when(et == "click", "user")
+        .when(et.isin("view", "purchase"), "assistant")
+        .when(et == "error", "tool")
+        .otherwise("system")
+    )
+    tool = F.when(
+        et.isin("purchase", "error"),
+        F.concat(F.lit("tool_"), F.pmod(F.col("event_id"), F.lit(8)).cast("string")),
+    )
+    t = ev.select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        role.alias("role"),
+        tool.alias("tool"),
+    )
+    order = ("ts", "event_id")
+    out = orphan_tool_check(
+        role_alternation_check(t, order_cols=order), order_cols=order
+    )
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("conv_id"),
+        "ts",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "role",
+        F.col("flag_role_alternation_check").cast("bigint").alias("flag_role_alternation"),
+        F.col("flag_orphan_tool_check").cast("bigint").alias("flag_orphan_tool"),
+    )
+
+
+SQL_DIALOGUE = """
+WITH t AS (
+  SELECT user_id AS conv_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'user'
+              WHEN 'view' THEN 'assistant' WHEN 'purchase' THEN 'assistant'
+              WHEN 'error' THEN 'tool' ELSE 'system' END AS role,
+         CASE WHEN event_type IN ('purchase', 'error')
+              THEN 'tool_' || CAST(event_id % 8 AS VARCHAR) END AS tool
+  FROM events
+), w AS (
+  SELECT conv_id, ts, event_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS prev_role,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS prev_tool,
+         lag(1)    OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS prev_one
+  FROM t
+)
+SELECT conv_id, ts, event_id, role,
+       CAST(CASE WHEN role IS NULL THEN 5
+                 WHEN prev_one IS NULL THEN 3
+                 WHEN role IN ('user', 'assistant') AND role = prev_role THEN 1
+                 ELSE 0 END AS BIGINT) AS flag_role_alternation,
+       CAST(CASE WHEN role IS NULL THEN 5
+                 WHEN role = 'tool' AND prev_tool IS NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS flag_orphan_tool
+FROM w
+"""
+
+
 def q_topk_users(spark, sf):
     """Top-10 users by event volume (deterministic tie-break)."""
     ev = _events(spark, sf)
@@ -3241,6 +3316,9 @@ ROTATION_GROUPS: list[list[str]] = [
     # portable n-gram corpus family (explode + lead-window pipelines over
     # the documents table, oracle-exact tokenization)
     ["fingerprints", "decontaminate"],
+    # conversation-stream sequence family (per-conv ordered-lag semantics
+    # over the events-derived transcript fixture)
+    ["sessionize", "dialogue_checks"],
 ]
 
 
@@ -3337,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_check": q_zscore_check,
         # sessionization / ranking / grouping sets
         "sessionize": q_sessionize,
+        "dialogue_checks": q_dialogue_checks,
         "topk_users": q_topk_users,
         "cube_rollup": q_cube_rollup,
         # relational join surface (the r4 casualties — now inside the cap)
@@ -3416,6 +3495,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_flag_density": SQL_ROLLUP_FLAGS,
         "rollup_by_type": SQL_ROLLUP_BY_TYPE,
         "sessionize": SQL_SESSIONIZE,
+        "dialogue_checks": SQL_DIALOGUE,
         "topk_users": SQL_TOPK,
         "cube_rollup": SQL_CUBE,
         "hash_sample": SQL_HASH_SAMPLE,

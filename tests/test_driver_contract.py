@@ -135,7 +135,7 @@ MUST_VERIFY_FIXED = {
     "langid", "quality_score", "token_stats",
     "pii_scan", "repetition_stats", "multimodal_features",
     "zscore_check",
-    "sessionize", "topk_users", "cube_rollup",
+    "topk_users", "cube_rollup",
     "tpch_shipping", "tpch_pricing", "inactive_users",
     "tpch_region_volume", "skew_salted_agg",
 }
