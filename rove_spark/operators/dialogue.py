@@ -48,7 +48,8 @@ def role_alternation_check(
     """FAIL a turn whose role is in ``alternating`` and equals the
     previous turn's role; roles outside the set (system, tool, …) may
     legally repeat and PASS. Head of conversation ⇒ INCONCLUSIVE (no
-    predecessor to compare); NULL role ⇒ DATA_MISSING."""
+    predecessor to compare); NULL role — own, or the predecessor's when
+    the turn needs the comparison — ⇒ DATA_MISSING."""
     out_col = out_col or flag_col("role_alternation_check")
     win = Window.partitionBy(series_col).orderBy(*order_cols)
     prev_exists = F.lag(F.lit(1)).over(win).isNotNull()
@@ -57,6 +58,13 @@ def role_alternation_check(
     expr = (
         F.when(role.isNull(), F.lit(int(Flag.DATA_MISSING)))
         .when(~prev_exists, F.lit(int(Flag.INCONCLUSIVE)))
+        # required context row present but its role unreadable: the
+        # comparison is undecidable for alternating-set turns
+        # (checks.py convention: context NULL ⇒ DATA_MISSING)
+        .when(
+            role.isin(list(alternating)) & prev_role.isNull(),
+            F.lit(int(Flag.DATA_MISSING)),
+        )
         .when(
             role.isin(list(alternating)) & (role == prev_role),
             F.lit(int(Flag.FAIL)),

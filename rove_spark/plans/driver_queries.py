@@ -677,6 +677,7 @@ WITH t AS (
 SELECT conv_id, ts, event_id, role,
        CAST(CASE WHEN role IS NULL THEN 5
                  WHEN prev_one IS NULL THEN 3
+                 WHEN role IN ('user', 'assistant') AND prev_role IS NULL THEN 5
                  WHEN role IN ('user', 'assistant') AND role = prev_role THEN 1
                  ELSE 0 END AS BIGINT) AS flag_role_alternation,
        CAST(CASE WHEN role IS NULL THEN 5

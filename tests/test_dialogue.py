@@ -26,6 +26,7 @@ def conv(spark):
         ("c2", 3, "system", None),
         ("c2", 4, "system", None),         # system may repeat: PASS
         ("c2", 5, None, None),             # NULL role
+        ("c2", 6, "user", None),           # successor of a NULL role
         ("c3", 0, "tool", "tool_1"),       # result at conversation head
     ]
     return spark.createDataFrame(
@@ -45,6 +46,7 @@ def test_role_alternation_exact(spark, conv):
     assert got[("c2", 2)] == Flag.PASS          # tool not in alternating set
     assert got[("c2", 4)] == Flag.PASS          # system repeat is legal
     assert got[("c2", 5)] == Flag.DATA_MISSING
+    assert got[("c2", 6)] == Flag.DATA_MISSING  # comparison undecidable
     assert got[("c3", 0)] == Flag.INCONCLUSIVE
 
 
