@@ -608,6 +608,7 @@ def refresh_tier_increment(
     tool_col: str = "tool",
     day_col: str = "day",
     batch_col: str = "batch",
+    digest_short_circuit: bool = True,
 ) -> dict:
     """Delta-only, EXACTLY-ONCE tier refresh: the delta's tier rows land
     in their own ``day=…/batch=…`` partitions of an increments table via
@@ -624,13 +625,23 @@ def refresh_tier_increment(
 
     The content digest of the delta's tier rows (row count + order-free
     ``bit_xor(xxhash64(*))``; 64-bit, so an accidental collision is
-    ~2^-64 per pair) is ALWAYS computed and recorded: ``batch_id``
+    ~2^-64 per pair) is computed and recorded by default: ``batch_id``
     defaults to it, and the manifest short-circuit matches on id OR
     digest — so re-ingesting the same delta is a no-op whether the
     first ingest used an explicit id and the retry did not, or vice
     versa (the mixed-usage replay would otherwise land the rows twice).
     Ids must be filesystem-safe; the ``fold-`` prefix is reserved for
-    consolidation batches."""
+    consolidation batches.
+
+    ``digest_short_circuit=False`` is for callers whose batch ids are
+    AUTHORITATIVE — distinct ids mean distinct batches even when their
+    content coincides (a streaming source may legitimately deliver two
+    epochs with byte-identical deltas, e.g. a re-published file; a
+    batch recompute over the union counts both, so the merge must too —
+    the stream≡batch contract of ``streaming/ingest``). It requires an
+    explicit ``batch_id``, skips the digest job entirely (one fewer
+    Spark action per call), records no digest, and dedups on the id
+    alone."""
     if batch_id is not None and (
         not _BATCH_ID_RE.fullmatch(batch_id) or batch_id.startswith("fold-")
     ):
@@ -638,6 +649,11 @@ def refresh_tier_increment(
             f"refresh_tier_increment: batch_id {batch_id!r} must be "
             "filesystem-safe ([A-Za-z0-9._-]) and must not use the "
             "reserved 'fold-' prefix (consolidation batches)"
+        )
+    if not digest_short_circuit and batch_id is None:
+        raise ValueError(
+            "refresh_tier_increment: digest_short_circuit=False requires an "
+            "explicit batch_id (there is no digest to default it from)"
         )
     inc = rollup_from_raw(
         delta_raw,
@@ -649,23 +665,28 @@ def refresh_tier_increment(
         text_len_source=text_len_source,
         tool_col=tool_col,
     ).localCheckpoint(eager=False)  # referenced by digest + stats + write
-    row = inc.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(
-            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in inc.columns) + "))"
-        ).alias("x"),
-    ).first()
-    if row["n"] == 0:
-        return {"batch_id": batch_id, "tier": tier, "days": [], "n_rows": 0, "applied": False}
-    digest = f"d{row['n']}x{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
-    if batch_id is None:
-        batch_id = digest
+    digest = None
+    if digest_short_circuit:
+        row = inc.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in inc.columns) + "))"
+            ).alias("x"),
+        ).first()
+        if row["n"] == 0:
+            return {"batch_id": batch_id, "tier": tier, "days": [], "n_rows": 0, "applied": False}
+        digest = f"d{row['n']}x{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+        if batch_id is None:
+            batch_id = digest
     for snap in reversed(inc_table.snapshots):
         lin = snap.get("lineage") or {}
         if (
             lin.get("operation") == "tier_increment"
             and lin.get("tier") == tier
-            and (lin.get("batch_id") == batch_id or lin.get("digest") == digest)
+            and (
+                lin.get("batch_id") == batch_id
+                or (digest is not None and lin.get("digest") == digest)
+            )
         ):
             return {
                 "batch_id": lin.get("batch_id"),

@@ -173,25 +173,17 @@ def with_fingerprint_portable(
         )
         smallest = F.slice(F.array_sort(F.array_distinct(grams)), 1, k_smallest)
     else:
-        from pyspark.sql import Window
-
-        exploded = (
-            df.select(F.col(id_col).alias("_fid"), F.posexplode_outer(split_words))
-            .filter(F.length("col") > 0)  # empty-word filter, pre-window
-        )
-        win = Window.partitionBy("_fid").orderBy("pos")
-        leads = [F.col("col"), F.lead("col", 1).over(win), F.lead("col", 2).over(win)]
-        gram = F.conv(
-            F.substring(F.md5(F.concat_ws(" ", *leads)), 1, 15), 16, 10
-        ).cast("long")
+        # one shared n-gram recipe (posexplode → lead window → concat_ws):
+        # _ngram_rows IS the oracle-exact tokenization contract — a future
+        # split/filter change lands in one place for every n-gram operator
+        gram = F.conv(F.substring(F.md5("_ng"), 1, 15), 16, 10).cast("long")
         sm = (
-            exploded.withColumn("_g", gram)
-            .withColumn("_ok", F.lead("col", 2).over(win).isNotNull())
-            .filter(F.col("_ok"))
-            .groupBy("_fid")
+            _ngram_rows(df, text_col, id_col, 3)
+            .select("_did", gram.alias("_g"))
+            .groupBy("_did")
             .agg(F.slice(F.sort_array(F.collect_set("_g")), 1, k_smallest).alias("_sm"))
         )
-        df = df.join(sm.withColumnRenamed("_fid", id_col), id_col, "left")
+        df = df.join(sm.withColumnRenamed("_did", id_col), id_col, "left")
         smallest = F.coalesce(F.col("_sm"), F.array().cast("array<bigint>"))
     out = df.withColumns(
         {

@@ -2209,13 +2209,13 @@ def q_decontaminate(spark, sf):
 
 
 SQL_DECONTAMINATE = """
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                      x -> len(x) > 0) AS w,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' AS is_bench
   FROM documents WHERE text IS NOT NULL
-), g AS (
+), g AS MATERIALIZED (
   SELECT doc_id, is_bench,
          unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 1),
                 i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS ng

@@ -27,6 +27,15 @@ partition-scoped write, and read amplification stays bounded by
 stores nothing (``/root/reference/src/server.rs:104-123``); the
 production target this serves is ~35k obs/min with <5 min flag latency
 (``docs/requirements.md:17,24``).
+
+Known growth bound, stated: the increments manifest gains one snapshot
+per (tier, epoch) and the id lookup scans it newest-first — a replayed
+epoch matches immediately, but a NEW epoch (the common case) scans the
+whole history, so a long-lived stream pays O(epochs) driver-side JSON
+per epoch. Run ``compact_tier_increments`` on a cadence (it bounds the
+READ side) and restart ingest epochs against a fresh checkpoint +
+consolidated base periodically; an indexed manifest is the upgrade path
+if a deployment truly never rolls over.
 """
 
 from __future__ import annotations
@@ -73,6 +82,10 @@ def make_tier_ingest_fn(
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
+        # materialize the (possibly QC-flagged) delta ONCE: the per-tier
+        # refreshes would otherwise re-run the source scan and the
+        # transform's shuffle once per tier
+        batch_df = batch_df.localCheckpoint(eager=False)
         batch_id = f"{stream_id}-e{epoch_id}"
         for tier in tiers:
             inc = open_table(
@@ -89,6 +102,11 @@ def make_tier_ingest_fn(
                 checks=checks,
                 text_len_source=text_len_source,
                 tool_col=tool_col,
+                # epoch ids are AUTHORITATIVE: two epochs may legally carry
+                # byte-identical deltas (a re-published file) and a batch
+                # recompute over the union counts both — content-digest
+                # dedup would silently drop the second (stream≢batch)
+                digest_short_circuit=False,
             )
             if results is not None:
                 results.append({"epoch": epoch_id, **res})
@@ -118,7 +136,7 @@ def stream_ingest_tiers(
     caller awaits termination and the stream drains all currently
     available input (the batch-parity harness shape used by the
     streaming driver queries)."""
-    checkpoint_dir = Path(os.path.abspath(checkpoint_dir))
+    checkpoint_dir = Path(checkpoint_dir).resolve()  # symlink-stable id
     if stream_id is None:
         stream_id = "s" + hashlib.md5(str(checkpoint_dir).encode()).hexdigest()[:10]
     fn = make_tier_ingest_fn(out_dir, stream_id, **ingest_kwargs)

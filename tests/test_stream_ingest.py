@@ -45,7 +45,7 @@ def test_stream_ingest_equals_batch_all_tiers(tmp_path, spark, raw):
         str(tmp_path / "src" / "*")
     )
     q = stream_ingest_tiers(stream, tmp_path / "out", tmp_path / "ckpt")
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream did not drain in time"
     assert len(files) == 3
     for tier in ("1m", "1h", "1d"):
         inc = PartitionedTable(tmp_path / "out" / f"tier_{tier}_inc", ["day", "batch"])
@@ -90,7 +90,7 @@ def test_restart_ingests_only_new_files(tmp_path, spark, raw):
         q = stream_ingest_tiers(
             stream, tmp_path / "out", tmp_path / "ckpt", tiers=("1m",)
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(300), "stream did not drain in time"
 
     run()
     inc = PartitionedTable(tmp_path / "out" / "tier_1m_inc", ["day", "batch"])
@@ -131,7 +131,7 @@ def test_flags_through_stream_match_batch_on_series_split(tmp_path, spark, raw):
         transform=flag,
         checks=["step_check"],
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream did not drain in time"
     inc = PartitionedTable(tmp_path / "out" / "tier_1h_inc", ["day", "batch"])
     got = read_tier(spark, None, inc, "1h")
     expect = rollup_from_raw(flag(raw), "1h", checks=["step_check"])
@@ -154,3 +154,32 @@ def test_stream_id_namespaces_shared_tables(tmp_path, spark, raw):
     inc = PartitionedTable(tmp_path / "out" / "tier_1m_inc", ["day", "batch"])
     got = read_tier(spark, None, inc, "1m")
     assert _canon(got) == _canon(rollup_from_raw(raw, "1m"))
+
+
+def test_duplicate_content_epochs_both_apply(tmp_path, spark, raw):
+    """Two DIFFERENT epochs with byte-identical deltas (a re-published
+    file) must BOTH land — a batch recompute over the union counts the
+    rows twice, so the stream must too (epoch ids are authoritative;
+    content-digest dedup is disabled on this path)."""
+    half = raw.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    results: list = []
+    fn = make_tier_ingest_fn(tmp_path / "out", "s1", tiers=("1m",), results=results)
+    fn(half, 0)
+    fn(half, 1)  # identical content, new epoch
+    assert [r["applied"] for r in results] == [True, True]
+    inc = PartitionedTable(tmp_path / "out" / "tier_1m_inc", ["day", "batch"])
+    got = read_tier(spark, None, inc, "1m")
+    expect = rollup_from_raw(half.unionAll(half), "1m")
+    assert _canon(got) == _canon(expect)
+
+
+def test_digest_short_circuit_off_requires_explicit_id(tmp_path, spark, raw):
+    from rove_spark.operators.rollup import refresh_tier_increment
+
+    inc = PartitionedTable(tmp_path / "inc", ["day", "batch"])
+    with pytest.raises(ValueError, match="digest_short_circuit"):
+        refresh_tier_increment(inc, raw, "1m", digest_short_circuit=False)
+    # same-id replay still dedups on the id alone
+    r1 = refresh_tier_increment(inc, raw, "1m", batch_id="e0", digest_short_circuit=False)
+    r2 = refresh_tier_increment(inc, raw, "1m", batch_id="e0", digest_short_circuit=False)
+    assert r1["applied"] and not r2["applied"]
