@@ -298,6 +298,74 @@ def histogram_quantile(hist_col: str, q: float, lo: float, hi: float, n_bins: in
     return F.when(total > 0, F.lit(lo) + (pos.cast("double") - 0.5) * width)
 
 
+def _truncate_topk(
+    counts: DataFrame, keys: Sequence[str], cap: int, out_col: str
+) -> DataFrame:
+    """(keys, _k, _c) exact counts → per key-group the top-``cap``
+    (k, c) pairs, deterministically ordered (count DESC, key ASC via a
+    (-count, key) struct sort — ANSI-safe, counts ≪ int64)."""
+    pair = F.struct((-F.col("_c")).alias("nc"), F.col("_k").alias("k"))
+    return (
+        counts.groupBy(*keys)
+        .agg(F.slice(F.array_sort(F.collect_list(pair)), 1, cap).alias("_p"))
+        .select(
+            *keys,
+            F.transform(
+                "_p", lambda s: F.struct(s.getField("k").alias("k"), (-s.getField("nc")).alias("c"))
+            ).alias(out_col),
+        )
+    )
+
+
+def topk_summary(
+    df: DataFrame,
+    keys: Sequence[str],
+    key_col: str,
+    cap: int,
+    weight_col: str | None = None,
+    out_col: str = "topk",
+) -> DataFrame:
+    """Mergeable heavy-hitters tier stat — the third tier sketch beside
+    the histogram and HLL: per key-group, the top-``cap`` (key, count)
+    pairs as an ordered ``array<struct<k,c>>`` (count DESC, key ASC —
+    the deterministic tie-break that makes the exact regime
+    cross-engine hashable). Two map-side-combined hash aggregations:
+    exact (group, key) counts, then one collect+sort per group.
+
+    Exactness contract (same shape as the histogram tier): when a
+    group's key cardinality ≤ ``cap`` nothing truncates and
+    ``merge_topk`` over any fan-in equals the direct summary EXACTLY
+    (counts are integer sums). Above ``cap`` it degrades like a
+    SpaceSaving-family sketch: a key absent from a child summary lost
+    at most that child's cap-th (smallest surviving) count, so a
+    merged count under-counts by at most the sum of the cap-th counts
+    of the children it was absent from (tested with a planted
+    overflow). Size the cap to the per-bucket cardinality — tool/role
+    domains at transcript scale are tiny, so tier rows stay small."""
+    cnt = (F.sum(weight_col) if weight_col else F.count(F.lit(1))).cast("long")
+    counts = (
+        df.groupBy(*keys, F.col(key_col).alias("_k")).agg(cnt.alias("_c"))
+    )
+    return _truncate_topk(counts, keys, cap, out_col)
+
+
+def merge_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    cap: int,
+    topk_col: str = "topk",
+) -> DataFrame:
+    """Merge heavy-hitter summaries to a coarser tier: explode pairs,
+    sum counts per key, re-truncate with the same deterministic order.
+    Exact when no child truncated; bounded-undercount otherwise (see
+    ``topk_summary``)."""
+    ex = df.select(*keys, F.explode(topk_col).alias("_e"))
+    counts = ex.groupBy(*keys, F.col("_e.k").alias("_k")).agg(
+        F.sum("_e.c").cast("long").alias("_c")
+    )
+    return _truncate_topk(counts, keys, cap, topk_col)
+
+
 def with_sketch_estimates(tier_df: DataFrame) -> DataFrame:
     """Read-time distinct estimates from the stored HLL sketches."""
     out = tier_df

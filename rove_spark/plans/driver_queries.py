@@ -1994,6 +1994,52 @@ GROUP BY s.user_id
 HIST_LO, HIST_HI, HIST_BINS = 0.0, 160.0, 16
 
 
+def q_topk_tier(spark, sf):
+    """Mergeable heavy-hitters tier stat (rollup.topk_summary/merge_topk
+    — the third tier sketch beside histogram + HLL): per-(user, hour)
+    top-k event_type summaries MERGED into the daily tier, top-3
+    returned. cap=8 exceeds the event_type cardinality (5), so nothing
+    truncates and the merge is EXACT with a deterministic (count DESC,
+    key ASC) order — the oracle computes the daily top-3 directly from
+    raw with the same tie-break; passing proves merge associativity AND
+    the ordering contract cross-engine."""
+    from rove_spark.operators.rollup import merge_topk, topk_summary
+
+    _utc(spark)
+    ev = _events(spark, sf).withColumn("d", F.date_trunc("day", "ts")).withColumn(
+        "h", F.date_trunc("hour", "ts")
+    )
+    hourly = topk_summary(ev, ["user_id", "d", "h"], "event_type", cap=8)
+    daily = merge_topk(hourly, ["user_id", "d"], cap=8)
+    ex = daily.select(
+        "user_id", F.col("d").alias("bucket_ts"), F.posexplode("topk").alias("pos", "p")
+    ).filter(F.col("pos") < 3)
+    return ex.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "bucket_ts",
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        F.col("p.k").alias("event_type"),
+        F.col("p.c").cast("bigint").alias("n_events"),
+    )
+
+
+SQL_TOPK_TIER = """
+WITH c AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2, 3
+), r AS (
+  SELECT user_id, bucket_ts, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY user_id, bucket_ts
+                                 ORDER BY n_events DESC, event_type ASC)
+              AS BIGINT) AS rank
+  FROM c
+)
+SELECT user_id, bucket_ts, rank, event_type, n_events
+FROM r WHERE rank <= 3
+"""
+
+
 def q_histogram_tier(spark, sf):
     """Mergeable histogram tier stat: per-(user, hour) 16-bin value
     histograms MERGED into the daily tier by exact element-wise addition
@@ -3320,6 +3366,9 @@ ROTATION_GROUPS: list[list[str]] = [
     # conversation-stream sequence family (per-conv ordered-lag semantics
     # over the events-derived transcript fixture)
     ["sessionize", "dialogue_checks"],
+    # mergeable tier-sketch family (exact-merge contract, read-time
+    # estimates; hll_tier stays fixed — its oracle gate differs in kind)
+    ["histogram_tier", "topk_tier"],
 ]
 
 
@@ -3374,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spike_check_stream": q_spike_check_stream,
         "flatline_check_stream": q_flatline_check_stream,
         "histogram_tier": q_histogram_tier,
+        "topk_tier": q_topk_tier,
         "hll_tier": q_hll_tier,
         "retention_plan": q_retention_plan,
         "retention_drop": q_retention_drop,
@@ -3471,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "csv_snapshot": _sql_csv_snapshot(),
         "histogram_tier": _sql_histogram_tier(),
+        "topk_tier": SQL_TOPK_TIER,
         "token_stats": SQL_TOKEN_STATS,
         "gorilla_roundtrip": SQL_GORILLA,
         "langid": SQL_LANGID,

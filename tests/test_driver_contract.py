@@ -125,7 +125,7 @@ MUST_VERIFY_FIXED = {
     "pipeline_toml",
     "rollup_1m_stream", "step_check_stream",
     "spike_check_stream", "flatline_check_stream",
-    "histogram_tier", "hll_tier", "retention_compact",
+    "hll_tier", "retention_compact",
     "gorilla_roundtrip", "verify_digests",
     "buddy_check", "sct",
     "csv_snapshot", "polygon_filter",

@@ -183,3 +183,60 @@ def test_onepass_no_role_column(spark):
             one.filter(F.col("tier") == name).drop("tier")
         ), name
     tiers["1m"].unpersist()
+
+
+def test_topk_merge_exact_under_cap(spark):
+    """Heavy-hitters tier sketch: when no child bucket truncates
+    (cardinality <= cap), merging hour summaries to a day equals the
+    direct day summary EXACTLY — same contract as the histogram tier."""
+    from rove_spark.operators.rollup import merge_topk, topk_summary
+
+    df = synthetic_transcripts(spark, n_conv=12, avg_turns=50, period_s=60)
+    hour = df.withColumn("h", F.date_trunc("hour", "ts")).withColumn(
+        "d", F.date_trunc("day", "ts")
+    )
+    hourly = topk_summary(hour, ["conv_id", "d", "h"], "role", cap=8)
+    merged = merge_topk(hourly, ["conv_id", "d"], cap=8)
+    direct = topk_summary(hour, ["conv_id", "d"], "role", cap=8)
+
+    def canon(frame):
+        ex = frame.select(
+            "conv_id", "d", F.posexplode("topk").alias("rank", "p")
+        ).select("conv_id", "d", "rank", "p.k", "p.c")
+        return sorted(tuple(r) for r in ex.collect())
+
+    assert canon(merged) == canon(direct)
+
+
+def test_topk_deterministic_tiebreak(spark):
+    from rove_spark.operators.rollup import topk_summary
+
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "a"), ("g", "c"), ("g", "a")], "grp string, k string"
+    )
+    out = topk_summary(df, ["grp"], "k", cap=2).collect()[0]["topk"]
+    assert [(p["k"], p["c"]) for p in out] == [("a", 2), ("b", 1)]  # count desc, key asc
+
+
+def test_topk_truncation_undercount_bound(spark):
+    """Planted overflow: a key absent from a truncated child summary
+    under-counts by at most that child's smallest surviving count, and
+    the dominant key always survives."""
+    from rove_spark.operators.rollup import merge_topk, topk_summary
+
+    # child A: big=5, x1..x3 = 2 each (cap 2 keeps big + x1);
+    # child B: big=5, tail=2 (no truncation at cap 2)
+    rows = [("A", "big")] * 5 + [("A", "x1")] * 2 + [("A", "x2")] * 2 + [("A", "x3")] * 2
+    rows += [("B", "big")] * 5 + [("B", "tail")] * 2
+    df = spark.createDataFrame(rows, "child string, k string")
+    child = topk_summary(df, ["child"], "k", cap=2)
+    merged = merge_topk(child.withColumn("all", F.lit(1)), ["all"], cap=4).collect()[0]["topk"]
+    got = {p["k"]: p["c"] for p in merged}
+    assert got["big"] == 10  # dominant key exact and present
+    # surviving non-dominant counts under-count true counts by <= the
+    # cap-th count of the child they were truncated from (here: exact
+    # for x1/tail since they survived their own child)
+    true = {"x1": 2, "x2": 2, "x3": 2, "tail": 2}
+    for k, c in got.items():
+        if k != "big":
+            assert c <= true[k] and true[k] - c <= 2
