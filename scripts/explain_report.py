@@ -207,6 +207,38 @@ def main() -> None:
         )
     )
 
+    from rove_spark.operators.textstats import decontaminate
+
+    bench_docs = docs.limit(5)
+    sections.append(
+        (
+            "Benchmark decontamination (n-gram collision filter)",
+            "Corpus side shuffles ONCE on the doc id (the lead-window "
+            "partitioning feeds the count aggregate); the benchmark "
+            "n-gram set arrives as a BroadcastHashJoin build side — the "
+            "corpus-scan side of the join is map-side at any corpus "
+            "size. No Python stages.",
+            formatted(decontaminate(docs, bench_docs, n=4)),
+        )
+    )
+
+    from rove_spark.operators.rollup import merge_topk, topk_summary
+
+    located2 = base.withColumn("d", F.date_trunc("day", "ts")).withColumn(
+        "h", F.date_trunc("hour", "ts")
+    )
+    hourly_tk = topk_summary(located2, ["conv_id", "d", "h"], "role", cap=8)
+    sections.append(
+        (
+            "Heavy-hitters tier sketch (hourly build + merge to daily)",
+            "Two partial+final HashAggregate pairs per level — exact "
+            "(group, key) counts then one collect+sort truncation; the "
+            "merge explodes the tiny per-row arrays and re-aggregates. "
+            "All codegen; tier rows stay bounded by the cap.",
+            formatted(merge_topk(hourly_tk, ["conv_id", "d"], cap=8)),
+        )
+    )
+
     out = ["# PLANS — physical plans of the key operators\n"]
     out.append(
         "Generated by `python scripts/explain_report.py`; properties asserted "
