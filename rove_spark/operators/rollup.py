@@ -366,6 +366,128 @@ def merge_topk(
     return _truncate_topk(counts, keys, cap, topk_col)
 
 
+def _compress_vsum(
+    counts: DataFrame, keys: Sequence[str], cap: int, out_col: str
+) -> DataFrame:
+    """(keys, _v, _c) exact value counts → per key-group an ascending
+    ``array<struct<v,c>>`` of at most ``cap`` entries. GK-style
+    rank-stride compression: with m distinct values and
+    stride = ceil(m/cap), keep the values at sorted positions
+    stride, 2·stride, …, m (the maximum ALWAYS survives) and fold each
+    dropped value's count into the next kept value — so cumulative
+    counts AT kept values stay exact (rank queries never drift; only the
+    reported value can displace upward, by at most one kept-gap).
+    Relational build (row_number + count windows, one hash aggregate) —
+    the codegen path, no per-element lambdas."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("_v")
+    r = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_m", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+    )
+    stride = F.ceil(F.col("_m") / F.lit(cap)).cast("long")
+    bucket = F.least(F.ceil(F.col("_rn") / stride).cast("long") * stride, F.col("_m"))
+    pair = F.struct(F.col("_kv").alias("v"), F.col("_kc").alias("c"))
+    return (
+        r.withColumn("_b", bucket)
+        .groupBy(*keys, "_b")
+        .agg(F.max("_v").alias("_kv"), F.sum("_c").cast("long").alias("_kc"))
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(pair)).alias(out_col))
+    )
+
+
+def value_summary(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    cap: int,
+    out_col: str = "vsum",
+) -> DataFrame:
+    """Mergeable VALUE-EXACT quantile summary — the fourth tier sketch
+    beside histogram, HLL, and top-k, and a stronger exactness class
+    than ``histogram_quantile`` (which can only answer with bin
+    midpoints): per key-group, the full (value, count) CDF support as an
+    ascending ``array<struct<v,c>>``, rank-stride compressed to ≤ ``cap``
+    entries (see ``_compress_vsum``).
+
+    Exactness contract (same shape as the histogram/top-k tiers): when a
+    group's distinct-value cardinality ≤ ``cap`` nothing compresses,
+    ``merge_value_summaries`` over any fan-in is EXACT (integer count
+    sums over the identical support), and ``summary_quantiles`` equals
+    percentile_disc on the raw rows. Above ``cap`` it degrades like a
+    GK/q-digest-family sketch: cumulative counts at kept values remain
+    exact, total count is always preserved, and a rank-``t`` query
+    returns a kept value whose true rank interval contains ``t`` — the
+    value reported for a quantile displaces upward by at most one
+    kept-gap (planted-overflow test pins all three bounds). NULL and NaN
+    values are the caller's problem (filter first): NULL ordering and
+    NaN comparison semantics differ across engines.
+
+    Scale notes: two hash aggregates + one window, all map-side
+    combinable on (keys, value) first — the shuffle carries distinct
+    (group, value) partials, never raw rows; tier rows stay ≤ cap
+    entries by construction."""
+    counts = df.groupBy(*keys, F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    return _compress_vsum(counts, keys, cap, out_col)
+
+
+def merge_value_summaries(
+    df: DataFrame,
+    keys: Sequence[str],
+    cap: int,
+    vsum_col: str = "vsum",
+) -> DataFrame:
+    """Merge value summaries to a coarser tier: explode pairs, sum
+    counts per value, re-compress with the same deterministic rule.
+    Exact when no child compressed (see ``value_summary``)."""
+    ex = df.select(*keys, F.explode(vsum_col).alias("_e"))
+    counts = ex.groupBy(*keys, F.col("_e.v").alias("_v")).agg(
+        F.sum("_e.c").cast("long").alias("_c")
+    )
+    return _compress_vsum(counts, keys, cap, vsum_col)
+
+
+def summary_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    percentiles: Sequence[int],
+    vsum_col: str = "vsum",
+    prefix: str = "p",
+) -> DataFrame:
+    """Read-time percentile_disc from stored value summaries: for each
+    integer percentile p, the smallest summary value whose cumulative
+    count ≥ ceil(p·n/100) — computed in INTEGER arithmetic
+    ((n·p + 99) div 100), so the rank target is cross-engine exact (no
+    float-boundary flips). Output: keys + ``n_values`` + one ``p{p}``
+    column per requested percentile. Exact (≡ percentile_disc over raw
+    rows) whenever the summary never compressed; rank-exact with the
+    bounded upward value displacement of ``_compress_vsum`` otherwise."""
+    from pyspark.sql import Window
+
+    ex = df.select(*keys, F.explode(vsum_col).alias("_e"))
+    cum_w = (
+        Window.partitionBy(*keys)
+        .orderBy("_e.v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ex.withColumn("_cum", F.sum("_e.c").over(cum_w)).withColumn(
+        "_n", F.sum("_e.c").over(Window.partitionBy(*keys))
+    )
+    aggs = [F.max("_n").cast("long").alias("n_values")]
+    for p in percentiles:
+        if not 0 < int(p) <= 100:
+            raise ValueError(f"percentile must be an integer in (0, 100]: {p}")
+        target = F.expr(f"(_n * {int(p)} + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= target, F.col("_e.v"))).alias(f"{prefix}{int(p)}")
+        )
+    return c.groupBy(*keys).agg(*aggs)
+
+
 def with_sketch_estimates(tier_df: DataFrame) -> DataFrame:
     """Read-time distinct estimates from the stored HLL sketches."""
     out = tier_df

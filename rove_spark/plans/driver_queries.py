@@ -2040,6 +2040,66 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_quantile_tier(spark, sf):
+    """Value-exact mergeable quantile tier sketch
+    (rollup.value_summary/merge_value_summaries/summary_quantiles — the
+    fourth tier sketch beside histogram, HLL, top-k, and a stronger
+    exactness class than the histogram's bin-midpoint quantiles):
+    per-(event_type, hour) summaries over floor(value) MERGED into the
+    daily tier, then percentile_disc p25/p50/p90/p99 read from the
+    merged summary. cap=128 exceeds the per-day distinct-floor
+    cardinality (≤69 at sf0.01), so the ~24-way hourly merge is EXACT
+    and the quantiles equal percentile_disc over raw rows — which the
+    oracle computes directly with the identical integer rank rule
+    (rank = (n·p + 99) // 100). floor() keeps the value domain integer,
+    so no float boundary can flip a rank cross-engine."""
+    from rove_spark.operators.rollup import (
+        merge_value_summaries,
+        summary_quantiles,
+        value_summary,
+    )
+
+    _utc(spark)
+    ev = (
+        _events(spark, sf)
+        .withColumn("d", F.date_trunc("day", "ts"))
+        .withColumn("h", F.date_trunc("hour", "ts"))
+        .withColumn("fv", F.floor("value").cast("long"))
+    )
+    hourly = value_summary(ev, ["event_type", "d", "h"], "fv", cap=128)
+    daily = merge_value_summaries(hourly, ["event_type", "d"], cap=128)
+    qs = summary_quantiles(daily, ["event_type", "d"], [25, 50, 90, 99])
+    return qs.select(
+        "event_type",
+        F.col("d").alias("bucket_ts"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("p25").cast("bigint").alias("p25"),
+        F.col("p50").cast("bigint").alias("p50"),
+        F.col("p90").cast("bigint").alias("p90"),
+        F.col("p99").cast("bigint").alias("p99"),
+    )
+
+
+SQL_QUANTILE_TIER = """
+WITH e AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         CAST(floor(value) AS BIGINT) AS fv
+  FROM events
+), r AS (
+  SELECT event_type, bucket_ts, fv,
+         row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY fv) AS rn,
+         count(*) OVER (PARTITION BY event_type, bucket_ts) AS n
+  FROM e
+)
+SELECT event_type, bucket_ts, CAST(max(n) AS BIGINT) AS n_values,
+       CAST(min(CASE WHEN rn = (n*25+99)//100 THEN fv END) AS BIGINT) AS p25,
+       CAST(min(CASE WHEN rn = (n*50+99)//100 THEN fv END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN rn = (n*90+99)//100 THEN fv END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN rn = (n*99+99)//100 THEN fv END) AS BIGINT) AS p99
+FROM r GROUP BY 1, 2
+"""
+
+
 def q_histogram_tier(spark, sf):
     """Mergeable histogram tier stat: per-(user, hour) 16-bin value
     histograms MERGED into the daily tier by exact element-wise addition
@@ -3368,7 +3428,7 @@ ROTATION_GROUPS: list[list[str]] = [
     ["sessionize", "dialogue_checks"],
     # mergeable tier-sketch family (exact-merge contract, read-time
     # estimates; hll_tier stays fixed — its oracle gate differs in kind)
-    ["histogram_tier", "topk_tier"],
+    ["histogram_tier", "topk_tier", "quantile_tier"],
 ]
 
 
@@ -3424,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatline_check_stream": q_flatline_check_stream,
         "histogram_tier": q_histogram_tier,
         "topk_tier": q_topk_tier,
+        "quantile_tier": q_quantile_tier,
         "hll_tier": q_hll_tier,
         "retention_plan": q_retention_plan,
         "retention_drop": q_retention_drop,
@@ -3522,6 +3583,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_snapshot": _sql_csv_snapshot(),
         "histogram_tier": _sql_histogram_tier(),
         "topk_tier": SQL_TOPK_TIER,
+        "quantile_tier": SQL_QUANTILE_TIER,
         "token_stats": SQL_TOKEN_STATS,
         "gorilla_roundtrip": SQL_GORILLA,
         "langid": SQL_LANGID,

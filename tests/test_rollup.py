@@ -240,3 +240,109 @@ def test_topk_truncation_undercount_bound(spark):
     for k, c in got.items():
         if k != "big":
             assert c <= true[k] and true[k] - c <= 2
+
+
+def _vsum_pairs(frame, keys):
+    ex = frame.select(*keys, F.posexplode("vsum").alias("pos", "p")).select(
+        *keys, "pos", "p.v", "p.c"
+    )
+    return sorted(tuple(r) for r in ex.collect())
+
+
+def test_value_summary_merge_exact_under_cap(spark):
+    """Value-exact quantile tier sketch: when no group's distinct-value
+    cardinality exceeds the cap, merging hour summaries to a day equals
+    the direct day summary EXACTLY (identical support, integer count
+    sums) — the histogram/top-k exactness contract."""
+    from rove_spark.operators.rollup import merge_value_summaries, value_summary
+
+    df = synthetic_transcripts(spark, n_conv=12, avg_turns=50, period_s=60)
+    hour = (
+        df.withColumn("h", F.date_trunc("hour", "ts"))
+        .withColumn("d", F.date_trunc("day", "ts"))
+        .withColumn("tl", F.length("text"))
+    )
+    hourly = value_summary(hour, ["conv_id", "d", "h"], "tl", cap=512)
+    merged = merge_value_summaries(hourly, ["conv_id", "d"], cap=512)
+    direct = value_summary(hour, ["conv_id", "d"], "tl", cap=512)
+    assert _vsum_pairs(merged, ["conv_id", "d"]) == _vsum_pairs(direct, ["conv_id", "d"])
+
+
+def test_summary_quantiles_equal_percentile_disc(spark):
+    """In the exact regime, summary_quantiles ≡ percentile_disc over the
+    raw rows (rank = ceil(p·n/100), smallest value with cum ≥ rank)."""
+    from rove_spark.operators.rollup import summary_quantiles, value_summary
+
+    df = synthetic_transcripts(spark, n_conv=8, avg_turns=40, period_s=60)
+    raw = df.withColumn("d", F.date_trunc("day", "ts")).withColumn(
+        "tl", F.length("text").cast("long")
+    )
+    vs = value_summary(raw, ["conv_id", "d"], "tl", cap=1024)
+    got = {
+        (r["conv_id"], r["d"]): (r["n_values"], r["p25"], r["p50"], r["p99"])
+        for r in summary_quantiles(vs, ["conv_id", "d"], [25, 50, 99]).collect()
+    }
+    expect = {}
+    for r in raw.select("conv_id", "d", "tl").collect():
+        expect.setdefault((r["conv_id"], r["d"]), []).append(r["tl"])
+    assert set(got) == set(expect)
+    for k, vals in expect.items():
+        vals.sort()
+        n = len(vals)
+        want = (n,) + tuple(vals[(n * p + 99) // 100 - 1] for p in (25, 50, 99))
+        assert got[k] == want, (k, got[k], want)
+
+
+def test_value_summary_compression_bounds(spark):
+    """Planted overflow (m=20 distinct > cap=5): ≤ cap entries survive,
+    total count is preserved, the maximum value survives, cumulative
+    counts AT kept values equal the true raw CDF (rank queries never
+    drift), and each kept value's absorbed span is one stride — so a
+    quantile displaces upward by at most one kept-gap."""
+    from rove_spark.operators.rollup import summary_quantiles, value_summary
+
+    # values 0..19, value v occurring v+1 times (distinct counts, n=210)
+    rows = [(("g",) + (v,)) for v in range(20) for _ in range(v + 1)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    vs = value_summary(df, ["grp"], "x", cap=5)
+    pairs = [(p["v"], p["c"]) for p in vs.collect()[0]["vsum"]]
+    assert len(pairs) == 5  # ceil(20/5)=4 stride -> positions 4,8,12,16,20
+    assert pairs[-1][0] == 19  # max always survives
+    assert sum(c for _, c in pairs) == 210  # total count preserved
+    # cumulative counts at kept values == true CDF at those values
+    true_cdf = {v: sum(w + 1 for w in range(v + 1)) for v in range(20)}
+    cum = 0
+    for v, c in pairs:
+        cum += c
+        assert cum == true_cdf[v], (v, cum, true_cdf[v])
+    # rank-exact quantiles: reported value's CDF interval contains the
+    # target rank, and displacement vs true disc quantile <= one kept-gap
+    q = summary_quantiles(vs, ["grp"], [50, 90]).collect()[0]
+    raw_sorted = sorted(x for _, x in rows)
+    kept_vals = [v for v, _ in pairs]
+    for p in (50, 90):
+        target = (210 * p + 99) // 100
+        got_v = q[f"p{p}"]
+        true_v = raw_sorted[target - 1]
+        assert got_v in kept_vals
+        assert got_v >= true_v  # only upward displacement
+        nxt = {kept_vals[i]: kept_vals[i + 1] for i in range(len(kept_vals) - 1)}
+        prev = {kept_vals[i + 1]: kept_vals[i] for i in range(len(kept_vals) - 1)}
+        # true value lies in (previous kept, got] — one kept-gap bound
+        assert true_v > prev.get(got_v, -1)
+
+
+def test_value_summary_merge_associative_total(spark):
+    """Under compression, merging in any grouping preserves the total
+    count and the surviving maximum (the invariants reads rely on)."""
+    from rove_spark.operators.rollup import merge_value_summaries, value_summary
+
+    rows = [("c%d" % (i % 4), i % 37) for i in range(400)]
+    df = spark.createDataFrame(rows, "child string, x long")
+    child = value_summary(df, ["child"], "x", cap=6)
+    merged = merge_value_summaries(
+        child.withColumn("all", F.lit(1)), ["all"], cap=6
+    ).collect()[0]["vsum"]
+    assert len(merged) <= 6
+    assert sum(p["c"] for p in merged) == 400
+    assert merged[-1]["v"] == 36
