@@ -239,6 +239,35 @@ def main() -> None:
         )
     )
 
+    from rove_spark.operators.rollup import (
+        merge_value_summaries,
+        summary_quantiles,
+        value_summary,
+    )
+
+    hourly_vs = value_summary(
+        located2.withColumn("tl", F.col("text_len").cast("long")),
+        ["conv_id", "d", "h"],
+        "tl",
+        cap=64,
+    )
+    daily_vs = merge_value_summaries(hourly_vs, ["conv_id", "d"], cap=64)
+    sections.append(
+        (
+            "Value-exact quantile tier sketch (build + merge + read)",
+            "Per level: one HashAggregate pair on (group, value) — the "
+            "shuffle carries distinct-value partials, never raw rows — "
+            "then a second, smaller exchange on the group keys feeds "
+            "the row_number/count windows for the rank-stride "
+            "compression "
+            "and one collect to the ≤cap array. The read explodes the "
+            "tiny arrays, takes a cumulative-sum window, and answers "
+            "every percentile in ONE aggregate via conditional mins. "
+            "All codegen, no per-element lambdas.",
+            formatted(summary_quantiles(daily_vs, ["conv_id", "d"], [50, 99])),
+        )
+    )
+
     out = ["# PLANS — physical plans of the key operators\n"]
     out.append(
         "Generated by `python scripts/explain_report.py`; properties asserted "
