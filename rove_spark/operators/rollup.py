@@ -975,6 +975,96 @@ def read_tier(
     )
 
 
+_TIER_FLOOR_CHECKS = {
+    "1m": lambda b: b.second == 0 and b.microsecond == 0,
+    "1h": lambda b: b.minute == 0 and b.second == 0 and b.microsecond == 0,
+    "1d": lambda b: b.hour == 0
+    and b.minute == 0
+    and b.second == 0
+    and b.microsecond == 0,
+}
+
+
+def realtime_tier(
+    materialized: DataFrame,
+    raw: DataFrame,
+    tier: str,
+    boundary,
+    rollup_fn=None,
+    ts_col: str = "ts",
+    series_col: str = "conv_id",
+    role_col: str | None = "role",
+    checks: Sequence[str] = (),
+    text_len_source: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Query-time freshness for a continuous aggregate (the TimescaleDB
+    real-time-aggregate shape): the materialized tier answers every
+    bucket STRICTLY BEFORE ``boundary``; buckets at/after it are
+    aggregated on the fly from the raw tail. ``boundary`` is the
+    materialization watermark — typically the bucket ceiling of the last
+    refreshed ingest. No rove counterpart (rove streams flags and stores
+    nothing, ``/root/reference/src/server.rs:104-123``); this completes
+    the engine's continuous-aggregate lifecycle: build (``build_tiers``)
+    → incremental refresh (``refresh_tier_increment``/``read_tier``) →
+    READ-TIME FRESHNESS (here) → retention (``retention_expire``) → cold
+    compression (``retention_compact``).
+
+    Exactness: ``boundary`` must be aligned to the tier's bucket width
+    (validated here) so no bucket straddles the split — then
+    ``view ≡ tier(full raw)`` bit-exactly for integer-domain stats
+    (DuckDB-oracled by the ``realtime_tier`` driver query against the
+    direct full rollup). The materialized side is defensively clipped to
+    ``bucket_ts < boundary`` so a tier table that already ingested part
+    of the tail cannot double-count.
+
+    100 TB cost shape: the tier scan is tiny (pre-aggregated rows) and
+    the raw scan is ``ts >= boundary`` — the filter sits directly over
+    the source so Catalyst pushes it into the scan (PushedFilters /
+    partition pruning on a day-partitioned raw table; plan-gated in
+    test_plans). A day-aligned boundary over a day-partitioned raw table
+    reads exactly the unmaterialized days, never history.
+
+    ``rollup_fn`` overrides the tail aggregation for callers whose tier
+    frames were built with a custom shape; it must group on
+    ``date_trunc(tier unit, ts)`` or the no-straddle contract (and hence
+    exactness) is void. Default: ``rollup_from_raw`` with the standard
+    transcript schema.
+    """
+    if tier not in TIERS:
+        raise ValueError(f"realtime_tier: unknown tier {tier!r} (want {list(TIERS)})")
+    if not _TIER_FLOOR_CHECKS[tier](boundary):
+        raise ValueError(
+            f"realtime_tier: boundary {boundary!r} is not aligned to the "
+            f"{tier} bucket grid — an unaligned boundary splits one bucket "
+            "across the materialized and fresh sides and double-counts it"
+        )
+    if rollup_fn is None:
+        def rollup_fn(tail: DataFrame) -> DataFrame:
+            return rollup_from_raw(
+                tail,
+                tier,
+                series_col=series_col,
+                ts_col=ts_col,
+                role_col=role_col,
+                checks=checks,
+                text_len_source=text_len_source,
+                tool_col=tool_col,
+            )
+    # Cast the LITERAL to the raw ts column's exact type (the testdata
+    # parquet is TIMESTAMP_NTZ): a cast on the column side would wrap the
+    # scan attribute and block parquet predicate pushdown — a constant
+    # cast folds away and the bare-column comparison reaches PushedFilters.
+    tail_pred = F.col(ts_col) >= F.lit(boundary).cast(
+        dict(raw.dtypes)[ts_col]
+    )
+    mat = materialized.filter(
+        F.col("bucket_ts") < F.lit(boundary).cast(dict(materialized.dtypes)["bucket_ts"])
+    )
+    fresh = rollup_fn(raw.filter(tail_pred))
+    return mat.unionByName(fresh)
+
+
 def compact_tier_increments(
     spark,
     inc_table,

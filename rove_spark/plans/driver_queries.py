@@ -333,6 +333,28 @@ def q_rollup_incremental(spark, sf):
     )
 
 
+def q_realtime_tier(spark, sf):
+    """Real-time continuous aggregate (read-time freshness,
+    ``rollup.realtime_tier`` — the TimescaleDB real-time-view shape): the
+    1m tier is "materialized" only for buckets strictly before the final
+    raw day; the last day's buckets are aggregated on the fly from the
+    raw tail and unioned at read time. Boundary = date_trunc('day',
+    max ts) — minute-aligned, so no bucket straddles the seam. Oracle =
+    the DIRECT full 1m rollup: a double-counted seam bucket, an
+    unclipped materialized row, or a dropped tail bucket breaks the
+    hash."""
+    from rove_spark.operators.rollup import realtime_tier
+
+    ev = _events(spark, sf)
+    bnd = ev.agg(F.date_trunc("day", F.max("ts")).alias("b")).first()["b"]
+    hist = ev.where(F.col("ts") < F.lit(bnd).cast(dict(ev.dtypes)["ts"]))
+    return realtime_tier(
+        _rollup_1m(hist), ev, "1m", bnd, rollup_fn=_rollup_1m, ts_col="ts"
+    ).select(
+        "user_id", "bucket_ts", "n_events", "value_sum_cents", "value_min", "value_max"
+    )
+
+
 def q_rollup_1h(spark, sf):
     """1h tier CASCADED from 1m; oracle aggregates directly from raw —
     passing proves cascade exactness."""
@@ -3417,6 +3439,11 @@ ROTATION_GROUPS: list[list[str]] = [
     ["rollup_1m", "rollup_flag_density", "rollup_incremental"],
     ["rollup_1d", "rollup_1h", "rollup_by_type"],
     ["retention_plan", "retention_drop"],
+    # Gorilla-codec family: retention_compact's oracle (decode of the
+    # compacted cold tier ≡ the pre-expiry raw slice) subsumes the codec
+    # round-trip gorilla_roundtrip exercises standalone, through the
+    # actual job path — same codec, same exactness contract
+    ["gorilla_roundtrip", "retention_compact"],
     ["sct_mid", "sct_iter", "sct_deep", "sct_small", "sct_isolated"],
     ["ivf_knn", "knn_cosine"],
     ["stratified_sample", "hash_sample"],
@@ -3475,6 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": q_rollup_1m,
         "rollup_flag_density": q_rollup_flag_density,
         "rollup_incremental": q_rollup_incremental,
+        "realtime_tier": q_realtime_tier,
         "rollup_1d": q_rollup_1d,
         "rollup_1h": q_rollup_1h,
         "rollup_by_type": q_rollup_by_type,
@@ -3566,6 +3594,8 @@ def oracle_sql() -> dict[str, str]:
         # deliberately the same full direct-from-raw SQL as rollup_1m
         # (precedent: knn_cosine/ivf_knn share literal oracle SQL)
         "rollup_incremental": _sql_rollup("minute"),
+        # realtime view ≡ the direct full rollup (the exactness contract)
+        "realtime_tier": _sql_rollup("minute"),
         "rollup_1h": _sql_rollup("hour"),
         "rollup_1d": _sql_rollup("day"),
         "rollup_1m_stream": _sql_rollup("minute"),

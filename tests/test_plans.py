@@ -197,6 +197,30 @@ def test_skew_salted_agg_two_phase(spark):
     assert "salt" in plan and plan.count("HashAggregate") >= 4  # partial+final × 2 phases
 
 
+def test_realtime_tier_pushes_tail_filter_into_scan(spark, parquet_transcripts):
+    """realtime_tier's fresh side filters raw on ts >= boundary with the
+    literal cast to the column's type (not the column cast to the
+    literal's): the predicate must reach the parquet scan as a
+    GreaterThanOrEqual PushedFilter, so at 100 TB the tail aggregation
+    reads only the unmaterialized suffix, never history."""
+    from rove_spark.operators.rollup import realtime_tier, rollup_from_raw
+
+    raw = spark.read.parquet(parquet_transcripts)
+    mn = raw.agg(F.min("ts")).first()[0]
+    boundary = mn.replace(minute=0, second=0, microsecond=0)
+    mat = rollup_from_raw(raw.where(F.col("ts") < F.lit(boundary)), "1h")
+    view = realtime_tier(mat, raw, "1h", boundary)
+    plan = _plan(view)
+    pushed = [
+        line.split("PushedFilters:")[1]
+        for line in plan.splitlines()
+        if "PushedFilters:" in line
+    ]
+    assert any(
+        "GreaterThanOrEqual(ts" in p for p in pushed
+    ), f"tail predicate not pushed: {pushed}"
+
+
 def test_relational_buddy_has_no_python_stages(spark, parquet_transcripts):
     """The single-iteration buddy path (round 5) is whole-JVM: no
     ArrowEval/FlatMapGroupsInPandas stages, and neighbor moments come

@@ -346,3 +346,77 @@ def test_value_summary_merge_associative_total(spark):
     assert len(merged) <= 6
     assert sum(p["c"] for p in merged) == 400
     assert merged[-1]["v"] == 36
+
+
+# ------------------------------------------------------- realtime view --
+
+
+def _hour_floor(dt):
+    return dt.replace(minute=0, second=0, microsecond=0)
+
+
+def test_realtime_tier_equals_direct(spark):
+    """The read-time freshness contract: materialized(< boundary) ∪
+    fresh-from-raw(>= boundary) ≡ the tier built over ALL raw, bit-exact
+    (integer-domain stats; an aligned boundary means no straddling
+    bucket)."""
+    from rove_spark.operators.rollup import realtime_tier, rollup_from_raw
+
+    df = synthetic_transcripts(spark, n_conv=25, avg_turns=50, period_s=60)
+    mn, mx = df.agg(F.min("ts"), F.max("ts")).first()
+    b = _hour_floor(mn + (mx - mn) / 2)
+    mat = rollup_from_raw(df.where(F.col("ts") < F.lit(b)), "1h")
+    view = realtime_tier(mat, df, "1h", b)
+    assert _canon(view) == _canon(rollup_from_raw(df, "1h"))
+
+
+def test_realtime_tier_clips_overrun_materialization(spark):
+    """A tier table that already ingested part of the tail must not
+    double-count: the materialized side is clipped to < boundary, so
+    even a FULLY materialized table composes exactly."""
+    from rove_spark.operators.rollup import realtime_tier, rollup_from_raw
+
+    df = synthetic_transcripts(spark, n_conv=15, avg_turns=40, period_s=60)
+    mn, mx = df.agg(F.min("ts"), F.max("ts")).first()
+    b = _hour_floor(mn + (mx - mn) / 2)
+    mat_all = rollup_from_raw(df, "1h")  # overruns the watermark
+    view = realtime_tier(mat_all, df, "1h", b)
+    assert _canon(view) == _canon(mat_all)
+
+
+def test_realtime_tier_rejects_unaligned_boundary(spark):
+    """An unaligned boundary splits one bucket across both sides and
+    double-counts it — named error, not silent wrongness."""
+    import datetime
+
+    import pytest
+
+    from rove_spark.operators.rollup import realtime_tier, rollup_from_raw
+
+    df = synthetic_transcripts(spark, n_conv=3, avg_turns=10, period_s=60)
+    mn = df.agg(F.min("ts")).first()[0]
+    b = _hour_floor(mn) + datetime.timedelta(seconds=30)
+    mat = rollup_from_raw(df, "1h")
+    with pytest.raises(ValueError, match="not aligned"):
+        realtime_tier(mat, df, "1h", b)
+    with pytest.raises(ValueError, match="unknown tier"):
+        realtime_tier(mat, df, "5m", _hour_floor(mn))
+
+
+def test_realtime_tier_custom_rollup_fn(spark):
+    """rollup_fn override: a caller-shaped tier frame (different keys /
+    stats) composes through the same boundary split."""
+    from rove_spark.operators.rollup import realtime_tier
+
+    df = synthetic_transcripts(spark, n_conv=10, avg_turns=30, period_s=60)
+
+    def agg_fn(frame):
+        return frame.groupBy(
+            "conv_id", F.date_trunc("minute", "ts").alias("bucket_ts")
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    mn, mx = df.agg(F.min("ts"), F.max("ts")).first()
+    b = _hour_floor(mn + (mx - mn) / 2)
+    mat = agg_fn(df.where(F.col("ts") < F.lit(b)))
+    view = realtime_tier(mat, df, "1m", b, rollup_fn=agg_fn)
+    assert _canon(view) == _canon(agg_fn(df))
