@@ -530,6 +530,7 @@ def retention_compact(
     manifest=None,
     fingerprint: str = "unfingerprinted",
     drop_raw: bool = True,
+    files_per_day: int = 1,
 ) -> dict:
     """Cold-tier compaction: before raw day partitions age out, compress
     them into the Gorilla chunk table mandated by SURVEY §1.4 / §2.8
@@ -552,9 +553,23 @@ def retention_compact(
 
     Scale shape: the encode is ``compress_series``'s grouped-Arrow stage
     (bounded (series, month) groups through ``parallel_groups``); reads
-    are day-partition-pruned on both sides; the drop is metadata-only."""
+    are day-partition-pruned on both sides; the drop is metadata-only.
+    The chunk write is re-clustered onto day-aligned partitions first:
+    the encode stage leaves many mixed-day partitions, and a bare
+    ``partitionBy(day)`` write from those emits one tiny file per
+    (task, day) pair — measured 1,192 files for 30 day-partitions at
+    sf0.01, the exact small-files pathology a cold tier exists to avoid.
+    ``files_per_day`` (default 1 — chunks are compressed, a day is one
+    compact file) trades file count for write parallelism on deployments
+    whose per-day chunk volume is large; the re-cluster key is
+    ``(day, xxhash64(series) % files_per_day)`` so each writer task holds
+    whole output files."""
     from rove_spark.operators.gorilla import compress_series
 
+    if files_per_day < 1:
+        raise ValueError(
+            f"retention_compact: files_per_day={files_per_day} must be >= 1"
+        )
     expiring = [d for d in raw_table.partition_days(day_col) if d < older_than_day]
     done = manifest.done_partitions(fingerprint) if manifest is not None else set()
     todo = [d for d in expiring if f"compact:{d}" not in done]
@@ -576,6 +591,10 @@ def retention_compact(
             raw, value_col, series_col=series_col, ts_col=ts_col, chunk="day"
         ).withColumn(
             day_col, F.date_format(F.date_trunc("day", "chunk_start"), "yyyy-MM-dd")
+        )
+        chunks = chunks.repartition(
+            F.col(day_col),
+            F.pmod(F.xxhash64(F.col("series_id")), F.lit(files_per_day)),
         )
         chunk_table.overwrite_partitions(
             chunks,
