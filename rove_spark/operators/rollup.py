@@ -24,6 +24,7 @@ agg itself cannot skew; skew handling matters only for grouped-UDF stages
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import json
 import re
@@ -112,9 +113,17 @@ def rollup_cascade(
     keys = [F.col(series_col), F.date_trunc(trunc, F.col("bucket_ts")).alias("bucket_ts")]
     if role_col:
         keys.append(F.col(role_col))
+    aggs = _suffix_aggs(tier_df.dtypes, skip={series_col, "bucket_ts", role_col})
+    return tier_df.groupBy(*keys).agg(*aggs)
+
+
+def _suffix_aggs(dtypes, skip) -> list:
+    """The engine's ONE definition of how tier stats compose (cascade ≡
+    merge ≡ cross-segment combine): counts/sums additive, ``*_min`` /
+    ``*_max`` idempotent-combining, ``*_hll`` sketch union."""
     aggs = []
-    for name, _dtype in tier_df.dtypes:
-        if name in (series_col, "bucket_ts", role_col):
+    for name, _dtype in dtypes:
+        if name in skip:
             continue
         if name.endswith("_min"):
             aggs.append(F.min(name).alias(name))
@@ -126,7 +135,7 @@ def rollup_cascade(
             aggs.append(F.hll_union_agg(name).alias(name))
         else:  # counts and sums are additive
             aggs.append(F.sum(name).alias(name))
-    return tier_df.groupBy(*keys).agg(*aggs)
+    return aggs
 
 
 def build_tiers(
@@ -1082,6 +1091,154 @@ def realtime_tier(
     )
     fresh = rollup_fn(raw.filter(tail_pred))
     return mat.unionByName(fresh)
+
+
+_TIER_WIDTHS = {
+    "1m": datetime.timedelta(minutes=1),
+    "1h": datetime.timedelta(hours=1),
+    "1d": datetime.timedelta(days=1),
+}
+_TIER_FLOORS = {
+    "1m": lambda t: t.replace(second=0, microsecond=0),
+    "1h": lambda t: t.replace(minute=0, second=0, microsecond=0),
+    "1d": lambda t: t.replace(hour=0, minute=0, second=0, microsecond=0),
+}
+
+
+def route_range(start, end, levels: Sequence[str] = ("1d", "1h", "1m")):
+    """Decompose the half-open time range ``[start, end)`` into the
+    MAXIMAL disjoint cover by tier buckets, coarse-first: whole days in
+    the interior, whole hours on the day edges, whole minutes on the
+    hour edges, and a ``"raw"`` remainder for any sub-minute slivers.
+    Returns ``[(level, seg_start, seg_end), ...]`` in time order; every
+    tier segment is aligned to its level's bucket grid by construction
+    (``seg_start``/``seg_end`` are multiples of the bucket width), which
+    is exactly the no-straddle condition that makes tier rows inside the
+    segment sum to the raw truth. ``levels`` must be a coarse→fine
+    subsequence of ``("1d", "1h", "1m")`` — a query layer with only some
+    tiers materialized routes over what it has and widens the raw
+    remainder accordingly."""
+    order = [lv for lv in ("1d", "1h", "1m") if lv in levels]
+    if list(levels) != order or len(set(levels)) != len(list(levels)):
+        raise ValueError(
+            f"route_range: levels {list(levels)!r} must be a coarse-to-fine "
+            "subsequence of ['1d', '1h', '1m']"
+        )
+    if start > end:
+        raise ValueError(f"route_range: start {start!r} is after end {end!r}")
+    segs: list[tuple] = []
+
+    def rec(s, e, i):
+        if s >= e:
+            return
+        if i == len(order):
+            segs.append(("raw", s, e))
+            return
+        floor = _TIER_FLOORS[order[i]]
+        width = _TIER_WIDTHS[order[i]]
+        lo = s if floor(s) == s else floor(s) + width
+        hi = floor(e)
+        if lo < hi:
+            rec(s, lo, i + 1)
+            segs.append((order[i], lo, hi))
+            rec(hi, e, i + 1)
+        else:
+            rec(s, e, i + 1)
+
+    rec(start, end, 0)
+    return segs
+
+
+def range_aggregate(
+    raw: DataFrame,
+    tiers: dict[str, DataFrame],
+    start,
+    end,
+    rollup_fn=None,
+    ts_col: str = "ts",
+    series_col: str = "conv_id",
+    role_col: str | None = "role",
+    checks: Sequence[str] = (),
+    text_len_source: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tier-routed range aggregate (the materialized-view-routing read
+    path of a continuous aggregate, TimescaleDB/Druid-style): answer a
+    per-series aggregate over ``[start, end)`` from the COARSEST tier
+    rows that fit — whole interior days from the 1d tier, edge hours
+    from 1h, edge minutes from 1m, and only sub-minute slivers from raw
+    (``route_range`` computes the maximal aligned cover). No rove
+    counterpart (rove streams flags and stores nothing,
+    ``/root/reference/src/server.rs:104-123``); this is the read-side
+    payoff of the tier cascade the north rule mandates.
+
+    Exactness: the segments are disjoint, cover ``[start, end)``
+    exactly, and are bucket-aligned per level, so combining the segment
+    partials under the cascade's own suffix rules (``_suffix_aggs`` —
+    counts/sums add, min/max combine, HLL unions; ONE definition shared
+    with ``rollup_cascade``/``merge_tiers``) reproduces the direct raw
+    aggregate bit-exactly in the integer domain (DuckDB-oracled by the
+    ``tier_route`` driver query against a direct raw-scan aggregate).
+
+    100 TB cost shape: a 90-day range reads ~90 1d rows per series plus
+    at most 2×23 1h rows, 2×59 1m rows and 2×59 s of raw per edge —
+    O(tier rows), not O(raw rows). Every segment filter compares a bare
+    column to a literal CAST TO THE COLUMN'S TYPE, so it reaches the
+    parquet scans as PushedFilters / partition pruning (plan-gated in
+    test_plans); the final combine groups the few surviving partials on
+    the series key only.
+
+    ``tiers`` maps level → tier frame (``bucket_ts`` + stat columns, the
+    ``build_tiers`` shape); levels absent from the dict simply widen the
+    finer segments, so a deployment with only a 1m tier still routes.
+    ``rollup_fn`` (default: ``rollup_from_raw`` with the standard
+    transcript schema, same contract as ``realtime_tier``) aggregates
+    raw slivers to the SAME stat columns; its grouping granularity is
+    irrelevant because every partial is re-combined on the series key."""
+    levels = [lv for lv in ("1d", "1h", "1m") if lv in tiers]
+    if len(levels) != len(tiers):
+        raise ValueError(
+            f"range_aggregate: unknown tier keys {sorted(set(tiers) - set(levels))!r}"
+            f" (want a subset of ['1d', '1h', '1m'])"
+        )
+    if rollup_fn is None:
+        def rollup_fn(sliver: DataFrame) -> DataFrame:
+            return rollup_from_raw(
+                sliver,
+                "1m",
+                series_col=series_col,
+                ts_col=ts_col,
+                role_col=role_col,
+                checks=checks,
+                text_len_source=text_len_source,
+                tool_col=tool_col,
+            )
+    raw_ts_type = dict(raw.dtypes)[ts_col]
+    parts = []
+    for level, s, e in route_range(start, end, levels=tuple(levels)) or [
+        ("raw", start, start)  # empty range: typed empty frame via the raw path
+    ]:
+        if level == "raw":
+            pred = (F.col(ts_col) >= F.lit(s).cast(raw_ts_type)) & (
+                F.col(ts_col) < F.lit(e).cast(raw_ts_type)
+            )
+            parts.append(rollup_fn(raw.filter(pred)))
+        else:
+            frame = tiers[level]
+            bt = dict(frame.dtypes)["bucket_ts"]
+            parts.append(
+                frame.filter(
+                    (F.col("bucket_ts") >= F.lit(s).cast(bt))
+                    & (F.col("bucket_ts") < F.lit(e).cast(bt))
+                )
+            )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    keys = [series_col] + ([role_col] if role_col else [])
+    return merged.groupBy(*keys).agg(
+        *_suffix_aggs(merged.dtypes, skip={*keys, "bucket_ts"})
+    )
 
 
 def compact_tier_increments(

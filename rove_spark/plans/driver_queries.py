@@ -355,6 +355,55 @@ def q_realtime_tier(spark, sf):
     )
 
 
+def q_tier_route(spark, sf):
+    """Tier-routed range aggregate (``rollup.range_aggregate`` — the
+    materialized-view-routing read path): a deliberately ragged range
+    [day0+1d 01:01:30, last_day 02:05:15) decomposes into raw-second
+    slivers, 1m edges, 1h edges and ~27 interior 1d-tier days; the
+    per-user stats come from the COARSEST tier rows that fit and are
+    combined under the cascade's suffix rules. Oracle = the direct raw
+    aggregate over the same range — a misaligned segment boundary, a
+    double-counted edge bucket, or a dropped sliver breaks the hash."""
+    import datetime as dt
+
+    from rove_spark.operators.rollup import range_aggregate
+
+    _utc(spark)
+    ev = _events(spark, sf)
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    day0 = mn.replace(hour=0, minute=0, second=0, microsecond=0)
+    start = day0 + dt.timedelta(days=1, hours=1, minutes=1, seconds=30)
+    end = mx.replace(hour=0, minute=0, second=0, microsecond=0) + dt.timedelta(
+        hours=2, minutes=5, seconds=15
+    )
+    t1m = _rollup_1m(ev)
+    t1h = _cascade(t1m, "hour")
+    tiers = {"1m": t1m, "1h": t1h, "1d": _cascade(t1h, "day")}
+    return range_aggregate(
+        ev, tiers, start, end, rollup_fn=_rollup_1m, ts_col="ts",
+        series_col="user_id", role_col=None,
+    )
+
+
+SQL_TIER_ROUTE = """
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+           + INTERVAL 1 DAY + INTERVAL 1 HOUR + INTERVAL 1 MINUTE + INTERVAL 30 SECOND AS s,
+         CAST(date_trunc('day', max(ts)) AS TIMESTAMP)
+           + INTERVAL 2 HOUR + INTERVAL 5 MINUTE + INTERVAL 15 SECOND AS e
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_sum_cents,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events, bounds
+WHERE ts >= s AND ts < e
+GROUP BY 1
+"""
+
+
 def q_rollup_1h(spark, sf):
     """1h tier CASCADED from 1m; oracle aggregates directly from raw —
     passing proves cascade exactness."""
@@ -3456,6 +3505,11 @@ ROTATION_GROUPS: list[list[str]] = [
     # mergeable tier-sketch family (exact-merge contract, read-time
     # estimates; hll_tier stays fixed — its oracle gate differs in kind)
     ["histogram_tier", "topk_tier", "quantile_tier"],
+    # tier-read composition family: both answer reads by combining tier
+    # rows with raw under the same suffix merge rules and the same
+    # oracle class (≡ a direct raw aggregate) — realtime_tier splits on
+    # a freshness boundary, tier_route on the range's bucket cover
+    ["realtime_tier", "tier_route"],
 ]
 
 
@@ -3503,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_flag_density": q_rollup_flag_density,
         "rollup_incremental": q_rollup_incremental,
         "realtime_tier": q_realtime_tier,
+        "tier_route": q_tier_route,
         "rollup_1d": q_rollup_1d,
         "rollup_1h": q_rollup_1h,
         "rollup_by_type": q_rollup_by_type,
@@ -3596,6 +3651,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_incremental": _sql_rollup("minute"),
         # realtime view ≡ the direct full rollup (the exactness contract)
         "realtime_tier": _sql_rollup("minute"),
+        "tier_route": SQL_TIER_ROUTE,
         "rollup_1h": _sql_rollup("hour"),
         "rollup_1d": _sql_rollup("day"),
         "rollup_1m_stream": _sql_rollup("minute"),

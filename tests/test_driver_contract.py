@@ -125,7 +125,7 @@ MUST_VERIFY_FIXED = {
     "pipeline_toml",
     "rollup_1m_stream", "step_check_stream",
     "spike_check_stream", "flatline_check_stream",
-    "hll_tier", "realtime_tier", "verify_digests",
+    "hll_tier", "verify_digests",
     "buddy_check", "sct",
     "csv_snapshot", "polygon_filter",
     "dedup_exact", "dedup_clusters", "minhash_neardup", "simhash_neardup",

@@ -221,6 +221,46 @@ def test_realtime_tier_pushes_tail_filter_into_scan(spark, parquet_transcripts):
     ), f"tail predicate not pushed: {pushed}"
 
 
+def test_range_aggregate_prunes_every_scan(spark, parquet_transcripts, tmp_path):
+    """range_aggregate over PARQUET tier tables: every segment's bucket
+    bounds must reach its tier scan as PushedFilters, and the raw scan
+    must carry the sliver bounds — at 100 TB the interior days are read
+    from O(days) 1d-tier rows while the raw table contributes only
+    sub-minute edge slivers, never history."""
+    import datetime as dt
+
+    from rove_spark.operators.rollup import build_tiers, range_aggregate
+
+    raw = spark.read.parquet(parquet_transcripts)
+    paths = {}
+    for lv, frame in build_tiers(raw).items():
+        paths[lv] = str(tmp_path / f"tier_{lv}")
+        frame.write.parquet(paths[lv])
+    tiers = {lv: spark.read.parquet(p) for lv, p in paths.items()}
+    mn, mx = raw.agg(F.min("ts"), F.max("ts")).first()
+    start = mn.replace(hour=0, minute=0, second=0, microsecond=0) + dt.timedelta(
+        days=1, hours=1, minutes=1, seconds=30
+    )
+    end = mx.replace(hour=0, minute=0, second=0, microsecond=0) + dt.timedelta(
+        hours=2, minutes=5, seconds=15
+    )
+    assert start < end
+    plan = _plan(range_aggregate(raw, tiers, start, end))
+    pushed = [
+        line.split("PushedFilters:")[1]
+        for line in plan.splitlines()
+        if "PushedFilters:" in line and "IsNotNull" in line
+    ]
+    bucket_scans = [p for p in pushed if "GreaterThanOrEqual(bucket_ts" in p]
+    raw_scans = [p for p in pushed if "GreaterThanOrEqual(ts" in p]
+    # 1d interior + 2×1h edges + 2×1m edges = 5 tier-scan segments, each
+    # with BOTH bounds pushed; 2 raw slivers likewise
+    assert len(bucket_scans) == 5, f"tier scans missing pushed bounds: {pushed}"
+    assert all("LessThan(bucket_ts" in p for p in bucket_scans), bucket_scans
+    assert len(raw_scans) == 2, f"raw slivers missing pushed bounds: {pushed}"
+    assert all("LessThan(ts" in p for p in raw_scans), raw_scans
+
+
 def test_relational_buddy_has_no_python_stages(spark, parquet_transcripts):
     """The single-iteration buddy path (round 5) is whole-JVM: no
     ArrowEval/FlatMapGroupsInPandas stages, and neighbor moments come

@@ -420,3 +420,96 @@ def test_realtime_tier_custom_rollup_fn(spark):
     mat = agg_fn(df.where(F.col("ts") < F.lit(b)))
     view = realtime_tier(mat, df, "1m", b, rollup_fn=agg_fn)
     assert _canon(view) == _canon(agg_fn(df))
+
+
+# ---------------------------------------------------- tier-routed reads --
+
+
+def test_route_range_cover_disjoint_aligned():
+    """route_range's three invariants on a fully mixed range: segments
+    are contiguous (disjoint + cover [start, end) in time order), every
+    tier segment is aligned to its level's grid, and the cover is
+    MAXIMAL (a coarser bucket never hides inside a finer segment)."""
+    import datetime as dt
+
+    from rove_spark.operators.rollup import _TIER_FLOORS, _TIER_WIDTHS, route_range
+
+    start = dt.datetime(2025, 1, 3, 1, 1, 30)
+    end = dt.datetime(2025, 1, 7, 2, 5, 15)
+    segs = route_range(start, end)
+    assert [lv for lv, *_ in segs] == ["raw", "1m", "1h", "1d", "1h", "1m", "raw"]
+    cur = start
+    for lv, a, b in segs:
+        assert a == cur and a < b, (lv, a, b)
+        cur = b
+        if lv != "raw":
+            assert _TIER_FLOORS[lv](a) == a and _TIER_FLOORS[lv](b) == b
+        else:  # maximality: no whole finest bucket inside a raw sliver
+            assert b - a < _TIER_WIDTHS["1m"] or _TIER_FLOORS["1m"](a) != a
+    assert cur == end
+    # degenerate and single-level shapes
+    assert route_range(start, start) == []
+    assert [lv for lv, *_ in route_range(start, end, levels=("1m",))] == [
+        "raw", "1m", "raw",
+    ]
+    aligned = route_range(dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 3))
+    assert aligned == [("1d", dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 3))]
+
+
+def test_range_aggregate_equals_direct(spark):
+    """The routing contract: combining 1d-interior + 1h/1m-edge tier rows
+    + raw slivers under the cascade's suffix rules ≡ the direct raw
+    aggregate over [start, end), bit-exact."""
+    import datetime as dt
+
+    from rove_spark.operators.rollup import range_aggregate
+
+    df = synthetic_transcripts(spark, n_conv=20, avg_turns=80, period_s=1800)
+    tiers = build_tiers(df)
+    mn, mx = df.agg(F.min("ts"), F.max("ts")).first()
+    day0 = mn.replace(hour=0, minute=0, second=0, microsecond=0)
+    start = day0 + dt.timedelta(days=1, hours=1, minutes=1, seconds=30)
+    end = mx.replace(hour=0, minute=0, second=0, microsecond=0) + dt.timedelta(
+        hours=2, minutes=5, seconds=15
+    )
+    assert start < end, "fixture must span enough days for a mixed route"
+    got = range_aggregate(df, tiers, start, end)
+    sliced = df.where((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+    want = (
+        rollup_from_raw(sliced, "1d")
+        .drop("bucket_ts")
+        .groupBy("conv_id", "role")
+        .agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("text_len_sum").alias("text_len_sum"),
+            F.min("text_len_min").alias("text_len_min"),
+            F.max("text_len_max").alias("text_len_max"),
+            F.sum("n_tool_calls").alias("n_tool_calls"),
+        )
+    )
+    assert _canon(got) == _canon(want)
+
+
+def test_range_aggregate_partial_tiers_and_empty(spark):
+    """A deployment with only a 1m tier routes over what it has (raw
+    slivers widen); an empty range returns a typed empty frame; unknown
+    tier keys raise."""
+    import datetime as dt
+
+    import pytest
+
+    from rove_spark.operators.rollup import range_aggregate
+
+    df = synthetic_transcripts(spark, n_conv=10, avg_turns=40, period_s=1800)
+    tiers = build_tiers(df)
+    mn, mx = df.agg(F.min("ts"), F.max("ts")).first()
+    start = mn.replace(minute=0, second=0, microsecond=0) + dt.timedelta(
+        hours=2, seconds=30
+    )
+    end = start + dt.timedelta(days=2, hours=3, minutes=7, seconds=45)
+    only_1m = range_aggregate(df, {"1m": tiers["1m"]}, start, end)
+    full = range_aggregate(df, tiers, start, end)
+    assert _canon(only_1m) == _canon(full)
+    assert range_aggregate(df, tiers, start, start).count() == 0
+    with pytest.raises(ValueError, match="unknown tier keys"):
+        range_aggregate(df, {"5m": tiers["1m"]}, start, end)
