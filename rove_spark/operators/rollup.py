@@ -1003,14 +1003,31 @@ def read_tier(
     )
 
 
-_TIER_FLOOR_CHECKS = {
-    "1m": lambda b: b.second == 0 and b.microsecond == 0,
-    "1h": lambda b: b.minute == 0 and b.second == 0 and b.microsecond == 0,
-    "1d": lambda b: b.hour == 0
-    and b.minute == 0
-    and b.second == 0
-    and b.microsecond == 0,
+_TIER_WIDTHS = {
+    "1m": datetime.timedelta(minutes=1),
+    "1h": datetime.timedelta(hours=1),
+    "1d": datetime.timedelta(days=1),
 }
+_TIER_FLOORS = {
+    "1m": lambda t: t.replace(second=0, microsecond=0),
+    "1h": lambda t: t.replace(minute=0, second=0, microsecond=0),
+    "1d": lambda t: t.replace(hour=0, minute=0, second=0, microsecond=0),
+}
+# adding a tier to TIERS without its width/floor would pass the
+# "tier not in TIERS" guards and then KeyError mid-operator — fail at import
+assert set(_TIER_WIDTHS) == set(_TIER_FLOORS) == set(TIERS)
+
+
+def _as_datetime(boundary) -> datetime.datetime:
+    """Accept datetime.date (the natural watermark type for a daily tier
+    — day-aligned by definition) alongside datetime.datetime."""
+    if isinstance(boundary, datetime.datetime):
+        return boundary
+    if isinstance(boundary, datetime.date):
+        return datetime.datetime(boundary.year, boundary.month, boundary.day)
+    raise TypeError(
+        f"boundary must be a datetime.date/datetime, got {type(boundary).__name__}"
+    )
 
 
 def realtime_tier(
@@ -1061,7 +1078,8 @@ def realtime_tier(
     """
     if tier not in TIERS:
         raise ValueError(f"realtime_tier: unknown tier {tier!r} (want {list(TIERS)})")
-    if not _TIER_FLOOR_CHECKS[tier](boundary):
+    boundary = _as_datetime(boundary)
+    if _TIER_FLOORS[tier](boundary) != boundary:
         raise ValueError(
             f"realtime_tier: boundary {boundary!r} is not aligned to the "
             f"{tier} bucket grid — an unaligned boundary splits one bucket "
@@ -1093,18 +1111,6 @@ def realtime_tier(
     return mat.unionByName(fresh)
 
 
-_TIER_WIDTHS = {
-    "1m": datetime.timedelta(minutes=1),
-    "1h": datetime.timedelta(hours=1),
-    "1d": datetime.timedelta(days=1),
-}
-_TIER_FLOORS = {
-    "1m": lambda t: t.replace(second=0, microsecond=0),
-    "1h": lambda t: t.replace(minute=0, second=0, microsecond=0),
-    "1d": lambda t: t.replace(hour=0, minute=0, second=0, microsecond=0),
-}
-
-
 def route_range(start, end, levels: Sequence[str] = ("1d", "1h", "1m")):
     """Decompose the half-open time range ``[start, end)`` into the
     MAXIMAL disjoint cover by tier buckets, coarse-first: whole days in
@@ -1119,11 +1125,12 @@ def route_range(start, end, levels: Sequence[str] = ("1d", "1h", "1m")):
     tiers materialized routes over what it has and widens the raw
     remainder accordingly."""
     order = [lv for lv in ("1d", "1h", "1m") if lv in levels]
-    if list(levels) != order or len(set(levels)) != len(list(levels)):
+    if list(levels) != order:
         raise ValueError(
             f"route_range: levels {list(levels)!r} must be a coarse-to-fine "
             "subsequence of ['1d', '1h', '1m']"
         )
+    start, end = _as_datetime(start), _as_datetime(end)
     if start > end:
         raise ValueError(f"route_range: start {start!r} is after end {end!r}")
     segs: list[tuple] = []
@@ -1201,6 +1208,7 @@ def range_aggregate(
             f"range_aggregate: unknown tier keys {sorted(set(tiers) - set(levels))!r}"
             f" (want a subset of ['1d', '1h', '1m'])"
         )
+    start, end = _as_datetime(start), _as_datetime(end)
     if rollup_fn is None:
         def rollup_fn(sliver: DataFrame) -> DataFrame:
             return rollup_from_raw(

@@ -376,7 +376,10 @@ def q_tier_route(spark, sf):
     end = mx.replace(hour=0, minute=0, second=0, microsecond=0) + dt.timedelta(
         hours=2, minutes=5, seconds=15
     )
-    t1m = _rollup_1m(ev)
+    # the 1m frame is referenced by all three tier branches in ONE plan —
+    # without truncation Spark recomputes the raw→1m rollup per reference
+    # (~5 events scans; the round-5 multi-reference lesson)
+    t1m = _rollup_1m(ev).localCheckpoint(eager=False)
     t1h = _cascade(t1m, "hour")
     tiers = {"1m": t1m, "1h": t1h, "1d": _cascade(t1h, "day")}
     return range_aggregate(

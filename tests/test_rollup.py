@@ -401,6 +401,11 @@ def test_realtime_tier_rejects_unaligned_boundary(spark):
         realtime_tier(mat, df, "1h", b)
     with pytest.raises(ValueError, match="unknown tier"):
         realtime_tier(mat, df, "5m", _hour_floor(mn))
+    # a datetime.date is the natural daily watermark: day-aligned by
+    # definition, accepted (not AttributeError'd) for every tier
+    realtime_tier(mat, df, "1h", mn.date() + datetime.timedelta(days=1))
+    with pytest.raises(TypeError, match="boundary"):
+        realtime_tier(mat, df, "1h", "2025-01-01")
 
 
 def test_realtime_tier_custom_rollup_fn(spark):
@@ -444,8 +449,9 @@ def test_route_range_cover_disjoint_aligned():
         cur = b
         if lv != "raw":
             assert _TIER_FLOORS[lv](a) == a and _TIER_FLOORS[lv](b) == b
-        else:  # maximality: no whole finest bucket inside a raw sliver
-            assert b - a < _TIER_WIDTHS["1m"] or _TIER_FLOORS["1m"](a) != a
+        else:  # maximality: no whole aligned 1m bucket fits inside [a, b)
+            lo = a if _TIER_FLOORS["1m"](a) == a else _TIER_FLOORS["1m"](a) + _TIER_WIDTHS["1m"]
+            assert lo + _TIER_WIDTHS["1m"] > b, (a, b)
     assert cur == end
     # degenerate and single-level shapes
     assert route_range(start, start) == []
