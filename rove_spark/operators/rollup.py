@@ -1157,7 +1157,7 @@ def route_range(start, end, levels: Sequence[str] = ("1d", "1h", "1m")):
 
 
 def range_aggregate(
-    raw: DataFrame,
+    raw: DataFrame | None,
     tiers: dict[str, DataFrame],
     start,
     end,
@@ -1198,6 +1198,9 @@ def range_aggregate(
     ``tiers`` maps level → tier frame (``bucket_ts`` + stat columns, the
     ``build_tiers`` shape); levels absent from the dict simply widen the
     finer segments, so a deployment with only a 1m tier still routes.
+    ``raw=None`` serves tier-only stores: a range whose edges align to
+    the finest available tier needs no raw rows; one that doesn't raises
+    a named error instead of silently undercounting the slivers.
     ``rollup_fn`` (default: ``rollup_from_raw`` with the standard
     transcript schema, same contract as ``realtime_tier``) aggregates
     raw slivers to the SAME stat columns; its grouping granularity is
@@ -1208,6 +1211,8 @@ def range_aggregate(
             f"range_aggregate: unknown tier keys {sorted(set(tiers) - set(levels))!r}"
             f" (want a subset of ['1d', '1h', '1m'])"
         )
+    if raw is None and not tiers:
+        raise ValueError("range_aggregate: need a raw frame or at least one tier")
     start, end = _as_datetime(start), _as_datetime(end)
     if rollup_fn is None:
         def rollup_fn(sliver: DataFrame) -> DataFrame:
@@ -1221,12 +1226,23 @@ def range_aggregate(
                 text_len_source=text_len_source,
                 tool_col=tool_col,
             )
-    raw_ts_type = dict(raw.dtypes)[ts_col]
+    segs = route_range(start, end, levels=tuple(levels))
+    if not segs:  # empty range: typed empty frame, no raw source required
+        segs = [("raw", start, start)] if raw is not None else []
+        if not segs:
+            lv0 = next(iter(tiers))
+            segs = [(lv0, start, start)]
     parts = []
-    for level, s, e in route_range(start, end, levels=tuple(levels)) or [
-        ("raw", start, start)  # empty range: typed empty frame via the raw path
-    ]:
+    for level, s, e in segs:
         if level == "raw":
+            if raw is None:
+                raise ValueError(
+                    f"range_aggregate: the range needs raw rows for "
+                    f"[{s}, {e}) but no raw frame was provided — pass the "
+                    "hot raw table (union the cold-tier decode for expired "
+                    "days), or align start/end to the finest tier's grid"
+                )
+            raw_ts_type = dict(raw.dtypes)[ts_col]
             pred = (F.col(ts_col) >= F.lit(s).cast(raw_ts_type)) & (
                 F.col(ts_col) < F.lit(e).cast(raw_ts_type)
             )

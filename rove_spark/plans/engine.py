@@ -402,6 +402,140 @@ class Engine:
             )
         return out
 
+    # stats servable across EVERY storage layer: tiers store them, and a
+    # raw/cold sliver can recompute them from the checked signal alone.
+    # Flag/role/tool tier stats are deliberately excluded — the cold tier
+    # archives only (series, ts, value), so a sliver cannot reproduce
+    # them and a silent 0 would read as "no flags" instead of "not here".
+    RANGE_STATS = ("n_turns", "text_len_sum", "text_len_min", "text_len_max")
+
+    def query_range(
+        self,
+        out_dir: str | Path,
+        start,
+        end,
+        hot_df: DataFrame | None = None,
+        value_col: str = "text_len",
+        series_col: str = "conv_id",
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """THE read path over a job's whole store: answer a per-series
+        aggregate for ``[start, end)`` from everything ``run_job`` /
+        ``ingest_late`` / retention have produced under ``out_dir`` —
+        merge-on-read tiers (base + unfolded increments, ``read_tier``)
+        for every whole bucket, the caller's hot raw table unioned with
+        the Gorilla cold tier (``chunks_raw``, day-pruned BEFORE decode
+        via ``cold_source``) for sub-minute slivers. Completes the
+        lifecycle: build → incremental refresh → read-time freshness →
+        retention → cold compression → THIS query. Exactness contract:
+        ``query_range ≡ aggregate(original raw)`` as long as every day is
+        in the hot table or the cold tier (lifecycle-tested across a
+        compaction boundary in test_query_range).
+
+        100 TB cost shape: tier scans are pruned to the range's day
+        partitions before merge-on-read; the cold scan decodes only
+        sliver-day chunks; the hot scan carries pushed sliver bounds. A
+        90-day range therefore reads O(days) tier rows + two sub-minute
+        slivers — never history.
+
+        Serves ``RANGE_STATS`` only (turn counts + checked-signal
+        sum/min/max) — the stats every layer can produce; see the class
+        attribute note. Timestamps in the cold tier are second-floored
+        (the codec's grid), so sliver boundaries must not need sub-second
+        precision to split archived rows (second-aligned data is exact)."""
+        from types import SimpleNamespace
+
+        from rove_spark.operators.rollup import (
+            _as_datetime,
+            cold_source,
+            range_aggregate,
+            read_tier,
+            rollup_from_raw,
+        )
+
+        out_dir = Path(out_dir)
+        start, end = _as_datetime(start), _as_datetime(end)
+        days: list[str] = []
+        if start < end:
+            cur = start.date()
+            last = (end - timedelta(microseconds=1)).date()
+            while cur <= last:
+                days.append(cur.strftime("%Y-%m-%d"))
+                cur += timedelta(days=1)
+        tiers: dict[str, DataFrame] = {}
+        for t in ("1m", "1h", "1d"):
+            base = open_table(self.spark, out_dir / f"tier_{t}", ["day"])
+            inc = open_table(self.spark, out_dir / f"tier_{t}_inc", ["day", "batch"])
+            if not (base.exists() or inc.exists()):
+                continue
+            probe = (base if base.exists() else inc).read(self.spark)
+            frame = read_tier(
+                self.spark,
+                base,
+                inc,
+                t,
+                series_col=series_col,
+                role_col="role" if "role" in probe.columns else None,
+                days=days or None,
+            )
+            tiers[t] = frame.select(series_col, "bucket_ts", *self.RANGE_STATS)
+
+        raw_parts = []
+        if hot_df is not None:
+            raw_parts.append(
+                hot_df.select(
+                    F.col(series_col), F.col(ts_col), F.col(value_col)
+                )
+            )
+        chunks = open_table(self.spark, out_dir / "chunks_raw", ["day"])
+        if chunks.exists() and start < end:
+            cold = cold_source(self.spark, chunks, value_col=value_col)(
+                SimpleNamespace(start=start, end=end), None
+            ).filter(~F.col("is_gap"))
+            cold = cold.select(
+                F.col("series_id").alias(series_col),
+                F.col("ts"),
+                F.col(value_col),
+            )
+            if raw_parts:  # align cold's decoded types to the hot table's
+                hot_types = dict(raw_parts[0].dtypes)
+                cold = cold.select(
+                    F.col(series_col).cast(hot_types[series_col]).alias(series_col),
+                    F.col("ts").cast(hot_types[ts_col]).alias(ts_col),
+                    F.col(value_col).cast(hot_types[value_col]).alias(value_col),
+                )
+            else:
+                cold = cold.withColumnRenamed("ts", ts_col)
+            raw_parts.append(cold)
+        raw = None
+        if raw_parts:
+            raw = raw_parts[0]
+            for p in raw_parts[1:]:
+                raw = raw.unionByName(p)
+
+        def sliver_fn(frame: DataFrame) -> DataFrame:
+            return rollup_from_raw(
+                frame,
+                "1m",
+                series_col=series_col,
+                ts_col=ts_col,
+                role_col=None,
+                checks=(),
+                text_len_source=value_col,
+                tool_col=None,
+            ).select(series_col, "bucket_ts", *self.RANGE_STATS)
+
+        return range_aggregate(
+            raw,
+            tiers,
+            start,
+            end,
+            rollup_fn=sliver_fn,
+            ts_col=ts_col,
+            series_col=series_col,
+            role_col=None,
+        )
+
     def _apply_retention(
         self, retention, result, out_dir, input_path, value_col, series_col,
         ts_col, manifest, fp,
