@@ -48,6 +48,17 @@ def main() -> None:
         "when exact boundary flags matter.",
     )
     ap.add_argument("--batch-id", default=None, help="idempotency id for --late-delta (defaults to a content digest)")
+    ap.add_argument(
+        "--query",
+        nargs=2,
+        metavar=("START", "END"),
+        help="read mode: per-series aggregate over [START, END) ISO "
+        "datetimes, answered from the store under --out (merge-on-read "
+        "tiers for whole buckets, --hot raw + the cold tier for "
+        "sub-minute slivers); result written to --query-out.",
+    )
+    ap.add_argument("--hot", help="parquet path of the HOT raw table for --query slivers")
+    ap.add_argument("--query-out", help="parquet path for the --query result (required with --query)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -58,6 +69,35 @@ def main() -> None:
     from rove_spark.sources.synthetic import synthetic_transcripts
 
     spark = get_spark("rove_spark_job", master=args.master)
+    if args.query:
+        if not args.query_out:
+            ap.error("--query requires --query-out")
+        from datetime import datetime
+
+        start, end = (datetime.fromisoformat(v) for v in args.query)
+        eng = Engine(spark, pipeline_dir=args.pipeline_dir)
+        hot = spark.read.parquet(args.hot) if args.hot else None
+        if hot is not None and args.value_col not in hot.columns:
+            hot = derive_signals(hot)  # raw transcripts: derive the signal
+        t0 = time.time()
+        result = eng.query_range(
+            args.out, start, end, hot_df=hot, value_col=args.value_col
+        )
+        # result is O(series) rows — write it, never collect it
+        result.write.mode("overwrite").parquet(args.query_out)
+        n = spark.read.parquet(args.query_out).count()
+        print(
+            json.dumps(
+                {
+                    "query": [v.isoformat() for v in (start, end)],
+                    "series": n,
+                    "elapsed_sec": round(time.time() - t0, 2),
+                    "query_out": args.query_out,
+                }
+            )
+        )
+        spark.stop()
+        return
     if args.late_delta:
         eng = Engine(spark, pipeline_dir=args.pipeline_dir)
         delta = derive_signals(spark.read.parquet(args.late_delta))
