@@ -418,6 +418,7 @@ class Engine:
         value_col: str = "text_len",
         series_col: str = "conv_id",
         ts_col: str = "ts",
+        series_ids: Sequence[str] | None = None,
     ) -> DataFrame:
         """THE read path over a job's whole store: answer a per-series
         aggregate for ``[start, end)`` from everything ``run_job`` /
@@ -442,7 +443,14 @@ class Engine:
         sum/min/max) — the stats every layer can produce; see the class
         attribute note. Timestamps in the cold tier are second-floored
         (the codec's grid), so sliver boundaries must not need sub-second
-        precision to split archived rows (second-aligned data is exact)."""
+        precision to split archived rows (second-aligned data is exact).
+
+        ``series_ids`` narrows EVERY layer to the named series (the
+        single-series dashboard query): an ``In`` predicate on the tier
+        and hot scans — pushed through the merge-on-read aggregate to
+        PushedFilters since it sits on a grouping key — and a One
+        space-spec into ``cold_source`` so only that series' chunks are
+        decoded."""
         from types import SimpleNamespace
 
         from rove_spark.operators.rollup import (
@@ -478,10 +486,14 @@ class Engine:
                 role_col="role" if "role" in probe.columns else None,
                 days=days or None,
             )
+            if series_ids is not None:
+                frame = frame.filter(F.col(series_col).isin(list(series_ids)))
             tiers[t] = frame.select(series_col, "bucket_ts", *self.RANGE_STATS)
 
         raw_parts = []
         if hot_df is not None:
+            if series_ids is not None:
+                hot_df = hot_df.filter(F.col(series_col).isin(list(series_ids)))
             raw_parts.append(
                 hot_df.select(
                     F.col(series_col), F.col(ts_col), F.col(value_col)
@@ -489,8 +501,13 @@ class Engine:
             )
         chunks = open_table(self.spark, out_dir / "chunks_raw", ["day"])
         if chunks.exists() and start < end:
+            space = (
+                SimpleNamespace(kind="one", ids=[str(i) for i in series_ids])
+                if series_ids is not None
+                else None
+            )
             cold = cold_source(self.spark, chunks, value_col=value_col)(
-                SimpleNamespace(start=start, end=end), None
+                SimpleNamespace(start=start, end=end), space
             ).filter(~F.col("is_gap"))
             cold = cold.select(
                 F.col("series_id").alias(series_col),

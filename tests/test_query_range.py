@@ -81,6 +81,22 @@ def test_query_range_across_compaction_boundary(spark, tmp_path):
     # empty range: typed empty, no error
     assert eng.query_range(tmp_path / "out", start, start).count() == 0
 
+    # series_ids narrows every layer (the single-series dashboard query):
+    # result ≡ the direct aggregate restricted to that series, and the In
+    # predicate reaches the tier parquet scans THROUGH the merge-on-read
+    # aggregate (it sits on a grouping key)
+    cid = original.select("conv_id").first()[0]
+    one = eng.query_range(
+        tmp_path / "out", start, end,
+        hot_df=raw.read(spark).drop("day"), series_ids=[cid],
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert f"In(conv_id, [{cid}])" in plan or f"EqualTo(conv_id,{cid})" in plan, plan[:2000]
+    want_one = _direct(
+        original.filter(F.col("conv_id") == cid), start, end
+    )
+    assert _canon(one) == _canon(want_one) and one.count() == 1
+
 
 def test_query_range_sees_late_increments(spark, tmp_path):
     """Rows landed through ingest_late (increment batches, never folded
