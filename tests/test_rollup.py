@@ -519,3 +519,54 @@ def test_range_aggregate_partial_tiers_and_empty(spark):
     assert range_aggregate(df, tiers, start, start).count() == 0
     with pytest.raises(ValueError, match="unknown tier keys"):
         range_aggregate(df, {"5m": tiers["1m"]}, start, end)
+
+
+def test_route_range_property():
+    """Property fuzz (hypothesis): for ANY range and ANY coarse→fine level
+    subset, route_range returns a contiguous cover of [start, end) whose
+    tier segments are grid-aligned and whose cover is maximal — no
+    coarser whole bucket hides inside a finer segment or sliver."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rove_spark.operators.rollup import _TIER_FLOORS, _TIER_WIDTHS, route_range
+
+    base = dt.datetime(2024, 1, 1)
+    subsets = [s for i in range(8) if (s := tuple(
+        lv for b, lv in zip((i & 4, i & 2, i & 1), ("1d", "1h", "1m")) if b
+    )) or i == 0]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        a=st.integers(0, 40 * 86400 * 10**6),
+        span=st.integers(0, 10 * 86400 * 10**6),
+        levels=st.sampled_from(subsets),
+    )
+    def check(a, span, levels):
+        start = base + dt.timedelta(microseconds=a)
+        end = start + dt.timedelta(microseconds=span)
+        segs = route_range(start, end, levels=levels)
+        cur = start
+        finest = levels[-1] if levels else None
+        for lv, s, e in segs:
+            assert s == cur and s < e
+            cur = e
+            if lv == "raw":
+                if finest is not None:
+                    w, fl = _TIER_WIDTHS[finest], _TIER_FLOORS[finest]
+                    lo = s if fl(s) == s else fl(s) + w
+                    assert lo + w > e, (s, e)  # no whole finest bucket inside
+            else:
+                fl = _TIER_FLOORS[lv]
+                assert fl(s) == s and fl(e) == e
+                # maximality upward: no whole coarser bucket inside this one
+                idx = levels.index(lv)
+                if idx > 0:
+                    cw, cf = _TIER_WIDTHS[levels[idx - 1]], _TIER_FLOORS[levels[idx - 1]]
+                    lo = s if cf(s) == s else cf(s) + cw
+                    assert lo + cw > e, (lv, s, e)
+        assert cur == end
+
+    check()
