@@ -1020,8 +1020,15 @@ assert set(_TIER_WIDTHS) == set(_TIER_FLOORS) == set(TIERS)
 
 def _as_datetime(boundary) -> datetime.datetime:
     """Accept datetime.date (the natural watermark type for a daily tier
-    — day-aligned by definition) alongside datetime.datetime."""
+    — day-aligned by definition) alongside datetime.datetime. A tz-AWARE
+    datetime is converted to its UTC instant and made naive: the whole
+    engine compares against TIMESTAMP_NTZ storage under a UTC session,
+    and flooring/day-pruning an aware value on its own wall clock would
+    silently misalign with the stored UTC bucket grid (e.g. a +03:00
+    midnight is not a bucket boundary)."""
     if isinstance(boundary, datetime.datetime):
+        if boundary.tzinfo is not None:
+            return boundary.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return boundary
     if isinstance(boundary, datetime.date):
         return datetime.datetime(boundary.year, boundary.month, boundary.day)

@@ -431,13 +431,24 @@ class Engine:
         retention → cold compression → THIS query. Exactness contract:
         ``query_range ≡ aggregate(original raw)`` as long as every day is
         in the hot table or the cold tier (lifecycle-tested across a
-        compaction boundary in test_query_range).
+        compaction boundary in test_query_range) AND the archived signal
+        fits the codec's domain: values are stored as float32 (exact for
+        integers |v| ≤ 2^24 — text_len qualifies; a wider signal rounds)
+        and NULL-valued rows are encoded as absent (a compacted day's
+        null row is not a turn for ``n_turns``, while a hot day's is).
+        A day present in BOTH layers (the kill window between chunk
+        commit and raw drop, or a pre-retention snapshot passed as the
+        hot table) is served from the cold tier only — never
+        double-counted.
 
         100 TB cost shape: tier scans are pruned to the range's day
-        partitions before merge-on-read; the cold scan decodes only
-        sliver-day chunks; the hot scan carries pushed sliver bounds. A
-        90-day range therefore reads O(days) tier rows + two sub-minute
-        slivers — never history.
+        partitions before merge-on-read; the route is computed first, so
+        the cold scan decodes only SLIVER-day chunks (≤2 days per ragged
+        edge, localCheckpointed so the Python decode runs once however
+        many plan branches reference it) and the hot scan carries pushed
+        sliver bounds. A 90-day range therefore reads O(days) tier rows
+        + two sub-minute slivers — never history. An empty range prunes
+        every partition (``days=[]``) and reads nothing.
 
         Serves ``RANGE_STATS`` only (turn counts + checked-signal
         sum/min/max) — the stats every layer can produce; see the class
@@ -459,6 +470,7 @@ class Engine:
             range_aggregate,
             read_tier,
             rollup_from_raw,
+            route_range,
         )
 
         out_dir = Path(out_dir)
@@ -484,32 +496,69 @@ class Engine:
                 t,
                 series_col=series_col,
                 role_col="role" if "role" in probe.columns else None,
-                days=days or None,
+                days=days,  # [] for an empty range prunes EVERY partition
             )
             if series_ids is not None:
                 frame = frame.filter(F.col(series_col).isin(list(series_ids)))
             tiers[t] = frame.select(series_col, "bucket_ts", *self.RANGE_STATS)
 
+        # route FIRST: the raw layers only ever serve the route's sliver
+        # windows, so cold decode and the hot/cold overlap guard are scoped
+        # to sliver DAYS (2 edges × ≤2 days), never the whole range
+        slivers = []
+        if start < end:
+            segs = route_range(
+                start, end, levels=tuple(lv for lv in ("1d", "1h", "1m") if lv in tiers)
+            )
+            slivers = [(s, e) for lv, s, e in segs if lv == "raw"]
+        sliver_day_set: set[str] = set()
+        for s, e in slivers:
+            cur, last = s.date(), (e - timedelta(microseconds=1)).date()
+            while cur <= last:  # a tier-less store's sliver spans many days
+                sliver_day_set.add(cur.strftime("%Y-%m-%d"))
+                cur += timedelta(days=1)
+        sliver_days = sorted(sliver_day_set)
+        chunks = open_table(self.spark, out_dir / "chunks_raw", ["day"])
+        cold_days = (
+            sorted(set(chunks.partition_days()) & set(sliver_days))
+            if chunks.exists()
+            else []
+        )
         raw_parts = []
-        if hot_df is not None:
+        need_raw = bool(slivers) or (start >= end and not tiers)
+        if hot_df is not None and need_raw:
             if series_ids is not None:
                 hot_df = hot_df.filter(F.col(series_col).isin(list(series_ids)))
-            raw_parts.append(
-                hot_df.select(
-                    F.col(series_col), F.col(ts_col), F.col(value_col)
+            hot = hot_df.select(F.col(series_col), F.col(ts_col), F.col(value_col))
+            if cold_days:
+                # a compacted day is AUTHORITATIVE in the cold tier; a hot
+                # table still holding it (the kill window between chunk
+                # commit and raw drop, or a pre-retention snapshot passed as
+                # --hot) must not double-count its sliver rows. Evaluated
+                # after the pushed sliver bounds — post-scan, bounded rows.
+                hot = hot.filter(
+                    ~F.date_format(
+                        F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd"
+                    ).isin(cold_days)
                 )
-            )
-        chunks = open_table(self.spark, out_dir / "chunks_raw", ["day"])
-        if chunks.exists() and start < end:
+            raw_parts.append(hot)
+        if cold_days:
             space = (
                 SimpleNamespace(kind="one", ids=[str(i) for i in series_ids])
                 if series_ids is not None
                 else None
             )
-            cold = cold_source(self.spark, chunks, value_col=value_col)(
-                SimpleNamespace(start=start, end=end), space
-            ).filter(~F.col("is_gap"))
-            cold = cold.select(
+            src = cold_source(self.spark, chunks, value_col=value_col)
+            cold_parts = [
+                # end is exclusive: prune by [s, e-1µs] so a midnight end
+                # doesn't drag in an extra day's chunks
+                src(SimpleNamespace(start=s, end=e - timedelta(microseconds=1)), space)
+                for s, e in slivers
+            ]
+            cold = cold_parts[0]
+            for p in cold_parts[1:]:
+                cold = cold.unionByName(p)
+            cold = cold.filter(~F.col("is_gap")).select(
                 F.col("series_id").alias(series_col),
                 F.col("ts"),
                 F.col(value_col),
@@ -523,7 +572,9 @@ class Engine:
                 )
             else:
                 cold = cold.withColumnRenamed("ts", ts_col)
-            raw_parts.append(cold)
+            # the raw frame is referenced once per sliver branch in the
+            # final plan — truncate so the Python decode runs ONCE
+            raw_parts.append(cold.localCheckpoint(eager=False))
         raw = None
         if raw_parts:
             raw = raw_parts[0]

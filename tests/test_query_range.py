@@ -81,6 +81,24 @@ def test_query_range_across_compaction_boundary(spark, tmp_path):
     # empty range: typed empty, no error
     assert eng.query_range(tmp_path / "out", start, start).count() == 0
 
+    # overlap guard: a hot table STILL HOLDING the compacted days (the
+    # kill window between chunk commit and raw drop, or a pre-retention
+    # snapshot passed as --hot) must not double-count — compacted days
+    # are served from the cold tier only
+    got_overlap = eng.query_range(tmp_path / "out", start, end, hot_df=original)
+    assert _canon(got_overlap) == _canon(_direct(original, start, end))
+
+    # tz-aware bounds are normalized to their UTC instant (naive storage,
+    # UTC session): an offset-carrying query equals its UTC equivalent
+    utc3 = dt.timezone(dt.timedelta(hours=3))
+    got_aware = eng.query_range(
+        tmp_path / "out",
+        (start + dt.timedelta(hours=3)).replace(tzinfo=utc3),
+        (end + dt.timedelta(hours=3)).replace(tzinfo=utc3),
+        hot_df=raw.read(spark).drop("day"),
+    )
+    assert _canon(got_aware) == _canon(got)
+
     # series_ids narrows every layer (the single-series dashboard query):
     # result ≡ the direct aggregate restricted to that series, and the In
     # predicate reaches the tier parquet scans THROUGH the merge-on-read
