@@ -59,6 +59,12 @@ def main() -> None:
     )
     ap.add_argument("--hot", help="parquet path of the HOT raw table for --query slivers")
     ap.add_argument("--query-out", help="parquet path for the --query result (required with --query)")
+    ap.add_argument(
+        "--series",
+        nargs="+",
+        default=None,
+        help="narrow --query to these series ids (pushed into every layer)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -81,7 +87,8 @@ def main() -> None:
             hot = derive_signals(hot)  # raw transcripts: derive the signal
         t0 = time.time()
         result = eng.query_range(
-            args.out, start, end, hot_df=hot, value_col=args.value_col
+            args.out, start, end, hot_df=hot, value_col=args.value_col,
+            series_ids=args.series,
         )
         # result is O(series) rows — write it, never collect it
         result.write.mode("overwrite").parquet(args.query_out)
