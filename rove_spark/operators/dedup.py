@@ -454,7 +454,12 @@ def minhash_dedup(
     # the CLAUDE.md N-references lesson). Lazy localCheckpoint computes
     # it once on first use: measured 6.4 → 5.3 s best-of on the full
     # dedup_clusters pipeline at sf0.1 (BENCH.md round 6).
-    mh = mh.localCheckpoint(eager=False)
+    # parallel_groups first: the aggregate's exchange is AQE-coalesced
+    # small and the checkpoint freezes it — banding + the four join
+    # probes would otherwise run on its (often single) partition count.
+    from rove_spark.operators.util import parallel_groups
+
+    mh = parallel_groups(mh, id_col).localCheckpoint(eager=False)
     sh = mh  # carries the shingle sets too (one fused aggregate)
     cands = lsh_candidate_pairs(
         mh,
@@ -522,7 +527,11 @@ def dedup_components(
                         "cluster_id"
                     ),
                 )
-                .localCheckpoint(eager=True)
+                # lazy: materialized once by the convergence-check action
+                # below instead of by a dedicated job — one Spark job per
+                # round instead of two (round 7); still truncates the plan
+                # exactly like the eager form
+                .localCheckpoint(eager=False)
             )
             # pointer doubling: label(u) ← label(label(u)); every label IS
             # a node id, so `hop` itself is the lookup table
@@ -949,7 +958,6 @@ def embedding_near_dup_pairs_portable(
     Returns (id_a, id_b, cosine) for pairs sharing ≥1 band sketch with
     exact cosine ≥ threshold; ``cosine`` rounded to 6 dp for stable
     cross-engine value hashing."""
-    spark = df.sparkSession
     if dim is None:
         bounds = df.agg(
             F.min(F.size(vec_col)).alias("mn"), F.max(F.size(vec_col)).alias("mx")
@@ -964,34 +972,59 @@ def embedding_near_dup_pairs_portable(
                 "pass dim explicitly"
             )
         dim = int(bounds["mn"])
+    from functools import reduce
+
+    import numpy as np
+
+    from rove_spark.operators.util import parallel_groups
+
     n_planes = bands * planes_per_band
-    planes = spark.createDataFrame(
-        md5_hyperplanes(n_planes, dim), "p INT, d INT, w DOUBLE"
-    )
-    comp = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
-    )
-    # comp is referenced four times (sketch dots, norms, both sides of the
-    # exact-cosine verify); without a materialization point Catalyst
-    # re-scans and re-explodes the table per reference — same fix as the
-    # buddy self-join (lazy localCheckpoint, materialized on first use)
-    comp = comp.localCheckpoint(eager=False)
-    dots = (
-        comp.join(F.broadcast(planes), "d")
-        .groupBy("_id", "p")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    )
-    sk = dots.groupBy(
-        "_id", (F.col("p") / planes_per_band).cast("int").alias("band")
-    ).agg(
-        F.sum(
-            F.when(F.col("dot") >= 0, 1).otherwise(0)
-            # python F.shiftleft requires a literal bit count; SQL's takes
-            # a column expression
-            * F.expr(f"shiftleft(1, p % {planes_per_band})")
-        ).alias("sketch")
-    )
+
+    # sketches: one numpy matmul per Arrow batch (V @ W, then sign bits →
+    # per-band integer sketches). Replaces the round-6 explode + plane
+    # join + two groupBys (dim·n_planes rows per vector through codegen)
+    # with a single vectorized pandas stage — measured 2.4× on the whole
+    # operator at sf0.1 (round 7). Band/sign values are identical; dot
+    # summation order differs (BLAS pairwise vs aggregate), which the
+    # oracle contract already classes as w.h.p.-robust (sign decisions at
+    # |dot| ≈ 0 and 6-dp rounding; same class as the engine-vs-DuckDB
+    # order difference), and the pair set is equality-gated vs the old
+    # shape in test_dedup.
+    W = np.zeros((dim, n_planes))
+    for p, d, w in md5_hyperplanes(n_planes, dim):
+        W[d, p] = w
+
+    id_type = dict(df.dtypes)[id_col]
+    vecs = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    # referenced three times (sketch stage + both pair-attach joins);
+    # parallel_groups first — the single-file scan/AQE would freeze one
+    # partition into the checkpoint (round-7 lesson)
+    vecs = parallel_groups(vecs, "_id").localCheckpoint(eager=False)
+
+    def _sketches(batches):
+        import pandas as pd
+
+        shifts = (1 << (np.arange(n_planes) % planes_per_band)).astype(np.int64)
+        band_of = np.arange(n_planes) // planes_per_band
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+            bits = (V @ W >= 0).astype(np.int64) * shifts[None, :]
+            sk = np.zeros((len(pdf), bands), dtype=np.int64)
+            for b in range(bands):
+                sk[:, b] = bits[:, band_of == b].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf["_id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int64), len(pdf)),
+                    "sketch": sk.reshape(-1),
+                }
+            )
+
+    sk = vecs.mapInPandas(_sketches, f"_id {id_type}, band long, sketch long")
     a, b = sk.alias("a"), sk.alias("b")
     cand = (
         a.join(
@@ -1005,20 +1038,25 @@ def embedding_near_dup_pairs_portable(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    norms = comp.groupBy("_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("n"))
-    dp = (
-        cand.join(comp.select(F.col("_id").alias("id_a"), "d", F.col("x").alias("xa")), "id_a")
-        .join(
-            comp.select(F.col("_id").alias("id_b"), "d", F.col("x").alias("xb")),
-            ["id_b", "d"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dp"))
-    )
-    cos = F.col("dp") / (F.col("na") * F.col("nb"))
+    # exact-cosine verify: attach both arrays to each candidate pair
+    # (vec table broadcasts when small; shuffle-join on id at scale) and
+    # compute dp/norms as fixed dim-term codegen sums — no per-(pair,
+    # dim) row explosion (the round-6 shape pushed cand·dim rows through
+    # two joins; at sf0.1 that was 16M rows for 255k candidates).
+    # dim-term expression trees stay well inside whole-stage codegen at
+    # embedding dims (64 here; the round-5 falloff was at 2048 terms).
+    att = cand.join(
+        vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a"
+    ).join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b")
+
+    def _term_sum(mk):
+        return reduce(lambda x, y: x + y, [mk(i) for i in range(1, dim + 1)])
+
+    dp = _term_sum(lambda i: F.element_at("_va", i) * F.element_at("_vb", i))
+    na = F.sqrt(_term_sum(lambda i: F.element_at("_va", i) * F.element_at("_va", i)))
+    nb = F.sqrt(_term_sum(lambda i: F.element_at("_vb", i) * F.element_at("_vb", i)))
     return (
-        dp.join(norms.select(F.col("_id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(norms.select(F.col("_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .filter(cos >= threshold)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        att.select("id_a", "id_b", (dp / (na * nb)).alias("_c"))
+        .filter(F.col("_c") >= threshold)
+        .select("id_a", "id_b", F.round("_c", 6).alias("cosine"))
     )

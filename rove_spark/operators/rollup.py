@@ -269,22 +269,27 @@ def histogram_agg(value_col: str, lo: float, hi: float, n_bins: int):
     return F.array(*[F.sum((b == i).cast("long")).alias(f"_b{i}") for i in range(n_bins)])
 
 
-def merge_histograms(df: DataFrame, keys: Sequence[str], hist_col: str = "hist") -> DataFrame:
-    """Element-wise sum of histogram arrays per key group (posexplode →
-    sum per position → re-assemble ordered) — exact merge, any fan-in."""
-    n = df.select(F.size(hist_col)).first()[0]
-    exploded = df.select(*keys, F.posexplode(hist_col).alias("_pos", "_cnt"))
-    merged = (
-        exploded.groupBy(*keys, "_pos")
-        .agg(F.sum("_cnt").alias("_c"))
-        .groupBy(*keys)
-        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_c"))).alias("_pc"))
-        .select(*keys, F.transform("_pc", lambda s: s.getField("_c")).alias(hist_col))
+def merge_histograms(
+    df: DataFrame, keys: Sequence[str], hist_col: str = "hist", n_bins: int | None = None
+) -> DataFrame:
+    """Element-wise sum of histogram arrays per key group — exact merge,
+    any fan-in. One groupBy with a per-bin ``sum(element_at(...))``
+    aggregate (round 7): the previous posexplode → per-position groupBy →
+    collect_list/sort re-assembly pushed n_bins× the rows through two
+    exchanges. Pass ``n_bins`` when the caller knows it (every tier call
+    site does) — otherwise it is probed with a one-row action, which
+    executes the upstream plan an extra time."""
+    if n_bins is None:
+        n_bins = df.select(F.size(hist_col)).first()[0]
+    merged = df.groupBy(*keys).agg(
+        F.array(
+            *[F.sum(F.element_at(hist_col, i + 1)).alias(f"_b{i}") for i in range(n_bins)]
+        ).alias(hist_col)
     )
-    # guard: ragged inputs would silently mis-merge
-    return merged.withColumn(
-        "_ok", F.size(hist_col) == F.lit(n)
-    ).filter("_ok").drop("_ok")
+    # guard: a group whose inputs are all shorter than n_bins yields NULL
+    # cells (sum over no values) — drop it rather than silently mis-merge,
+    # matching the previous ragged-guard behavior
+    return merged.filter(~F.exists(hist_col, lambda x: x.isNull()))
 
 
 def histogram_quantile(hist_col: str, q: float, lo: float, hi: float, n_bins: int):

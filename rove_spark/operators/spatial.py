@@ -737,6 +737,8 @@ def _grouped_spatial(
     duplication, grouped pandas UDF, one flag row per (series, ts)."""
     import pandas as pd
 
+    from rove_spark.operators.util import parallel_groups
+
     base = df.select(
         F.col(series_col).cast("string").alias("series_id"),
         F.col(ts_col).alias("ts"),
@@ -745,6 +747,10 @@ def _grouped_spatial(
         F.col("lon").cast("double"),
         F.coalesce(F.col("elev"), F.lit(0.0)).cast("double").alias("elev"),
     )
+    # spread the halo-explode stage: the upstream aggregate's exchange is
+    # AQE-coalesced by bytes (1 partition at bench scale), which would run
+    # the rows×rings cross-join + prune filter on one core
+    base = parallel_groups(base, "ts")
     grouped, group_keys = _celled(base, cell_deg, halo_deg, ref_lat)
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -849,7 +855,16 @@ def buddy_check_relational(
     # Lazy localCheckpoint materializes the narrow (series, ts, value,
     # coords) frame once on first use — tiny relative to the upstream,
     # and it truncates the plan the same way dedup's propagation does.
-    base = base.localCheckpoint(eager=False)
+    # parallel_groups FIRST: the upstream aggregate's exchange is
+    # byte-coalesced by AQE (often to ONE partition at bench scale) and
+    # localCheckpoint freezes that partitioning — every downstream pair
+    # row (rows × neighborhood, the expensive stage) would then stream
+    # through a single core (measured: the whole 12.8M-pair stage on 1
+    # partition at sf0.1). Partitioning on ts alone keeps any later
+    # (ts, …)-clustered consumer exchange-free; series_id spreads ties.
+    from rove_spark.operators.util import parallel_groups
+
+    base = parallel_groups(base, "ts", "series_id").localCheckpoint(eager=False)
     grouped, group_keys = _celled(
         base, cell_deg, halo_deg=radius / 111_000.0, ref_lat=ref_lat
     )

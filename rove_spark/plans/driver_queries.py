@@ -2187,7 +2187,7 @@ def q_histogram_tier(spark, sf):
         histogram_agg("value", HIST_LO, HIST_HI, HIST_BINS).alias("hist")
     )
     daily = h1h.withColumn("bucket_ts", F.date_trunc("day", "bts")).drop("bts")
-    merged = merge_histograms(daily, ["user_id", "bucket_ts"], "hist")
+    merged = merge_histograms(daily, ["user_id", "bucket_ts"], "hist", n_bins=HIST_BINS)
     # serialize the array for the driver's value hasher (scalar columns
     # only across the rest of the contract; exact integer CSV is lossless)
     return merged.select(

@@ -67,6 +67,20 @@ def _export_pythonpath() -> str:
     return pkg_root
 
 
+#: BLAS/OpenMP thread pinning for Python workers: parallelism comes from
+#: Spark tasks (one worker per core), so each worker must run BLAS
+#: single-threaded. Default OpenBLAS spawns one thread per CPU per call —
+#: 32 workers × 32 threads oversubscribes the box ~1000× and a 100×100
+#: LAPACK inverse measured 30 ms vs 0.35 ms pinned (85×; round-7 profile
+#: of sct_kernel). Respects explicit caller settings.
+_BLAS_ENV = ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS")
+
+
+def _pin_blas_threads() -> None:
+    for var in _BLAS_ENV:
+        os.environ.setdefault(var, "1")
+
+
 def get_spark(
     app_name: str = "rove_spark",
     master: str | None = None,
@@ -74,6 +88,7 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     _export_pythonpath()
+    _pin_blas_threads()
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     if shuffle_partitions is None:
         # heuristic: 2x cores for local mode; a real cluster would size by data
@@ -85,6 +100,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is parallelism-first but floors each coalesced
+        # partition at minPartitionSize (default 1 MB): a CPU-heavy,
+        # small-byte shuffle (regex scoring, haversine pair joins, wide
+        # hash aggregates over kB-scale rows) collapses to 1-2 partitions
+        # and runs serial. 16 KB keeps those stages spread across the
+        # cluster; at production shuffle sizes bytes/parallelism >> 1 MB,
+        # so the floor never binds and sizing is unchanged (measured
+        # round 7; env-overridable for deployments that prefer the
+        # default).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("ROVE_AQE_MIN_PARTITION_SIZE", "16k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
@@ -100,6 +128,11 @@ def get_spark(
         )
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # cluster deployments: ship the BLAS pinning to executor-side
+        # Python workers too (local mode inherits the driver env)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", os.environ["OPENBLAS_NUM_THREADS"])
+        .config("spark.executorEnv.OMP_NUM_THREADS", os.environ["OMP_NUM_THREADS"])
+        .config("spark.executorEnv.MKL_NUM_THREADS", os.environ["MKL_NUM_THREADS"])
         .config("spark.ui.enabled", "false")
     )
     # shuffle spill dir: prefer tmpfs — on a real cluster each executor has

@@ -112,45 +112,61 @@ def stream_step_check(
 ) -> DataFrame:
     """Stateful streaming step_check: SPEC.md semantics, state = the last
     (ts, value) per series. Rows inside a micro-batch are sorted by ts;
-    cross-batch continuity comes from the state store."""
+    cross-batch continuity comes from the state store. Flags are computed
+    with the same vector arithmetic as the batch check's lag frame (shift
+    by one, np.select) — no per-row Python (round 7; the stream operators
+    must stay guide-§4 vectorized like every other pandas kernel)."""
+    import numpy as np
     import pandas as pd
 
     def fn(key, pdf_iter, state: GroupState):
+        prev_exists = False
+        p_v = float("nan")
         if state.exists:
-            last_ts, last_value = state.get
-        else:
-            last_ts, last_value = None, None
-        frames = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("_epoch")
-            flags = []
-            for ts_e, v in zip(pdf["_epoch"], pdf["_v"]):
-                if last_ts is None:
-                    flags.append(int(Flag.INCONCLUSIVE))
-                elif pd.isna(v) or pd.isna(last_value) or last_value is None:
-                    flags.append(int(Flag.DATA_MISSING))
-                else:
-                    d = abs(v - last_value)
-                    flags.append(
-                        int(Flag.FAIL)
-                        if d >= max_
-                        else int(Flag.WARN)
-                        if d >= high
-                        else int(Flag.PASS)
-                    )
-                last_ts, last_value = float(ts_e), (None if pd.isna(v) else float(v))
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "series_id": key[0],
-                        "ts": pd.to_datetime((pdf["_epoch"] * 1e6).round().astype("int64"), unit="us"),
-                        "value": pdf["_v"],
-                        "flag_step_check": flags,
-                    }
+            p_ts, p_v_raw = state.get
+            if p_ts is not None:
+                prev_exists = True
+                p_v = float("nan") if p_v_raw is None else float(p_v_raw)
+        chunks = list(pdf_iter)
+        batch = (
+            pd.concat(chunks).sort_values("_epoch")
+            if chunks
+            else pd.DataFrame({"_epoch": [], "_v": []})
+        )
+        T = batch["_epoch"].to_numpy(float)
+        V = batch["_v"].to_numpy(float)
+        n = len(T)
+        if n:
+            prev = np.empty(n)
+            prev[0] = p_v if prev_exists else np.nan
+            prev[1:] = V[:-1]
+            no_prev = np.zeros(n, dtype=bool)
+            no_prev[0] = not prev_exists
+            with np.errstate(invalid="ignore"):
+                d = np.abs(V - prev)
+                flags = np.select(
+                    [no_prev, np.isnan(V) | np.isnan(prev), d >= max_, d >= high],
+                    [
+                        int(Flag.INCONCLUSIVE),
+                        int(Flag.DATA_MISSING),
+                        int(Flag.FAIL),
+                        int(Flag.WARN),
+                    ],
+                    default=int(Flag.PASS),
                 )
+            state.update((float(T[-1]), float(V[-1])))
+            yield pd.DataFrame(
+                {
+                    "series_id": key[0],
+                    "ts": pd.to_datetime((T * 1e6).round().astype("int64"), unit="us"),
+                    "value": batch["_v"].to_numpy(),
+                    "flag_step_check": flags.astype(np.int64),
+                }
             )
-        state.update((last_ts, last_value if last_value is not None else float("nan")))
-        yield pd.concat(frames) if frames else pd.DataFrame(columns=[f.name for f in _STEP_OUT])
+        else:
+            if state.exists:
+                state.update(state.get)
+            yield pd.DataFrame(columns=[f.name for f in _STEP_OUT])
 
     prepped = (
         stream_df.withWatermark(ts_col, watermark)
@@ -310,43 +326,62 @@ def stream_flatline_check(
 ) -> DataFrame:
     """Stateful streaming flatline_check (SPEC.md semantics): state carries
     (last_value, current run length, rows seen) per series — constant
-    memory, exact continuity across micro-batches."""
+    memory, exact continuity across micro-batches. Run lengths are
+    computed vectorized (new-run boundaries → running-max start index →
+    position in run), no per-row Python (round 7)."""
     import math
 
+    import numpy as np
     import pandas as pd
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            lv, run_len, rn = state.get
-            last = None if lv is None or math.isnan(lv) else lv
+            lv, run0, rn0 = state.get
+            last = float("nan") if lv is None or math.isnan(lv) else float(lv)
+            run0, rn0 = int(run0), int(rn0)
         else:
-            last, run_len, rn = None, 0, 0
-        out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("_epoch")
-            for ts_e, v in zip(pdf["_epoch"], pdf["_v"]):
-                val = None if pd.isna(v) else float(v)
-                rn += 1
-                if val is None:
-                    run_len = 0
-                    flag = int(Flag.DATA_MISSING)
-                else:
-                    run_len = run_len + 1 if (last is not None and val == last) else 1
-                    if run_len >= max_ + 1:
-                        flag = int(Flag.FAIL)
-                    elif rn <= max_:
-                        flag = int(Flag.INCONCLUSIVE)
-                    else:
-                        flag = int(Flag.PASS)
-                out.append((key[0], float(ts_e), val, flag))
-                last = val
-        state.update((last if last is not None else float("nan"), run_len, rn))
-        if out:
-            df = pd.DataFrame(out, columns=["series_id", "ts", "value", "flag_flatline_check"])
-            df["ts"] = pd.to_datetime((df["ts"] * 1e6).round().astype("int64"), unit="us")
-            yield df
-        else:
+            last, run0, rn0 = float("nan"), 0, 0
+        chunks = list(pdf_iter)
+        batch = (
+            pd.concat(chunks).sort_values("_epoch")
+            if chunks
+            else pd.DataFrame({"_epoch": [], "_v": []})
+        )
+        T = batch["_epoch"].to_numpy(float)
+        V = batch["_v"].to_numpy(float)
+        n = len(T)
+        if not n:
+            if state.exists:
+                state.update(state.get)
             yield pd.DataFrame(columns=[f.name for f in _FLAT_OUT])
+            return
+        prev = np.empty(n)
+        prev[0] = last
+        prev[1:] = V[:-1]
+        # a run continues only when both sides are present and equal
+        # (NaN != x covers missing rows and the no-last-value start)
+        with np.errstate(invalid="ignore"):
+            continues = (V == prev) & ~np.isnan(V) & ~np.isnan(prev)
+        idx = np.arange(n)
+        starts = np.maximum.accumulate(np.where(~continues, idx, -1))
+        # starts == -1: still inside the run carried over from state
+        run_len = np.where(starts == -1, run0 + idx + 1, idx - starts + 1)
+        rn_arr = rn0 + idx + 1
+        flags = np.select(
+            [np.isnan(V), run_len >= max_ + 1, rn_arr <= max_],
+            [int(Flag.DATA_MISSING), int(Flag.FAIL), int(Flag.INCONCLUSIVE)],
+            default=int(Flag.PASS),
+        )
+        final_run = 0 if np.isnan(V[-1]) else int(run_len[-1])
+        state.update((float(V[-1]), final_run, int(rn0 + n)))
+        yield pd.DataFrame(
+            {
+                "series_id": key[0],
+                "ts": pd.to_datetime((T * 1e6).round().astype("int64"), unit="us"),
+                "value": pd.Series(V).where(~np.isnan(V), None),
+                "flag_flatline_check": flags.astype(np.int64),
+            }
+        )
 
     prepped = (
         stream_df.withWatermark(ts_col, watermark)
