@@ -667,16 +667,47 @@ def with_simhash_portable(
         .select(F.md5("_t").alias("_k"), "_t")
     )
     exploded = texts.select("_k", F.explode_outer(words).alias("_w")).withColumn("_tv", tok)
-    ones = [
-        F.sum(F.shiftrightunsigned(F.col("_tv"), b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
-        for b in range(64)
-    ]
-    agg = exploded.groupBy("_k").agg(F.count("_tv").alias("_n"), *ones)
+
+    # packed bit-count lanes: 4 × 16-bit counters per long → 16 sum
+    # aggregates instead of 64. The 64-aggregate form spent ~2.6 s of
+    # one-time whole-stage-codegen JIT per JVM (the CLAUDE.md wide-codegen
+    # constant, charged to every fresh bench run); the packed form JITs in
+    # ~0.35 s with bit-identical signatures (round 7, equality-gated).
+    # 16-bit lanes are exact below 2¹⁶ distinct tokens per text; the
+    # raise_error guard keeps a pathological overflow loud, not silent.
+    def _lane_addend(g: int):
+        return reduce(
+            lambda a, b: a + b,
+            [
+                F.shiftleft(
+                    F.shiftrightunsigned(F.col("_tv"), 4 * g + lane).bitwiseAND(F.lit(1)),
+                    16 * lane,
+                )
+                for lane in range(4)
+            ],
+        )
+
+    packs = [F.sum(_lane_addend(g)).alias(f"_p{g}") for g in range(16)]
+    agg = exploded.groupBy("_k").agg(F.count("_tv").alias("_n"), *packs)
+    n_guarded = F.when(
+        F.col("_n") >= (1 << 16),
+        F.raise_error(
+            F.lit("with_simhash_portable: >= 2^16 distinct tokens in one text "
+                  "overflows the packed 16-bit count lanes")
+        ),
+    ).otherwise(F.col("_n"))
+
+    def _ones(b: int):
+        g, lane = b // 4, b % 4
+        return F.shiftrightunsigned(F.col(f"_p{g}"), 16 * lane).bitwiseAND(
+            F.lit((1 << 16) - 1)
+        )
+
     sig = reduce(
         lambda a, b: a.bitwiseOR(b),
         [
             F.shiftleft(
-                F.when(F.col(f"_o{b}") * 2 > F.col("_n"), F.lit(1).cast("long")).otherwise(
+                F.when(_ones(b) * 2 > n_guarded, F.lit(1).cast("long")).otherwise(
                     F.lit(0).cast("long")
                 ),
                 b,

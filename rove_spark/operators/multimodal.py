@@ -212,17 +212,28 @@ def decode_assets(
 
 
 def extract_features(
-    df: DataFrame, dim: int = FEATURE_DIM, decode_real: bool = False
+    df: DataFrame,
+    dim: int = FEATURE_DIM,
+    decode_real: bool = False,
+    partitions: int | None = None,
 ) -> DataFrame:
     """payload → unit-norm float feature vector. Default: STUB embedding
     (hashed payload bytes → fixed-dim projection), oracle-able. With
     ``decode_real=True``: real decoded samples pooled into ``dim`` bins
     then centered + normalized. Either way the output plugs straight into
     ann.py / dedup.embedding_near_dup_pairs — that integration is the
-    real deliverable."""
+    real deliverable.
+
+    ``partitions`` caps the pre-UDF spread when the caller knows the
+    input is small (each Python task costs a worker round trip; 64 tasks
+    over a 100-row frame is pure overhead — round 7). Default keeps the
+    full parallel_groups spread for unknown/large inputs."""
     from rove_spark.operators.util import parallel_groups
 
-    df = parallel_groups(df, "asset_id")
+    if partitions is not None:
+        df = df.repartition(partitions, "asset_id")
+    else:
+        df = parallel_groups(df, "asset_id")
 
     def run(batches):
         for pdf in batches:

@@ -378,8 +378,13 @@ def q_tier_route(spark, sf):
     )
     # the 1m frame is referenced by all three tier branches in ONE plan —
     # without truncation Spark recomputes the raw→1m rollup per reference
-    # (~5 events scans; the round-5 multi-reference lesson)
-    t1m = _rollup_1m(ev).localCheckpoint(eager=False)
+    # (~5 events scans; the round-5 multi-reference lesson). parallel_groups
+    # first: the checkpoint freezes the AQE-coalesced partitioning (1 at
+    # bench scale), and user_id-hash partitioning keeps every cascade
+    # groupBy (user_id, date_trunc) exchange-free (round 7)
+    from rove_spark.operators.util import parallel_groups
+
+    t1m = parallel_groups(_rollup_1m(ev), "user_id").localCheckpoint(eager=False)
     t1h = _cascade(t1m, "hour")
     tiers = {"1m": t1m, "1h": t1h, "1d": _cascade(t1h, "day")}
     return range_aggregate(
@@ -1116,7 +1121,9 @@ def q_multimodal_features(spark, sf):
 
     _utc(spark)
     assets = synthetic_assets(spark, n=100)
-    feats = extract_features(assets)
+    # 100 assets: 8 python tasks amortize the worker round trip; the
+    # default 2x-cores spread would launch 64 near-empty tasks
+    feats = extract_features(assets, partitions=8)
     vec_tbl = feats.select(
         F.col("asset_id").alias("vec_id"),
         F.transform("feature", lambda x: x.cast("double")).alias("embedding"),
