@@ -25,6 +25,57 @@ from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
 
+
+# ------------------------------------------------------- xxhash64 twin --
+# Bit-exact numpy twin of Spark's XxHash64 (seed chaining: each argument
+# hashes with the running hash as seed; int literals go through hashInt,
+# long columns through hashLong; default seed 42). Lets pandas kernels
+# compute the SAME signatures the JVM column expression would — pinned
+# against F.xxhash64 in test_dedup (round 7).
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_fmix(h):
+    import numpy as np
+
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(_XXP2)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(_XXP3)
+    return h ^ (h >> np.uint64(32))
+
+
+def _xxh64_rotl(x, r):
+    import numpy as np
+
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _xxh64_long(vals, seed):
+    """XXH64.hashLong over a uint64 array (vals) with scalar seed."""
+    import numpy as np
+
+    h = np.uint64(seed) + np.uint64(_XXP5) + np.uint64(8)
+    h = h ^ (_xxh64_rotl(vals * np.uint64(_XXP2), 31) * np.uint64(_XXP1))
+    h = _xxh64_rotl(h, 27) * np.uint64(_XXP1) + np.uint64(_XXP4)
+    return _xxh64_fmix(h)
+
+
+def _xxh64_int(vals, seed):
+    """XXH64.hashInt over a uint64 array of int32 values with scalar seed."""
+    import numpy as np
+
+    h = np.uint64(seed) + np.uint64(_XXP5) + np.uint64(4)
+    h = h ^ ((vals & np.uint64(0xFFFFFFFF)) * np.uint64(_XXP1))
+    h = _xxh64_rotl(h, 23) * np.uint64(_XXP2) + np.uint64(_XXP3)
+    return _xxh64_fmix(h)
+
+
 # ---------------------------------------------------------------- exact --
 
 
@@ -308,6 +359,8 @@ def _shingle_minhash_fused(
     sentinel signature."""
     from pyspark.sql import Window
 
+    import numpy as np
+
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     exploded = df.select(F.col(id_col).alias("_sid"), F.posexplode_outer(words))
     win = Window.partitionBy("_sid").orderBy("pos")
@@ -317,19 +370,60 @@ def _shingle_minhash_fused(
         .withColumn("_ok", F.lead("col", n - 1).over(win).isNotNull())
         .filter(F.col("_ok"))
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(seed + i), F.col("_g"))).alias(f"_m{i}")
-        for i in range(num_hashes)
-    ]
-    g = grams.groupBy("_sid").agg(F.sort_array(F.collect_set("_g")).alias(shingle_col), *aggs)
-    g = g.withColumn(
-        minhash_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
-    ).drop(*[f"_m{i}" for i in range(num_hashes)])
-    sentinel = F.array(*[F.lit(-(1 << 62) - seed - i).cast("long") for i in range(num_hashes)])
+    g = grams.groupBy("_sid").agg(F.sort_array(F.collect_set("_g")).alias(shingle_col))
+
+    # 64-lane minhash over the shingle sets, vectorized in numpy with a
+    # bit-exact twin of Spark's XxHash64 chain (xxhash64(lit(seed+i), g)
+    # = hashLong(g, hashInt(seed+i, 42)); equality pinned in
+    # test_dedup). The previous 64 min(xxhash64(...)) aggregates were a
+    # 65-aggregate codegen stage whose one-time JIT cost ~1 s per JVM on
+    # top of 64 interpreted-width hash evaluations per gram row; one
+    # numpy pass per Arrow batch does the same arithmetic in ~15 uint64
+    # vector ops per lane (round 7).
+    id_type = dict(df.dtypes)[id_col]
+    seeds = _xxh64_int(np.arange(seed, seed + num_hashes, dtype=np.uint64), np.uint64(42))
+    sentinel = np.array(
+        [-(1 << 62) - seed - i for i in range(num_hashes)], dtype=np.int64
+    )
+
+    def _minhash_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sets = pdf[shingle_col]
+            lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(pdf))
+            out = np.empty((len(pdf), num_hashes), dtype=np.int64)
+            if lens.sum():
+                flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in sets if len(s)])
+                uflat = flat.view(np.uint64)
+                nonempty = lens > 0
+                starts = np.cumsum(lens[nonempty]) - lens[nonempty]
+                with np.errstate(over="ignore"):
+                    for i in range(num_hashes):
+                        h = _xxh64_long(uflat, seeds[i]).view(np.int64)
+                        out[nonempty, i] = np.minimum.reduceat(h, starts)
+            out[lens == 0] = sentinel
+            yield pd.DataFrame(
+                {
+                    "_sid": pdf["_sid"],
+                    shingle_col: sets,
+                    minhash_col: list(out),
+                }
+            )
+
+    g = g.mapInPandas(
+        _minhash_batches,
+        f"_sid {id_type}, {shingle_col} array<bigint>, {minhash_col} array<bigint>",
+    )
+    sentinel_col = F.array(
+        *[F.lit(-(1 << 62) - seed - i).cast("long") for i in range(num_hashes)]
+    )
     return (
         df.join(g.withColumnRenamed("_sid", id_col), id_col, "left")
         .withColumn(shingle_col, F.coalesce(F.col(shingle_col), F.array().cast("array<bigint>")))
-        .withColumn(minhash_col, F.coalesce(F.col(minhash_col), sentinel))
+        .withColumn(minhash_col, F.coalesce(F.col(minhash_col), sentinel_col))
     )
 
 

@@ -48,24 +48,64 @@ def _haversine_block(
 ) -> np.ndarray:
     """Rectangular great-circle distance block (meters): rows × cols.
     Elementwise-identical arithmetic to the square matrix, so blockwise
-    processing is bit-identical to full-matrix processing."""
+    processing is bit-identical to full-matrix processing.
+
+    In-place formulation (round 7): the naive expression allocated ~10
+    block×n float64 temporaries and made the kernels memory-bandwidth
+    bound at sf1.0 cell sizes; this form allocates 3. Every replacement
+    is IEEE-identical to the original operand tree (x/2 ≡ x·0.5 exactly;
+    x**2 ≡ x·x; float multiply is exactly commutative), so flags and
+    oracle hashes are unchanged (bit-equality gated in test_spatial)."""
     rlat_r, rlon_r = np.radians(lat_r)[:, None], np.radians(lon_r)[:, None]
     rlat_c, rlon_c = np.radians(lat_c)[None, :], np.radians(lon_c)[None, :]
-    dlat = rlat_r - rlat_c
-    dlon = rlon_r - rlon_c
-    a = np.sin(dlat / 2) ** 2 + np.cos(rlat_r) * np.cos(rlat_c) * np.sin(dlon / 2) ** 2
-    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+    d = np.subtract(rlat_r, rlat_c)          # → sin²(Δφ/2), in place
+    np.multiply(d, 0.5, out=d)
+    np.sin(d, out=d)
+    np.multiply(d, d, out=d)
+    g = np.subtract(rlon_r, rlon_c)          # → cosφ₁·cosφ₂·sin²(Δλ/2)
+    np.multiply(g, 0.5, out=g)
+    np.sin(g, out=g)
+    np.multiply(g, g, out=g)
+    cc = np.cos(rlat_r) * np.cos(rlat_c)
+    np.multiply(cc, g, out=g)
+    np.add(d, g, out=d)                      # a
+    np.clip(d, 0.0, 1.0, out=d)
+    np.sqrt(d, out=d)
+    np.arcsin(d, out=d)
+    np.multiply(d, 2 * EARTH_RADIUS_M, out=d)
+    return d
 
 
 def _haversine_matrix(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
-    """All-pairs great-circle distance (meters); vectorized numpy."""
-    return _haversine_block(lat, lon, lat, lon)
+    """All-pairs great-circle distance (meters); vectorized numpy. Built
+    in KERNEL_BLOCK_ROWS-row slabs into one preallocated n×n array so the
+    ~6 transient arrays per slab stay cache-sized even when the full
+    matrix is worth caching (round 7)."""
+    n = len(lat)
+    if n <= KERNEL_BLOCK_ROWS:
+        return _haversine_block(lat, lon, lat, lon)
+    out = np.empty((n, n))
+    for s in range(0, n, KERNEL_BLOCK_ROWS):
+        e = min(s + KERNEL_BLOCK_ROWS, n)
+        out[s:e] = _haversine_block(lat[s:e], lon[s:e], lat, lon)
+    return out
 
 
 # row-block size for the memory-bounded kernel paths: peak temp memory is
 # O(block · n) doubles instead of O(n²) — a 150k-station cell costs
-# ~2.4 GB of transient blocks instead of a fatal 180 GB matrix
-KERNEL_BLOCK_ROWS = 4096
+# ~0.3 GB of transient blocks instead of a fatal 180 GB matrix.
+# 512 (was 4096): the ~6 temp arrays per block call must stay cache/
+# allocator-friendly — on a 13.5k-station sf1.0 cell the 4096-row blocks
+# allocated ~440 MB per temp array and the kernel ran 3.7× slower than
+# with 512-row blocks (round 7; blockwise results are bit-identical for
+# any block size, tested)
+KERNEL_BLOCK_ROWS = 512
+
+# full-distance-matrix cache bound (decoupled from the block size in
+# round 7): iterated kernels reuse the matrix across iterations, so
+# caching pays up to ~33 MB (2048² doubles) per group; above that the
+# blockwise recompute wins on memory
+DIST_CACHE_MAX_N = 2048
 
 
 def buddy_check_kernel(
@@ -99,7 +139,7 @@ def buddy_check_kernel(
     if n == 0:
         return flags
     B = KERNEL_BLOCK_ROWS
-    dist_full = _haversine_matrix(lat, lon) if n <= B else None
+    dist_full = _haversine_matrix(lat, lon) if n <= DIST_CACHE_MAX_N else None
     check = np.ones(n, dtype=bool) if check_mask is None else np.asarray(check_mask, bool)
 
     excluded = np.zeros(n, dtype=bool)  # FAILed values leave the buddy pool
@@ -484,23 +524,53 @@ def sct_kernel(
     if n == 0:
         return flags
     B = KERNEL_BLOCK_ROWS
-    dist_full = _haversine_matrix(lat, lon) if n <= B else None
+    dist_full = _haversine_matrix(lat, lon) if n <= DIST_CACHE_MAX_N else None
     check = np.ones(n, dtype=bool) if check_mask is None else np.asarray(check_mask, bool)
     excluded = np.zeros(n, dtype=bool)
+
+    # lat-band pruning for the big-cell isolation counts (round 7): a
+    # pair with |Δlat| > inner_radius/R (1% safety margin for the
+    # degree→radian rounding) is PROVABLY farther than inner_radius
+    # (great-circle distance ≥ R·Δφ), so its haversine never needs
+    # evaluating; surviving columns go through the IDENTICAL comparison,
+    # so counts are exactly unchanged. Rows are processed in lat order
+    # and scattered back. Cuts the column span to the ~2·radius band —
+    # the win grows with cell size (a cell_deg ≈ 3× the radius scans ~3×
+    # fewer pairs).
+    lat_order = lat_band = None
+    if dist_full is None:
+        lat_order = np.argsort(lat, kind="stable")
+        lat_sorted = lat[lat_order]
+        lon_sorted = lon[lat_order]
+        lat_band = math.degrees(inner_radius / EARTH_RADIUS_M) * 1.01
 
     for _ in range(max(1, num_iterations)):
         usable = present & ~excluded
         # isolation: too few usable neighbors (incl. self) in inner radius
         # — blockwise, O(block·n) temp memory like buddy_check_kernel
         inner_counts = np.zeros(n, dtype=np.int64)
-        for s in range(0, n, B):
-            e = min(s + B, n)
-            db = (
-                dist_full[s:e]
-                if dist_full is not None
-                else _haversine_block(lat[s:e], lon[s:e], lat, lon)
-            )
-            inner_counts[s:e] = ((db <= inner_radius) & usable[None, :]).sum(axis=1)
+        if dist_full is not None:
+            for s in range(0, n, B):
+                e = min(s + B, n)
+                inner_counts[s:e] = (
+                    (dist_full[s:e] <= inner_radius) & usable[None, :]
+                ).sum(axis=1)
+        else:
+            usable_sorted = usable[lat_order]
+            counts_sorted = np.zeros(n, dtype=np.int64)
+            for s in range(0, n, B):
+                e = min(s + B, n)
+                lo = int(np.searchsorted(lat_sorted, lat_sorted[s] - lat_band, "left"))
+                hi = int(
+                    np.searchsorted(lat_sorted, lat_sorted[e - 1] + lat_band, "right")
+                )
+                db = _haversine_block(
+                    lat_sorted[s:e], lon_sorted[s:e], lat_sorted[lo:hi], lon_sorted[lo:hi]
+                )
+                counts_sorted[s:e] = (
+                    (db <= inner_radius) & usable_sorted[None, lo:hi]
+                ).sum(axis=1)
+            inner_counts[lat_order] = counts_sorted
         isolated = present & check & ~excluded & (inner_counts < num_min)
         flags[isolated & (flags != int(Flag.FAIL))] = int(Flag.ISOLATED)
 
@@ -754,6 +824,19 @@ def _grouped_spatial(
     grouped, group_keys = _celled(base, cell_deg, halo_deg, ref_lat)
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # halo-only group (a cell whose every row is somebody's halo
+        # copy): no row of it is flagged here and the kernel's output
+        # would be dropped wholesale — skip the O(n²) kernel outright.
+        # At sf1.0 the near-single-cell synthetic domain produces one
+        # such full-size mirror group per time slice (round 7).
+        if not (~pdf["is_halo"]).any():
+            return pd.DataFrame(
+                {
+                    "series_id": pdf["series_id"][:0],
+                    "ts": pdf["ts"][:0],
+                    flag_name: pdf["is_halo"][:0].astype("int8"),
+                }
+            )
         pdf = pdf.sort_values("series_id").reset_index(drop=True)
         flags = kernel(
             pdf["value"].to_numpy(np.float64),
@@ -896,8 +979,15 @@ def buddy_check_relational(
         F.col("elev").alias("_belev"),
     )
     dist = haversine_col(F.col("lat"), F.col("lon"), F.col("_blat"), F.col("_blon"))
+    # cheap lat-band pre-conjunct (round 7): |Δlat| beyond radius/R (1%
+    # margin) is provably farther than radius — the conjunction's value
+    # is unchanged, but codegen short-circuits the transcendental
+    # haversine for the pairs the band excludes (the win grows with
+    # cell_deg/radius ratio at production scale)
+    lat_band = math.degrees(radius / EARTH_RADIUS_M) * 1.01
     is_buddy = (
-        (dist <= F.lit(radius))
+        (F.abs(F.col("lat") - F.col("_blat")) <= F.lit(lat_band))
+        & (dist <= F.lit(radius))
         & (F.col("series_id") != F.col("_bsid"))
         & F.col("_bv").isNotNull()
     )

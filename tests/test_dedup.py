@@ -498,3 +498,23 @@ def test_md5_hyperplanes_deterministic_and_bounded():
     # roughly sign-balanced (uniform over [-1,1))
     pos = sum(1 for _, _, w in p1 if w >= 0)
     assert 8 <= pos <= 24
+
+
+def test_xxh64_numpy_twin_matches_spark(spark):
+    """The numpy XxHash64 twin (round-7 minhash kernel) must chain
+    bit-exactly like F.xxhash64(lit(int_seed), long_col): hashInt for the
+    int literal, hashLong for the value, default seed 42."""
+    import numpy as np
+
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 123456789123456789, -987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "g long")
+    with np.errstate(over="ignore"):
+        for seed_i in (0, 13, 14, 76):
+            got = [
+                r[0] for r in df.select(F.xxhash64(F.lit(seed_i), F.col("g"))).collect()
+            ]
+            s = dedup._xxh64_int(np.array([seed_i], dtype=np.uint64), np.uint64(42))[0]
+            mine = dedup._xxh64_long(
+                np.array(vals, dtype=np.int64).view(np.uint64), s
+            ).view(np.int64)
+            assert list(mine) == got

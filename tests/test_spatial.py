@@ -599,3 +599,41 @@ def test_sct_small_relational_equals_kernel(spark):
     assert Flag.FAIL in set(rel.values())  # the planted outliers actually fail
     assert rel[("iso1", T0)] == Flag.ISOLATED
     assert rel[("s007", T0)] == Flag.DATA_MISSING
+
+
+def test_sct_banded_isolation_equals_cached():
+    """The lat-band-pruned isolation path (taken when a cell exceeds
+    DIST_CACHE_MAX_N stations, round 7) must produce EXACTLY the flags of
+    the cached full-matrix path: pruned columns are provably beyond
+    inner_radius, surviving columns go through the identical haversine
+    comparison. Forced by shrinking DIST_CACHE_MAX_N below n."""
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    n = 400
+    lat = 58 + rng.uniform(0, 3.0, n)
+    lon = 8 + rng.uniform(0, 3.0, n)
+    elev = rng.uniform(0, 500, n)
+    values = 10 + rng.standard_normal(n)
+    values[5] = 77.0
+    values[11] = np.nan
+    mask = rng.random(n) > 0.3
+
+    kw = dict(num_min=3, num_max=5, pos=2.0, neg=2.0, check_mask=mask)
+    cached = spatial.sct_kernel(values, lat, lon, elev, **kw)
+    iso_cached = spatial.sct_kernel(
+        values, lat, lon, elev, num_min=3, pos=1e18, neg=1e18,
+        num_iterations=1, check_mask=mask,
+    )
+    orig = spatial.DIST_CACHE_MAX_N
+    spatial.DIST_CACHE_MAX_N = 50  # force the banded path
+    try:
+        banded = spatial.sct_kernel(values, lat, lon, elev, **kw)
+        iso_banded = spatial.sct_kernel(
+            values, lat, lon, elev, num_min=3, pos=1e18, neg=1e18,
+            num_iterations=1, check_mask=mask,
+        )
+    finally:
+        spatial.DIST_CACHE_MAX_N = orig
+    assert (cached == banded).all()
+    assert (iso_cached == iso_banded).all()
