@@ -612,6 +612,7 @@ def retention_compact(
         )
         chunk_table.overwrite_partitions(
             chunks,
+            cluster=False,  # pre-split above: (day, hash(series) % files_per_day)
             lineage={
                 "operation": "retention_compact",
                 "cutoff": older_than_day,

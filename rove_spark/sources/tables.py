@@ -121,12 +121,32 @@ class PartitionedTable:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(str(self.path))
 
-    def overwrite_partitions(self, df: DataFrame, lineage: dict | None = None) -> str:
+    def _cluster_for_write(self, df: DataFrame) -> DataFrame:
+        """Re-cluster rows onto their partition values before a
+        ``partitionBy`` write: the writer opens one file per (task,
+        partition value), so any mixed-partition upstream — and since
+        round 7's AQE floor, any multi-partition upstream — explodes
+        into tasks×partitions tiny files (measured 630 files for 30 day
+        partitions at sf0.1). One exchange on the partition columns
+        bounds it at one file per partition value (the Iceberg
+        ``write.distribution-mode=hash`` behavior); callers needing
+        more write parallelism per partition pre-split like
+        ``retention_compact`` does (day, hash(series) % files_per_day)."""
+        from pyspark.sql import functions as F
+
+        return df.repartition(*[F.col(c) for c in self.partition_by])
+
+    def overwrite_partitions(
+        self, df: DataFrame, lineage: dict | None = None, cluster: bool = True
+    ) -> str:
         """Replace exactly the partitions present in ``df`` (dynamic
         overwrite — Iceberg ``overwritePartitions`` semantics). Returns the
-        snapshot id."""
+        snapshot id. ``cluster=False`` skips the pre-write re-cluster for
+        callers that already repartitioned onto their own write layout
+        (e.g. retention_compact's (day, hash(series) % files_per_day))."""
         (
-            df.write.mode("overwrite")
+            (self._cluster_for_write(df) if cluster else df)
+            .write.mode("overwrite")
             .partitionBy(*self.partition_by)
             .option("partitionOverwriteMode", "dynamic")
             .parquet(str(self.path))
@@ -142,8 +162,10 @@ class PartitionedTable:
         )
         return snap
 
-    def append(self, df: DataFrame, lineage: dict | None = None) -> str:
-        df.write.mode("append").partitionBy(*self.partition_by).parquet(str(self.path))
+    def append(self, df: DataFrame, lineage: dict | None = None, cluster: bool = True) -> str:
+        (self._cluster_for_write(df) if cluster else df).write.mode(
+            "append"
+        ).partitionBy(*self.partition_by).parquet(str(self.path))
         snap = uuid.uuid4().hex[:12]
         self._commit_manifest({"snapshot_id": snap, "operation": "append", "lineage": lineage or {}})
         return snap
