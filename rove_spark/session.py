@@ -103,15 +103,17 @@ def get_spark(
         # AQE coalescing is parallelism-first but floors each coalesced
         # partition at minPartitionSize (default 1 MB): a CPU-heavy,
         # small-byte shuffle (regex scoring, haversine pair joins, wide
-        # hash aggregates over kB-scale rows) collapses to 1-2 partitions
-        # and runs serial. 16 KB keeps those stages spread across the
-        # cluster; at production shuffle sizes bytes/parallelism >> 1 MB,
-        # so the floor never binds and sizing is unchanged (measured
-        # round 7; env-overridable for deployments that prefer the
-        # default).
+        # hash aggregates over kB-scale rows) can collapse to 1-2
+        # partitions and run serial. The known-heavy operator paths pin
+        # their parallelism explicitly (parallel_groups before every
+        # expensive checkpoint/pipeline — round 7), so the floor is a
+        # backstop for unpinned stages; 64 KB keeps it cheap on the many
+        # small relational queries (A/B'd 16k/64k/1m at sf0.1 — within
+        # host noise; 16k only adds task count). At production shuffle
+        # sizes bytes/parallelism >> 1 MB, the floor never binds.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("ROVE_AQE_MIN_PARTITION_SIZE", "16k"),
+            os.environ.get("ROVE_AQE_MIN_PARTITION_SIZE", "64k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
