@@ -101,19 +101,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE coalescing is parallelism-first but floors each coalesced
-        # partition at minPartitionSize (default 1 MB): a CPU-heavy,
-        # small-byte shuffle (regex scoring, haversine pair joins, wide
-        # hash aggregates over kB-scale rows) can collapse to 1-2
-        # partitions and run serial. The known-heavy operator paths pin
-        # their parallelism explicitly (parallel_groups before every
-        # expensive checkpoint/pipeline — round 7), so the floor is a
-        # backstop for unpinned stages; 64 KB keeps it cheap on the many
-        # small relational queries (A/B'd 16k/64k/1m at sf0.1 — within
-        # host noise; 16k only adds task count). At production shuffle
-        # sizes bytes/parallelism >> 1 MB, the floor never binds.
+        # partition at minPartitionSize (1 MB default): a CPU-heavy,
+        # small-byte shuffle can collapse to 1-2 partitions and run
+        # serial. Round 7 first lowered this floor globally, then pinned
+        # every known-heavy operator path explicitly instead
+        # (parallel_groups before each expensive checkpoint/pipeline);
+        # with the pins in place a 16k/64k/1m A/B showed the low floor
+        # only added task-scheduling overhead on the many small tier
+        # cascades (rollup_1d +0.5 s at sf0.1), so the default stays
+        # Spark's. The knob remains for deployments with unpinned
+        # CPU-dense small-byte stages.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("ROVE_AQE_MIN_PARTITION_SIZE", "64k"),
+            os.environ.get("ROVE_AQE_MIN_PARTITION_SIZE", "1m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
