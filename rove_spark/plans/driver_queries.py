@@ -3021,23 +3021,38 @@ def _run_stream_query(
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     name = f"{prefix}{uuid.uuid4().hex[:12]}"
-    q = (
-        build(src)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    # state-store partitioning: one per core (defaultParallelism), not the
+    # batch default of 2x cores — each state partition pays store init +
+    # commit per micro-batch, and the stateful stages here have uniform
+    # per-series keys, so the 2x oversubscription only doubles that fixed
+    # cost (A/B at sf0.1: 2.0 s -> 1.45 s per stream query, round 7).
+    # Scale-adaptive by construction (tracks cluster cores); restored
+    # after the run so batch queries keep the session default.
+    n_state = os.environ.get(
+        "ROVE_STREAM_STATE_PARTITIONS", str(spark.sparkContext.defaultParallelism)
     )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_state)
     try:
-        if not q.awaitTermination(600):
-            raise TimeoutError(
-                f"{prefix}: AvailableNow run exceeded 600 s — refusing to "
-                "return a partially-committed memory table"
-            )
-        _record_stream_state(q)
+        q = (
+            build(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    f"{prefix}: AvailableNow run exceeded 600 s — refusing to "
+                    "return a partially-committed memory table"
+                )
+            _record_stream_state(q)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name).select(*select_cols)
 
 
