@@ -586,71 +586,96 @@ def dedup_components(
     steps only ever lower labels (``least`` with the current value), so
     the iteration is monotone and its fixpoint equals plain propagation's
     (component minima). The loop stops when a round changes nothing
-    (cheap xor-of-hashes aggregate). Labels are persisted each round to
-    keep the plan linear; intermediates and edges are unpersisted on
-    every path. The RETURNED frame is persisted (it has no other
-    lineage) — the caller owns its unpersist. Raises if not converged
-    within max_rounds (pathological mega-chain — raise the cap)."""
+    (exact per-round change counts, read TWO rounds per Spark action —
+    round 7: the common shallow-graph case of one changing round plus
+    one confirming round converges in a single job). Rounds are
+    localCheckpointed to keep the plan linear; the RETURNED frame is a
+    projection over the final round's checkpointed RDD (cached until
+    dereferenced; a caller ``unpersist()`` is a harmless no-op). Raises
+    if not converged within max_rounds (pathological mega-chain — raise
+    the cap)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .persist()
     )
-    labels = all_ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id")).persist()
+    labels = all_ids.select(
+        F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=False)
+
+    def one_round(cur, chg_name):
+        """One propagate+double round over ``cur`` (src, cluster_id,
+        carried _chg columns), adding ``chg_name`` = 1 where the label
+        moved. localCheckpoints truncate the plan: hop feeds the doubling
+        join TWICE (data + lookup) — without truncation the plan doubles
+        every round and the analyzer OOMs by ~round 8 even on a 64-node
+        graph; lazy checkpoints are materialized by the convergence
+        action, not a dedicated job."""
+        prop = (
+            edges.join(cur.select("src", "cluster_id"), on="src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        carried = [c for c in cur.columns if c not in ("src", "cluster_id")]
+        hop = (
+            cur.join(prop, on="src", how="left")
+            .select(
+                "src",
+                *carried,
+                F.col("cluster_id").alias("_old"),
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # pointer doubling: label(u) ← label(label(u)); every label IS a
+        # node id, so `hop` itself is the lookup table
+        lk = hop.select(F.col("src").alias("_k"), F.col("cluster_id").alias("_next"))
+        return (
+            hop.join(lk, hop["cluster_id"] == lk["_k"], "left")
+            .select(
+                "src",
+                *carried,
+                (
+                    F.least(F.col("cluster_id"), F.coalesce("_next", "cluster_id"))
+                ).alias("cluster_id"),
+                (
+                    F.least(F.col("cluster_id"), F.coalesce("_next", "cluster_id"))
+                    != F.col("_old")
+                )
+                .cast("int")
+                .alias(chg_name),
+            )
+            .localCheckpoint(eager=False)
+        )
+
     try:
-        prev_sum = labels.agg(F.bit_xor(F.xxhash64("src", "cluster_id"))).first()[0]
-        for _ in range(max_rounds):
-            prop = (
-                edges.join(labels, on="src")
-                .groupBy(F.col("dst").alias("src"))
-                .agg(F.min("cluster_id").alias("nbr_min"))
-            )
-            # localCheckpoint truncates the logical plan: hop feeds the
-            # doubling join TWICE (data + lookup), so without truncation
-            # the plan doubles every round and the analyzer OOMs by ~round
-            # 8 even on a 64-node graph. Eager = materialized now; old
-            # round RDDs are GC'd by the ContextCleaner once dereferenced.
-            # (On a real cluster a reliable checkpoint dir trades speed
-            # for executor-loss tolerance; local mode has no such loss.)
-            hop = (
-                labels.join(prop, on="src", how="left")
-                .select(
-                    "src",
-                    F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
-                        "cluster_id"
-                    ),
-                )
-                # lazy: materialized once by the convergence-check action
-                # below instead of by a dedicated job — one Spark job per
-                # round instead of two (round 7); still truncates the plan
-                # exactly like the eager form
-                .localCheckpoint(eager=False)
-            )
-            # pointer doubling: label(u) ← label(label(u)); every label IS
-            # a node id, so `hop` itself is the lookup table
-            lk = hop.select(
-                F.col("src").alias("cluster_id"), F.col("cluster_id").alias("_next")
-            )
-            new_labels = (
-                hop.join(lk, on="cluster_id", how="left")
-                .select(
-                    "src",
-                    F.least(F.col("cluster_id"), F.coalesce("_next", "cluster_id")).alias(
-                        "cluster_id"
-                    ),
-                )
-                .persist()
-            )
-            new_sum = new_labels.agg(F.bit_xor(F.xxhash64("src", "cluster_id"))).first()[0]
-            labels.unpersist()
-            labels = new_labels
-            if new_sum == prev_sum:  # fixed point: labels identical
+        # TWO rounds per Spark action (round 7): each action materializes
+        # the chained lazy checkpoints and reads both rounds' exact
+        # change counts from the same plan — the common shallow-graph
+        # case (one changing round + one confirming round) converges in
+        # ONE job instead of three (init hash + 2 round hashes).
+        rounds_done = 0
+        while rounds_done < max_rounds:
+            steps = min(2, max_rounds - rounds_done)
+            cur = labels
+            chg_cols = []
+            for s in range(steps):
+                chg = f"_chg{s}"
+                cur = one_round(cur, chg)
+                chg_cols.append(chg)
+            stats = cur.agg(*[F.sum(c).alias(c) for c in chg_cols]).first()
+            rounds_done += steps
+            changed = [int(stats[c] or 0) for c in chg_cols]
+            labels = cur.drop(*chg_cols)
+            if changed[-1] == 0:  # last round was a fixpoint confirmation
                 break
-            prev_sum = new_sum
         else:
-            labels.unpersist()
-            raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+            raise RuntimeError(
+                f"label propagation did not converge in {max_rounds} rounds"
+            )
         return labels.withColumnRenamed("src", id_col)
     finally:
         edges.unpersist()
