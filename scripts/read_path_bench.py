@@ -40,6 +40,12 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
+# Fingerprint written into the store's _built sentinel: a cached /tmp store
+# built under different builder params or an older store format is rebuilt
+# instead of silently measured. Bump the trailing version on any
+# build_tiers/synthetic_transcripts semantics change.
+STORE_VERSION = "readpath-store-v1:hot_frac=0,ts-range48,tier-range-bucket_ts"
+
 # Copy-0 span: 7-day conversation-start stagger + max (1.5*avg_turns)
 # minutes of turns. 9 days clears it for avg_turns <= 1400.
 SHIFT_DAYS = 9
@@ -54,6 +60,7 @@ from rove_spark.session import get_spark
 from rove_spark.operators.rollup import build_tiers, range_aggregate, route_range
 from rove_spark.sources.synthetic import synthetic_transcripts
 
+STORE_VERSION = {store_version!r}
 phase = sys.argv[1]            # "build" | "measure"
 scale = int(sys.argv[2])
 store = Path(sys.argv[3])
@@ -64,7 +71,11 @@ spark = get_spark(f"readpath_{{phase}}_{{scale}}", master="local[32]",
                   shuffle_partitions=64)
 
 if phase == "build":
-    if (store / "_built").exists():
+    # sentinel carries the builder fingerprint: a cached store built by an
+    # older build_tiers/synthetic_transcripts is rebuilt, not silently
+    # measured (bump STORE_VERSION on any builder-semantics change)
+    sentinel = store / "_built"
+    if sentinel.exists() and sentinel.read_text().strip() == STORE_VERSION:
         print(json.dumps({{"scale": scale, "built": "cached"}})); spark.stop(); sys.exit(0)
     # hot_frac=0: partition skew is salt.py's subject, not the read path's,
     # and hot conversations would stretch copy-0's span past the shift.
@@ -82,7 +93,7 @@ if phase == "build":
     for lv, t in tiers.items():
         t.repartitionByRange(max(4, 2 * scale), "bucket_ts").write.mode(
             "overwrite").parquet(str(store / f"tier_{{lv}}"))
-    (store / "_built").write_text("ok")
+    sentinel.write_text(STORE_VERSION)
     print(json.dumps({{"scale": scale, "built": "fresh"}})); spark.stop(); sys.exit(0)
 
 raw = spark.read.parquet(str(store / "raw"))
@@ -107,19 +118,25 @@ rows["direct_range_rows"] = raw.filter(
     (F.col("ts") >= F.lit(start).cast(raw_ts)) & (F.col("ts") < F.lit(end).cast(raw_ts))).count()
 rows["full_store_rows"] = raw.count()
 
-# --- timed ops: 2 samples each (co-tenant host), noop sink
-def timed(mk):
-    out = []
-    for _ in range(2):
-        t0 = time.time()
-        mk().write.format("noop").mode("overwrite").save()
-        out.append(round(time.time() - t0, 3))
-    return out
+# --- timed ops: 2 samples each (co-tenant host), noop sink; reps are
+# INTERLEAVED across the three ops (routed, direct, full, repeat) so each
+# op's samples span the same load windows — the repo's standard protocol
+def run_op(mk):
+    t0 = time.time()
+    mk().write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
 
-t_routed = timed(lambda: range_aggregate(raw, tiers, start, end))
-t_direct = timed(lambda: range_aggregate(raw, {{}}, start, end))
-t_full = timed(lambda: raw.groupBy("conv_id").agg(
-    F.count("*").alias("n"), F.sum(F.length("text")).alias("tl")))
+ops = {{
+    "routed": lambda: range_aggregate(raw, tiers, start, end),
+    "direct": lambda: range_aggregate(raw, {{}}, start, end),
+    "full": lambda: raw.groupBy("conv_id").agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("tl")),
+}}
+t = {{name: [] for name in ops}}
+for _ in range(2):
+    for name, mk in ops.items():
+        t[name].append(run_op(mk))
+t_routed, t_direct, t_full = t["routed"], t["direct"], t["full"]
 
 # --- routed ≡ direct, row-for-row (the in-script tier_route twin)
 routed = range_aggregate(raw, tiers, start, end).localCheckpoint()
@@ -135,7 +152,8 @@ spark.stop()
 
 def run_child(phase: str, scale: int, store: Path, n_conv: int, avg_turns: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=str(REPO)), phase, str(scale),
+        [sys.executable, "-c",
+         CHILD.format(repo=str(REPO), store_version=STORE_VERSION), phase, str(scale),
          str(store), str(n_conv), str(avg_turns), str(SHIFT_DAYS)],
         capture_output=True, text=True, timeout=1800, cwd=str(REPO),
     )
