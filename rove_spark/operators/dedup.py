@@ -785,6 +785,15 @@ def with_simhash_portable(
         .distinct()
         .select(F.md5("_t").alias("_k"), "_t")
     )
+    # pin parallelism BEFORE the CPU-dense explode+md5 expansion: the
+    # distinct-texts shuffle is tiny by bytes, so AQE coalesces it (1
+    # partition at sf0.1) and the per-token md5/conv work would run
+    # serial. Exchange-count-neutral: hash(_k) clustering is reused by
+    # the groupBy below, so this MOVES the aggregate's exchange ahead of
+    # the expansion instead of adding one (round 7, interleaved A/B).
+    from rove_spark.operators.util import parallel_groups
+
+    texts = parallel_groups(texts, "_k")
     exploded = texts.select("_k", F.explode_outer(words).alias("_w")).withColumn("_tv", tok)
 
     # packed bit-count lanes: 4 × 16-bit counters per long → 16 sum
