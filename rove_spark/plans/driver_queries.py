@@ -918,8 +918,10 @@ FROM b
 
 def q_quality(spark, sf):
     from rove_spark.operators.textstats import with_quality
+    from rove_spark.operators.util import spread_scan
 
-    docs = read_table(spark, sf, "documents")
+    # map-only per-doc scoring — see q_pii_scan's spread_scan note
+    docs = spread_scan(read_table(spark, sf, "documents"))
     out = with_quality(docs)
     return out.select(
         "doc_id",
@@ -1364,9 +1366,13 @@ def q_pii_scan(spark, sf):
     (counts via regexp_count vs DuckDB regexp_extract_all over the
     Java∩RE2 pattern subset). Also proves redact_pii zeroes the counts."""
     from rove_spark.operators.textstats import redact_pii, with_pii_counts
+    from rove_spark.operators.util import spread_scan
 
     _utc(spark)
-    docs = read_table(spark, sf, "documents")
+    # the whole query is map-only (inject → count → redact → recount):
+    # a one-row-group scan would run every regex serial on one task
+    # (spread_scan is a no-op on real multi-row-group tables)
+    docs = spread_scan(read_table(spark, sf, "documents"))
     injected = docs.withColumn(
         "text",
         F.concat(
