@@ -918,10 +918,12 @@ FROM b
 
 def q_quality(spark, sf):
     from rove_spark.operators.textstats import with_quality
-    from rove_spark.operators.util import spread_scan
 
-    # map-only per-doc scoring — see q_pii_scan's spread_scan note
-    docs = spread_scan(read_table(spark, sf, "documents"))
+    # map-only like q_pii_scan, but spread_scan A/B'd NET-NEGATIVE here:
+    # the scoring CPU is light enough that the added exchange stage's
+    # per-JVM codegen JIT (+0.8 s cold, wash warm; bench context +0.2 s)
+    # outweighs the parallel gain — left on the single scan task
+    docs = read_table(spark, sf, "documents")
     out = with_quality(docs)
     return out.select(
         "doc_id",
